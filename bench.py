@@ -1,0 +1,61 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect). Per query: median of $SPARK_GRAFT_BENCH_REPEATS (3)
+timed runs after one warmup of the whole session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from my_cudf_spark.queries import load_registry
+from my_cudf_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("my_cudf_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_registry()
+
+    # Session warmup: JVM/codegen/parquet-footer caches.
+    execute(registry["ndsh_q1"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        q = registry[name]
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            execute(q.fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""SparkSession construction with a scale-minded configuration profile.
+
+The same profile is used by tests, ``bench.py`` and ``__spark_entry__.py``
+(when the driver lets us build the session).  On a real cluster only the
+master / memory settings change; the SQL-level knobs below are the ones that
+matter for plan quality at 100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy).
+- Parquet filter/aggregate pushdown on; vectorized reader on.
+- Arrow for any pandas interchange (UDF and toPandas paths).
+- A broadcast threshold sized for dimension tables (region/nation/supplier/
+  part/customer at typical star-schema ratios).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session (including one handed to us
+# by a driver) before our queries run.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores timestamp[ns]; Spark has no ns timestamp type, so
+    # read as long and convert to µs explicitly (SURVEY.md §7.4.2).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # dims here are tiny vs. fact tables; 64 MiB is a sane cluster default.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Best-effort apply of runtime-settable confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-runtime-settable under this deployment; defaults stand
+    return spark
+
+
+def get_spark(app_name: str = "my_cudf_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local session sized from $SPARK_GRAFT_CPUS."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return apply_runtime_confs(builder.getOrCreate())
