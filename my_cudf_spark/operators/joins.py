@@ -1,0 +1,156 @@
+"""Join operators (SURVEY.md §2.3; reference ``cpp/include/cudf/join.hpp``).
+
+Spark covers the reference's entire join surface natively (inner/left/right/
+full/semi/anti/cross, theta via BNLJ, mixed equi+residual); this module adds
+the scale-minded helpers and the joins the reference lacks:
+
+- ``join``        : thin wrapper choosing broadcast hints by declared side size.
+- ``theta_join``  : ConditionalJoin (ir.py:1121, join.hpp:579-753).
+- ``mixed_join``  : equi keys + residual predicate (join.hpp:808-1034).
+- ``asof_join``   : absent in reference (SURVEY.md §2.3 'Absent'), standard in
+                    time-series engines — union + last-non-null window, no
+                    per-row range probe, one shuffle per side.
+- ``salted_join`` : skew mitigation — explode hot keys on the build side,
+                    salt the probe side (SURVEY.md §7.2.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = ["equi_join", "theta_join", "mixed_join", "asof_join", "salted_join"]
+
+_HOW = {
+    "inner", "left", "right", "full", "outer", "left_semi", "semi",
+    "left_anti", "anti", "cross",
+}
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    *,
+    broadcast_right: bool = False,
+    nulls_equal: bool = False,
+) -> DataFrame:
+    """Equi-join with optional broadcast hint and null-safe key equality
+    (Join IR options ``nulls_equal``, ir.py:1230-1246 → eqNullSafe)."""
+    if how not in _HOW:
+        raise ValueError(f"unknown how={how!r}")
+    r = broadcast(right) if broadcast_right else right
+    if nulls_equal and not isinstance(on, Column):
+        keys = [on] if isinstance(on, str) else list(on)
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(r[k])
+            cond = c if cond is None else (cond & c)
+        out = left.join(r, cond, how)
+        # coalesce duplicate key columns like polars' coalesce=True
+        for k in keys:
+            out = out.withColumn(f"{k}__c", F.coalesce(left[k], r[k])).drop(left[k]).drop(r[k]) \
+                     .withColumnRenamed(f"{k}__c", k)
+        return out
+    return left.join(r, on, how)
+
+
+def theta_join(left: DataFrame, right: DataFrame, predicate: Column, how: str = "inner") -> DataFrame:
+    """Join on an arbitrary predicate (ConditionalJoin → BNLJ/cartesian).
+
+    Scale note: Spark requires one broadcastable side for non-equi joins
+    (BroadcastNestedLoopJoin); keep the right side small or pre-filter.
+    """
+    return left.join(right, predicate, how)
+
+
+def mixed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    residual: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi keys + residual condition in one join (mixed_*_join,
+    join.hpp:808-1034). Spark hashes on the equi keys and applies the
+    residual during the probe — exactly the reference's 'mixed' strategy."""
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    out = left.join(right, cond & residual, how)
+    for k in on:  # drop right-side duplicate key columns
+        out = out.drop(right[k])
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.on <= left.on`` (backward; 'forward' = next ``>=``), optionally
+    within ``by`` groups.
+
+    Implementation (scales: one shuffle per side, no range cross-product):
+    union both sides tagged, single window pass carrying the last (backward)
+    or next (forward) right-side values along ``on``, then keep left rows.
+    Matches DuckDB ``ASOF JOIN`` semantics (the oracle for this operator).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    by = list(by) if by else []
+    rcols = [c for c in right.columns if c != on and c not in by]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tag = right.select(
+        *[F.col(c) if c in (by + [on]) else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
+          if c in (by + [on])],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (by + [on])],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    ).select(*[c for c in l_tag.columns])  # align column order
+
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort before left rows at equal `on` so an exact tie matches.
+    order = [F.col(on).asc(), F.col("__is_left").asc()] if direction == "backward" else [
+        F.col(on).desc(), F.col("__is_left").asc()
+    ]
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    out = unioned
+    for c in rcols:
+        out = out.withColumn(f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
+    out = out.filter(F.col("__is_left") == 1).drop("__is_left")
+    for c in rcols:
+        out = out.withColumnRenamed(f"__r_{c}", c if c not in left.columns else f"{c}{suffix}")
+    return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side with a
+    random bucket and explode the right side ``salt`` ways, so one hot key
+    spreads over ``salt`` reducers. Complements AQE skew-join for cases AQE
+    can't split (e.g. aggregations after the join)."""
+    on = list(on)
+    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,303 @@
+"""Relational-operator correctness queries (SURVEY.md §2.1, §2.3, §2.6, §2.7).
+
+One query per operator family: semi/anti/cross/full joins, theta & mixed
+joins (ConditionalJoin/mixed_join, join.hpp:579-1034), as-of join (absent in
+the reference, SURVEY.md §2.3), distinct keep-first/none
+(stream_compaction.hpp:286-340), sort+slice (ir.py:1606/1687), union &
+intersect/except (§2.7), unique-consecutive (stream_compaction.hpp:258).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from my_cudf_spark.operators import frame as fr
+from my_cudf_spark.operators import joins as j
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+
+@register(
+    "join_semi",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi_join (join.hpp:213)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        j.equi_join(customer, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti_join (join.hpp:246)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        j.equi_join(customer, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_mixed",
+    sql="""
+    SELECT o_orderkey, o_totalprice, c_acctbal
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 50 * c.c_acctbal
+    ORDER BY o_orderkey
+    """,
+)
+def join_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi keys + residual predicate in one hash join (mixed_inner_join,
+    join.hpp:808). Spark evaluates the residual during the hash probe."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    out = j.mixed_join(
+        orders,
+        broadcast(customer),
+        ["o_custkey"],
+        residual=F.col("o_totalprice") > 50 * F.col("c_acctbal"),
+    )
+    return out.select("o_orderkey", "o_totalprice", "c_acctbal").orderBy("o_orderkey")
+
+
+@register(
+    "join_theta",
+    sql="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey
+    ORDER BY n_name, r_name
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join on a non-equi predicate (conditional_inner_join,
+    join.hpp:579) → BroadcastNestedLoopJoin."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        j.theta_join(nation, broadcast(region), F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    )
+
+
+@register(
+    "join_full",
+    sql="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nk, cust_cnt, supp_cnt
+    FROM c FULL JOIN s ON c.nk = s.nk
+    ORDER BY nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full_join (join.hpp:182) with key coalescing (Join IR coalesce
+    option, ir.py:1230-1246)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("cust_cnt"))
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("supp_cnt"))
+    return (
+        c.join(s, "nk", "full")  # Spark coalesces the USING column natively
+        .select("nk", "cust_cnt", "supp_cnt")
+        .orderBy("nk")
+    )
+
+
+@register(
+    "join_cross",
+    sql="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_join (join.hpp:276)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(broadcast(nation)).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "join_asof",
+    sql="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+                FROM events),
+         p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         s AS (SELECT * FROM ev WHERE event_type <> 'purchase')
+    SELECT p.event_id, s.event_id AS prev_event_id, s.value AS prev_value
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (not in the reference — SURVEY.md §2.3 'Absent'): for each
+    purchase, the user's most recent non-purchase event at-or-before it.
+    Oracle: DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    s = ev.filter(F.col("event_type") != "purchase").select(
+        "ts", "user_id", F.col("event_id").alias("prev_event_id"), F.col("value").alias("prev_value")
+    )
+    out = j.asof_join(p, s, on="ts", by=["user_id"], direction="backward")
+    return out.select("event_id", "prev_event_id", "prev_value").orderBy("event_id")
+
+
+@register(
+    "distinct_keep_first",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def distinct_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct keep='first' under an explicit order (ir.py:1519-1556;
+    stable_distinct, stream_compaction.hpp:340)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        fr.distinct(orders, subset=["o_custkey"], keep="first", order_by=["o_orderdate", "o_orderkey"])
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "distinct_keep_none",
+    sql="""
+    SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) = 1 ORDER BY o_custkey
+    """,
+)
+def distinct_keep_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct keep='none' — only singleton keys survive (ir.py:1551-1556)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return fr.distinct(orders, subset=["o_custkey"], keep="none").select("o_custkey").orderBy("o_custkey")
+
+
+@register(
+    "sort_slice",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5
+    """,
+)
+def sort_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + Slice(offset, length) (ir.py:1606/1687) — plans as
+    TakeOrderedAndProject, not a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return fr.slice_rows(
+        orders.select("o_orderkey", "o_totalprice"),
+        offset=5,
+        length=20,
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+
+
+@register(
+    "set_intersect",
+    sql="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY o_custkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level INTERSECT — absent in cudf, free in Spark (SURVEY.md §2.7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return y96.intersect(y97).orderBy("o_custkey")
+
+
+@register(
+    "set_except",
+    sql="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level EXCEPT (SURVEY.md §2.7)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return customer.exceptAll(orders.distinct()).orderBy("c_custkey")
+
+
+@register(
+    "union_concat",
+    sql="""
+    SELECT kind, key, name FROM (
+      SELECT 'customer' AS kind, c_custkey AS key, c_name AS name FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name FROM supplier)
+    ORDER BY kind, key
+    """,
+)
+def union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical concat (Union ir.py:1943; concatenate.hpp:64)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
+    )
+    return customer.unionByName(supplier).orderBy("kind", "key")
+
+
+@register(
+    "unique_consecutive",
+    sql="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      FROM events)
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    ORDER BY event_id
+    """,
+)
+def unique_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive dedup (``unique``, stream_compaction.hpp:258), per-user:
+    collapse runs of the same event_type along the event sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
