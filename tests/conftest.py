@@ -59,6 +59,10 @@ def assert_matches_oracle(spark_df, oracle_con, sql: str) -> None:
         f"columns {list(got.columns)} != oracle {list(want.columns)}"
     )
     for col in got.columns:
+        assert got[col].dtype == want[col].dtype, (
+            f"dtype mismatch on {col!r}: spark {got[col].dtype} vs oracle {want[col].dtype}"
+        )
+    for col in got.columns:
         g, w = got[col], want[col]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ok = (g.astype("float64").fillna(-1.0) == w.astype("float64").fillna(-1.0)).all()
