@@ -1,0 +1,134 @@
+"""Reshape correctness queries (SURVEY.md §2.9): melt/unpivot, pivot,
+crosstab, get_dummies, explode family (lists/explode.hpp:72-208)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions.stable import DEC, sql_dsum, dsum
+from my_cudf_spark.operators import reshape as R
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+
+@register(
+    "reshape_melt",
+    sql="""
+    SELECT l_orderkey, l_linenumber, variable, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber, variable
+    """,
+)
+def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt (reshape.py:547) → unpivot; raw value passthrough (no float
+    arithmetic → exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = R.melt(
+        li,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return out.orderBy("l_orderkey", "l_linenumber", "variable")
+
+
+@register(
+    "reshape_pivot",
+    sql=f"""
+    SELECT o_orderpriority,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot (reshape.py:1061): totalprice by priority × status. Explicit
+    values list → no distinct-scan job."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = R.pivot(
+        orders,
+        index=["o_orderpriority"],
+        on="o_orderstatus",
+        agg=F.sum(F.col("o_totalprice").cast(DEC)).cast("double"),
+        values=["F", "O", "P"],
+    )
+    return out.orderBy("o_orderpriority")
+
+
+@register(
+    "reshape_crosstab",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def reshape_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crosstab (reshape.py:1398)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = R.crosstab(orders, "o_orderpriority", "o_orderstatus", values=["F", "O", "P"])
+    return out.orderBy("o_orderpriority")
+
+
+@register(
+    "reshape_dummies",
+    sql="""
+    SELECT c_custkey,
+           CAST(c_mktsegment = 'BUILDING' AS INT) AS seg_BUILDING,
+           CAST(c_mktsegment = 'MACHINERY' AS INT) AS seg_MACHINERY,
+           CAST(c_mktsegment = 'FURNITURE' AS INT) AS seg_FURNITURE
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def reshape_dummies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_dummies / one_hot_encode (reshape.py:721, transform.hpp:182):
+    explicit categories → pure narrow projection."""
+    customer = load_table(spark, sf_dir, "customer")
+    out = R.get_dummies(customer, "c_mktsegment", ["BUILDING", "MACHINERY", "FURNITURE"], prefix="seg")
+    return out.select("c_custkey", "seg_BUILDING", "seg_MACHINERY", "seg_FURNITURE").orderBy("c_custkey")
+
+
+@register(
+    "reshape_explode",
+    sql="""
+    SELECT p_partkey, u.tok, u.pos FROM part,
+         LATERAL (SELECT unnest(string_split(p_name, ' ')) AS tok,
+                         generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos) u
+    ORDER BY p_partkey, pos
+    """,
+)
+def reshape_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode family — posexplode (lists/explode.hpp:108 explode_position:
+    exact 1:1)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "tok"))
+        .select("p_partkey", "tok", F.col("pos").cast("long").alias("pos"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@register(
+    "agg_cube_rollup",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets — absent in the reference (SURVEY.md §2.4), builtin in
+    Spark: capability win surfaced as an operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
