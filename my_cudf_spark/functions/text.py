@@ -1,0 +1,180 @@
+"""Text / LLM-pipeline functions — the nvtext surface (SURVEY.md §2.10;
+reference ``cpp/include/nvtext/``) plus the north-star training-data ops
+(language-id, quality scoring, fingerprinting).
+
+Everything is JVM-side Column expressions (split/transform/aggregate/
+xxhash64) — no Python UDFs — so the hot path stays inside whole-stage
+codegen and scales linearly with executors.
+
+Reference parity:
+- tokenize/count_tokens: nvtext/tokenize.hpp:61-226
+- generate_ngrams / character ngrams / hash ngrams: generate_ngrams.hpp:59-125
+- minhash (LSH signatures): minhash.hpp:72-213
+- jaccard_index: jaccard.hpp:73
+- edit distance: edit_distance.hpp:62 → F.levenshtein (builtin)
+- normalize_spaces/characters: normalize.hpp:55/216
+- replace/filter tokens: replace.hpp:87/136
+- BPE/subword/wordpiece: byte_pair_encoding.hpp:97, subword_tokenize.hpp —
+  require external vocab models; surfaced as ``bpe_token_count`` regex
+  approximation + a pandas_udf seam (see operators/multimodal.py pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize",
+    "count_tokens",
+    "word_ngrams",
+    "char_ngrams",
+    "hash_ngrams",
+    "minhash_signature",
+    "simhash64",
+    "jaccard",
+    "normalize_text",
+    "fingerprint",
+    "stopword_ratio",
+    "quality_score",
+    "bpe_token_count",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; deterministic and SQL-replicable.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "sur"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "con"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace/delimiter tokenize (tokenize.hpp:61)."""
+    return F.split(F.trim(_c(col)), pattern)
+
+
+def count_tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+    """count_tokens (tokenize.hpp:126)."""
+    return F.size(tokenize(col, pattern))
+
+
+def word_ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
+    """generate_ngrams (generate_ngrams.hpp:59): n-grams of a token array."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i, n), sep),
+    )
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """generate_character_ngrams (generate_ngrams.hpp:89)."""
+    c = _c(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+        lambda i: F.substring(c, i, n),
+    )
+
+
+def hash_ngrams(ngrams: Column) -> Column:
+    """hash_character_ngrams (generate_ngrams.hpp:125): xxhash64 per gram
+    (hashing.hpp:183 — same algorithm family the reference exposes)."""
+    return F.transform(ngrams, lambda g: F.xxhash64(g))
+
+
+def minhash_signature(ngrams: Column, num_hashes: int) -> Column:
+    """minhash/minhash64 (minhash.hpp:72-213): k independent min-hashes of
+    the shingle set. Seed-i hashing via xxhash64(i, gram); distinct grams
+    first so signature depends on the set, not multiplicity."""
+    grams = F.array_distinct(ngrams)
+
+    def seeded(i: int):
+        return lambda g: F.xxhash64(F.lit(i), g)
+
+    return F.array(
+        *[F.array_min(F.transform(grams, seeded(i))) for i in range(num_hashes)]
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """SimHash (north star; not in reference): 64-bit signature whose bits
+    are the signs of per-bit vote sums over token hashes. Hamming-close
+    signatures ⇒ similar token multisets."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def vote_fn(b: int):
+        return lambda acc, h: acc + (F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
+        one = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        if b < 63:
+            bits.append(one * F.lit(2**b).cast("long"))
+        else:  # sign bit: set via long min to stay in two's complement
+            bits.append(F.when(vote > 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """jaccard_index (jaccard.hpp:73) on two token/ngram arrays (as sets)."""
+    ad, bd = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(ad, bd)).cast("double")
+    union = F.size(F.array_union(ad, bd)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """normalize_characters+spaces (normalize.hpp:55/216): lower, strip
+    non-alphanumerics to space, collapse runs."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint (north star): md5 of sorted distinct normalized
+    tokens — whitespace/punct/word-order insensitive content key."""
+    toks = F.sort_array(F.array_distinct(F.split(normalize_text(col), " ")))
+    return F.md5(F.array_join(toks, " "))
+
+
+def stopword_ratio(tokens: Column, lang: str) -> Column:
+    """Fraction of tokens in the language's stopword list (language-id
+    n-gram/stopword heuristic, north star)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(tokens) > 0, n_stop.cast("double") / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic quality score in [0,1] (north star): mix of alpha ratio,
+    mean word length band, and whitespace sanity — all regexp counts."""
+    c = _c(col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    spaces = F.length(F.regexp_replace(c, r"[^ ]", "")).cast("double")
+    words = spaces + 1
+    mean_wl = (n - spaces) / words
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.when(n > 0, (alpha / n) * 0.6 + wl_ok * 0.3 + F.least(n / 100.0, F.lit(1.0)) * 0.1).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate (byte_pair_encoding.hpp:97 without a merges
+    file): count of word-pieces ≈ words + punctuation + long-word splits
+    via regex — the standard cheap estimator for LLM token budgeting."""
+    c = _c(col)
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)

@@ -1,0 +1,135 @@
+"""Embedding similarity search (north star; no reference equivalent —
+nvtext stops at token-level similarity).
+
+- ``cosine``            : dot/norm via zip_with + aggregate (JVM, codegen).
+- ``brute_force_topk``  : exact top-k neighbors for a (small, broadcast)
+  query set against a large corpus: broadcast join + per-query window.
+  Cost O(|corpus|·|queries|·dim) — the correctness baseline.
+- ``lsh_topk``          : the scale path — random-hyperplane LSH buckets;
+  only rows sharing a bucket are scored. Recall tunable via tables/bits.
+
+Vectors are ``array<float>`` columns; norms are precomputed once per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = ["dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set over the corpus.
+
+    Returns (query_id, neighbor_id, cos) with rank ≤ k per query,
+    excluding self-matches. Ties broken by neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes (stdlib Mersenne — stable across
+    platforms/runs, evaluated once on the driver and inlined as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    bits: int = 8,
+    tables: int = 16,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures; rows meet only
+    inside a (table, signature) bucket. Shuffle ∝ corpus×tables, scoring ∝
+    bucket collisions — sublinear vs brute force at high selectivity."""
+
+    def with_buckets(df: DataFrame, ident: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(ident), F.col(vec_col).alias(f"__v_{ident}"))
+        buckets = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, bits, seed=t + 1)
+            bit_exprs = []
+            for bi, plane in enumerate(planes):
+                proj = F.aggregate(
+                    F.zip_with(
+                        F.col(f"__v_{ident}"),
+                        F.array(*[F.lit(v) for v in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bit_exprs.append(F.when(proj > 0, F.lit(1 << bi)).otherwise(F.lit(0)))
+            sig = bit_exprs[0]
+            for e in bit_exprs[1:]:
+                sig = sig + e
+            buckets.append(F.concat_ws(":", F.lit(str(t)), sig.cast("string")))
+        return out.withColumn("bucket", F.explode(F.array(*buckets)))
+
+    c = with_buckets(corpus, "neighbor_id")
+    q = with_buckets(queries, query_id)
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .dropDuplicates([query_id, "neighbor_id"])
+        .withColumn("cos", cosine(F.col(f"__v_{query_id}"), F.col("__v_neighbor_id")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,194 @@
+"""Text / dedup correctness queries (SURVEY.md §2.10 nvtext surface +
+north-star LLM-pipeline ops) over the ``documents`` fixture.
+
+The exact inverted-index Jaccard pairs are the oracle-checked near-dup
+path; MinHash-LSH and SimHash (the 100 TB paths) are rows-only here and
+differentially tested against the exact path in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions import text as T
+from my_cudf_spark.operators import dedup as D
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+# DuckDB twin of text.normalize_text
+SQL_NORM = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+# DuckDB twin of distinct word-bigram sets over normalized text
+SQL_BIGRAMS = (
+    f"list_distinct(list_transform(range(1, len(string_split({SQL_NORM},' '))), "
+    f"i -> string_split({SQL_NORM},' ')[i] || ' ' || string_split({SQL_NORM},' ')[i+1]))"
+)
+
+
+def _norm_tokens():
+    return F.split(T.normalize_text("text"), " ")
+
+
+@register(
+    "text_tokenize",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]')) AS INT) AS n_bpe,
+           length(text) AS len_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize/count_tokens (nvtext/tokenize.hpp:61-226) + BPE-ish token
+    estimate (byte_pair_encoding.hpp:97 without a merges table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.count_tokens("text").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9 ]"), 0)).alias("n_bpe"),
+        F.length("text").cast("long").alias("len_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           substring({SQL_NORM}, 1, 30) AS norm_prefix,
+           md5(array_to_string(list_sort(list_distinct(string_split({SQL_NORM}, ' '))), ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_characters/spaces (normalize.hpp:55/216) + order-insensitive
+    content fingerprint (north star)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(T.normalize_text("text"), 1, 30).alias("norm_prefix"),
+        T.fingerprint("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_lang",
+    sql=r"""
+    WITH t AS (SELECT doc_id, text, length(text) AS n,
+                      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                      length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+                      string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN n > 0 THEN (CAST(alpha AS DOUBLE)/n)*0.6
+                 + (CASE WHEN (CAST(n - spaces AS DOUBLE)/(spaces+1)) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)*0.3
+                 + LEAST(CAST(n AS DOUBLE)/100.0, 1.0)*0.1 ELSE 0.0 END, 6) AS quality,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','for','on','with'))) AS DOUBLE)/len(toks), 6) AS sw_en,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS DOUBLE)/len(toks), 6) AS sw_de
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/alpha/word-length heuristics) + stopword-ratio
+    language signal (north star text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _norm_tokens()
+    return docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        F.round(T.stopword_ratio(toks, "en"), 6).alias("sw_en"),
+        F.round(T.stopword_ratio(toks, "de"), 6).alias("sw_de"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_ngrams",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+         b AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg FROM t)
+    SELECT doc_id,
+           CAST(generate_subscripts(bg, 1) - 1 AS INT) AS pos,
+           unnest(bg) AS bigram
+    FROM b ORDER BY doc_id, pos
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_ngrams (generate_ngrams.hpp:59): word bigrams, exploded with
+    position (explode_position, lists/explode.hpp:108)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = T.word_ngrams(_norm_tokens(), 2)
+    return (
+        docs.select("doc_id", F.posexplode(bigrams).alias("pos", "bigram"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "bigram")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "dedup_exact",
+    sql=f"""
+    SELECT sha256(substring({SQL_NORM}, 1, 60)) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1 ORDER BY canonical_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (distinct + sha2; stream_compaction
+    distinct + hashing.hpp sha256). Keyed on a normalized prefix so the
+    fixture (unique texts, shared prefixes) produces real duplicate
+    groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs, "doc_id", F.substring(T.normalize_text("text"), 1, 60))
+        .orderBy("canonical_id")
+    )
+
+
+@register(
+    "dedup_neardup_pairs",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {SQL_BIGRAMS} AS g FROM documents),
+         e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM s),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
+               FROM e a JOIN e b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+    SELECT id_a, id_b, CAST(inter AS DOUBLE)/(n_a + n_b - inter) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE)/(n_a + n_b - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (jaccard_index, nvtext/jaccard.hpp:73) on word-
+    bigram sets via inverted-index join — the oracle-checkable dedup path;
+    LSH below approximates exactly this."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = T.word_ngrams(_norm_tokens(), 2)
+    return (
+        D.neardup_pairs_exact(docs, "doc_id", bigrams, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_minhash_lsh", sql=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (minhash.hpp:72-213 + banding) — the
+    100 TB path: fixed-size signatures, bucket join, exact-jaccard
+    verification of candidates. Rows-only for the driver; recall vs the
+    exact path asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = T.word_ngrams(_norm_tokens(), 2)
+    return (
+        D.minhash_lsh_pairs(docs, "doc_id", bigrams, threshold=0.5, num_hashes=64, bands=16)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_simhash", sql=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤3 near-dup pairs (north star) — banded candidate
+    join + popcount filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.simhash_pairs(docs, "doc_id", _norm_tokens(), max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,85 @@
+"""Embedding-similarity correctness queries (north star) over the
+``embeddings`` fixture (vec_id, embedding array<float>, label).
+
+Float policy: embeddings are float32; both sides cast to double BEFORE any
+arithmetic and both engines reduce the 64-dim dot product sequentially →
+bit-identical cosines; displayed values rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.operators import similarity as S
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+
+def _as_double(df: DataFrame) -> DataFrame:
+    return df.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+@register(
+    "vec_stats",
+    sql="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, label,
+           CAST(len(v) AS INT) AS dim,
+           ROUND(sqrt(list_dot_product(v, v)), 6) AS l2,
+           ROUND(list_aggregate(v, 'sum') / len(v), 6) AS mean_val,
+           ROUND(list_aggregate(v, 'max'), 6) AS max_val
+    FROM e ORDER BY vec_id
+    """,
+)
+def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math over embedding columns: norms, means, extrema
+    (list-level reductions — reference lists/ + reduction.hpp surface)."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("dim"),
+        F.round(S.l2_norm(v), 6).alias("l2"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "vec_topk_cosine",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+               FROM e c, q WHERE c.vec_id <> q.vec_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def vec_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN correctness baseline): broadcast
+    query set × corpus, per-query window. LSH variant is rows-only below."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+@register("vec_topk_lsh", sql=None)
+def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (the scale path: bucket
+    join instead of full cross product). Recall vs brute force asserted in
+    tests/test_similarity.py; rows-only for the driver."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.lsh_topk(emb, queries, "vec_id", "embedding", k=5, dim=64, bits=4, tables=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank")
+    ).orderBy("query_id", "rank")
