@@ -1,0 +1,164 @@
+"""Event-table queries: time windows + sessionization + funnel
+(SURVEY.md §2.5 resample / §2.12 streaming windows).
+
+These run the operators in :mod:`my_cudf_spark.streaming.ops` on the batch
+``events`` frame — the identical plan runs on a streaming frame
+(tests/test_streaming.py replays the same rows through ``readStream`` and
+asserts equality), so these oracles certify both modes.
+
+The reference has no time-window machinery at all (polars dynamic/rolling
+groupbys raise NotImplemented, cudf_polars ir.py:982-987; resample is the
+closest analogue, cudf resample.py:37-90) — this family is a capability
+superset expressed with Spark builtins.
+
+Scale: all three window shapes shuffle once on (window, keys) with map-side
+partial aggregation; session windows additionally sort within partitions.
+Key cardinality here is (time-bin × event_type) or user_id — no skew risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions.stable import DEC, sql_dec2dbl
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+from my_cudf_spark.streaming import ops as S
+
+SUM_VALUE = lambda: F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value")
+SQL_SUM_VALUE = sql_dec2dbl(f"SUM(CAST(value AS {DEC}))") + " AS sum_value"
+
+
+@register(
+    "events_tumbling",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+           time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) + INTERVAL '6 hours' AS win_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_SUM_VALUE}
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window by event_type (``window()`` — same op
+    is the streaming tumbling agg with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.tumbling_agg(
+        ev,
+        "ts",
+        "6 hours",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), SUM_VALUE()],
+    )
+    return out.orderBy("win_start", "event_type")
+
+
+@register(
+    "events_sliding",
+    sql=f"""
+    SELECT ws AS win_start, ws + INTERVAL '1 hour' AS win_end,
+           COUNT(*) AS n_events, {SQL_SUM_VALUE}
+    FROM (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - k.k * INTERVAL '30 minutes' AS ws,
+                 value
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+    GROUP BY 1, 2
+    ORDER BY win_start
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window, 30m hop: each event lands in exactly 2 windows
+    (``window(ts, '1 hour', '30 minutes')``); the oracle materializes the
+    2-window fan-out explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.sliding_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        aggs=[F.count(F.lit(1)).alias("n_events"), SUM_VALUE()],
+    )
+    return out.orderBy("win_start")
+
+
+@register(
+    "events_session",
+    sql=f"""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                         >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ), numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {SQL_SUM_VALUE}
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (``session_window(ts, '30 min')``);
+    oracle is the classic gaps-and-islands rewrite.  Spark merges events
+    whose gap is strictly < the timeout, hence ``>=`` starts a new session
+    on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    out = S.session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), SUM_VALUE()],
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "events_funnel",
+    sql="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'view') AS first_view,
+           MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase') AS first_purchase,
+           COALESCE(MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'view')
+                      < MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase'),
+                    FALSE) AS converted
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel per user via conditional aggregation — one pass, no
+    self-joins (at 100 TB a per-stage self-join would shuffle the fact table
+    k times; FILTER-style conditional aggs shuffle once)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    n_of = lambda t: F.count(F.when(F.col("event_type") == t, F.lit(1)))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_of("view").alias("n_views"),
+            n_of("click").alias("n_clicks"),
+            n_of("purchase").alias("n_purchases"),
+            first_ts("view").cast("timestamp_ntz").alias("first_view"),
+            first_ts("purchase").cast("timestamp_ntz").alias("first_purchase"),
+        )
+        .withColumn(
+            "converted",
+            F.coalesce(F.col("first_view") < F.col("first_purchase"), F.lit(False)),
+        )
+        .orderBy("user_id")
+    )

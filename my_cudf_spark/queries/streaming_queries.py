@@ -1,0 +1,112 @@
+"""True Structured-Streaming queries, oracle-checked.
+
+Each query replays the ``events`` fixture through ``readStream`` (file
+source, 4 micro-batches), runs a stateful streaming operator, drains it with
+``trigger(availableNow)`` into the memory sink, and returns the materialized
+result — which must equal the batch answer, so the DuckDB oracle applies to
+the *streaming* execution path.  This is strictly stronger than the
+reference's streaming story (offset-range Kafka pulls into batch frames,
+custreamz kafka.py:82-176): here windows, watermarks, dedup state and
+custom per-key state survive across micro-batches.
+
+Scale: the file source is stand-in plumbing for Kafka (same DataFrame once
+loaded — ``streaming.sources.kafka_stream``).  Watermark delay is set past
+the fixture's 30-day span so bounded replay is exact; in production the
+delay bounds state instead.
+"""
+
+from __future__ import annotations
+
+import shutil
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.queries import register
+from my_cudf_spark.streaming import ops as S
+from my_cudf_spark.streaming.sources import replay_events
+from my_cudf_spark.streaming.stateful import running_totals
+
+_run_id = count()
+
+
+def _drain(stream_df: DataFrame, tag: str, work_dir: str, output_mode: str | None = None) -> DataFrame:
+    """Run the bounded stream to completion, drop the staging dir, and
+    pin the result rows (the memory sink lives in driver memory)."""
+    try:
+        return S.run_to_memory(stream_df, f"{tag}_{next(_run_id)}", output_mode)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+@register(
+    "stream_tumbling_replay",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+    """,
+)
+def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling count by event_type computed ON A STREAM (watermarked
+    window agg, state carried across micro-batches), equal to the batch
+    answer by construction."""
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    agg = S.tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+        watermark="40 days",
+    )
+    out = _drain(agg.drop("win_end"), "tumbling", work_dir)
+    return out.orderBy("win_start", "event_type")
+
+
+@register(
+    "stream_dedup_replay",
+    sql="SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) via
+    ``dropDuplicatesWithinWatermark`` — watermark past the replay span makes
+    it equivalent to batch DISTINCT; in production the delay bounds the
+    dedup state instead (SURVEY.md §2.12)."""
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    deduped = S.dedup(
+        stream.select("ts", "user_id", "event_type"),
+        ["user_id", "event_type"],
+        ts_col="ts",
+        watermark="40 days",
+    ).select("user_id", "event_type")
+    out = _drain(deduped, "dedup", work_dir)
+    return out.orderBy("user_id", "event_type")
+
+
+@register(
+    "stream_running_totals",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    (count, sum) state updated each micro-batch, update-mode emissions; the
+    final state per key equals the batch aggregate.  Float note: the state
+    accumulates chunk sums in replay order vs the oracle's single pass —
+    ROUND(_, 4) absorbs the last-ulp difference."""
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    totals = running_totals(stream, ["user_id"], "value")
+    updates = _drain(totals, "running", work_dir, output_mode="update")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,119 @@
+"""Streaming sources: fixture replay + Kafka ingest (SURVEY.md §2.12).
+
+The reference ingests Kafka offset ranges into frames
+(``/root/reference/python/custreamz/custreamz/kafka.py:82-176`` —
+``Consumer.read_gdf(topic, partition, start, end)``) and leaves everything
+else to the user.  Here both sources produce a standard streaming DataFrame
+that flows through the same operators as batch frames.
+
+No Kafka broker exists in the test environment, so ``kafka_stream`` is
+plumbing-only (it builds the reader; ``.load()`` is the caller's step once a
+broker is reachable); the tests replay the ``events`` fixture through the
+file source instead, which exercises the identical downstream plan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamReader
+
+from my_cudf_spark.sources import load_table
+
+
+def replay_events(
+    spark: SparkSession,
+    sf_dir: str,
+    num_chunks: int = 8,
+    max_files_per_trigger: int = 1,
+    work_dir: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Replay the ``events`` fixture as a bounded file stream.
+
+    Splits the fixture into ``num_chunks`` parquet files (micro-batch
+    boundaries) under a temp dir and opens them with ``readStream`` at
+    ``maxFilesPerTrigger`` files per batch.  Returns (stream_df, dir) — the
+    caller owns cleanup of the dir.
+
+    The ns→µs timestamp normalization happens in :func:`load_table` before
+    the write, so the streamed schema equals the batch schema.
+    """
+    # Watermarks require TimestampType (tz-aware); session tz is pinned UTC
+    # so this cast is an identity on the wall-clock value.
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out_dir = work_dir or tempfile.mkdtemp(prefix="events_stream_")
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.exists(data_dir):
+        shutil.rmtree(data_dir)
+    # Chunk on a stable key so replay order is deterministic per file.
+    batch.repartitionByRange(num_chunks, "event_id").write.parquet(data_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(data_dir)
+    )
+    return stream, out_dir
+
+
+def kafka_batch_read(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    partition: int,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Batch pull of one topic-partition offset range — the exact shape of
+    custreamz ``Consumer.read_gdf(topic, partition, start, end)``
+    (kafka.py:82-176), expressed as Spark's batch Kafka source."""
+    offsets = lambda o: '{"%s":{"%d":%d}}' % (topic, partition, o)
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("assign", '{"%s":[%d]}' % (topic, partition))
+        .option("startingOffsets", offsets(start))
+        .option("endingOffsets", offsets(end))
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    value_schema: str | None = None,
+) -> DataStreamReader | DataFrame:
+    """Kafka ingest → streaming DataFrame (parity with custreamz
+    ``Consumer.read_gdf``, kafka.py:82-176, but continuous rather than
+    offset-range pull; offset bookkeeping/checkpointing is Spark's).
+
+    With ``value_schema`` (a DDL string for the JSON payload) the value is
+    parsed into columns; otherwise raw (key, value, topic, partition,
+    offset, timestamp) pass through.  Returns the configured reader when no
+    broker is reachable at build time is fine — ``.load()`` only connects on
+    stream start.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    df = reader.load()
+    if value_schema is not None:
+        df = df.select(
+            F.col("key").cast("string").alias("key"),
+            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+            "topic",
+            "partition",
+            "offset",
+            F.col("timestamp").alias("kafka_ts"),
+        ).select("key", "v.*", "topic", "partition", "offset", "kafka_ts")
+    return df

@@ -1,0 +1,84 @@
+"""Structured Streaming layer tests: batch ↔ stream equivalence.
+
+The streaming operators build the identical plan on batch and streaming
+frames (my_cudf_spark/streaming/ops.py); these tests replay the ``events``
+fixture through the file stream source and assert the drained streaming
+result equals the batch result row-for-row.  The oracle-checked streaming
+queries (queries/streaming_queries.py) cover tumbling/dedup/stateful; here
+we cover session windows, sliding windows, and the Kafka plumbing contract.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_cudf_spark.sources import load_table
+from my_cudf_spark.streaming import ops as S
+from my_cudf_spark.streaming.sources import kafka_stream, replay_events
+from tests.conftest import SF_DIR
+
+
+def _rows(df, order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_session_window_stream_equals_batch(spark):
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    try:
+        args = dict(
+            ts_col="ts",
+            gap="30 minutes",
+            keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+        )
+        streamed = S.run_to_memory(
+            S.session_agg(stream, watermark="40 days", **args), "sess_eq"
+        )
+        batch = S.session_agg(_batch_events(spark), **args)
+        order = ["user_id", "session_start"]
+        assert _rows(streamed, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_sliding_window_stream_equals_batch(spark):
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    try:
+        args = dict(
+            ts_col="ts",
+            duration="2 hours",
+            slide="1 hour",
+            keys=["event_type"],
+            aggs=[F.count(F.lit(1)).alias("n_events")],
+        )
+        streamed = S.run_to_memory(
+            S.sliding_agg(stream, watermark="40 days", **args), "slide_eq"
+        )
+        batch = S.sliding_agg(_batch_events(spark), **args)
+        order = ["win_start", "event_type"]
+        assert _rows(streamed, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_kafka_stream_contract(spark):
+    """The Kafka reader is configuration-only plumbing; without the
+    spark-sql-kafka connector jar (not shipped in this environment) it must
+    fail fast with the standard DATA_SOURCE_NOT_FOUND error — and with the
+    jar present it returns a streaming frame.  Either way the failure mode
+    is at source construction, never silently downstream."""
+    try:
+        df = kafka_stream(spark, "localhost:9092", "events", value_schema="k BIGINT")
+    except Exception as e:  # connector jar absent here
+        assert "kafka" in str(e).lower()
+    else:
+        assert df.isStreaming
