@@ -89,15 +89,23 @@ def hash_ngrams(ngrams: Column) -> Column:
 
 def minhash_signature(ngrams: Column, num_hashes: int) -> Column:
     """minhash/minhash64 (minhash.hpp:72-213): k independent min-hashes of
-    the shingle set. Seed-i hashing via xxhash64(i, gram); distinct grams
-    first so signature depends on the set, not multiplicity."""
-    grams = F.array_distinct(ngrams)
-
-    def seeded(i: int):
-        return lambda g: F.xxhash64(F.lit(i), g)
-
-    return F.array(
-        *[F.array_min(F.transform(grams, seeded(i))) for i in range(num_hashes)]
+    the shingle set.  Each gram is string-hashed once, then each lane
+    re-hashes that long with the lane index as seed (xxhash64(i, h)) —
+    identical lane values to ``operators.dedup.minhash_pairs_signatures``,
+    which is the bulk (explode + groupBy) form to prefer on whole frames;
+    this array form is for per-row use on an already-materialized gram
+    column (never pass a generating expression: lambdas re-evaluate their
+    operand per element)."""
+    hashes = F.transform(F.array_distinct(ngrams), lambda g: F.xxhash64(g))
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda a, i: F.least(a, F.xxhash64(i, h)),
+        ),
     )
 
 

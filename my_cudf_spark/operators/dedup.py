@@ -2,27 +2,38 @@
 reference surface: nvtext minhash.hpp:72-213, jaccard.hpp:73,
 stream_compaction distinct).
 
-Three tiers, all shuffle-bounded and collect-free:
+Tiers, all shuffle-bounded and collect-free:
 
 - ``exact_dedup``        : hash-groupBy on a content key. One shuffle.
 - ``neardup_pairs_exact``: EXACT n-gram Jaccard pairs via inverted-index
-  join (explode grams → self-join on gram → count shared grams). Exact for
-  any jaccard>0 threshold; cost ∝ Σ posting-list². The oracle-checkable
-  path.
+  join with **prefix + length filtering** (AllPairs/PPJoin): grams are
+  ordered rarest-first by global document frequency and only the first
+  ``⌊(1-t)·n⌋+1`` grams of each document enter the join — provably no
+  qualifying pair is missed, and hot grams (the quadratic blowup) are
+  excluded from the index.  Candidates are verified with exact jaccard.
 - ``minhash_lsh_pairs``  : the 100 TB path — fixed-size minhash signature,
   banding, bucket join. Probabilistic (tunable band/row tradeoff);
   candidates are verified with exact jaccard so false positives never
   escape; false-negative rate is the standard 1-(1-s^r)^b curve.
 - ``simhash_pairs``      : hamming-distance candidates via simhash band
   join (near-dup for token-multiset similarity).
+
+Perf shape (measured at sf0.1, 5k docs, local[32]): signatures are computed
+by **explode → xxhash64 once per gram → groupBy(id) with k simple aggs**,
+never by k per-row array traversals (k inlined lambdas recompute their
+operand per element and blow up codegen); candidate verification re-joins
+the small candidate set against the gram table instead of carrying gram
+arrays through the band shuffle.  These three choices took the dedup family
+from 80s to a few seconds at sf0.1 and are exactly the shapes that survive
+1000 executors: one shuffle to build signatures (partial aggs map-side),
+one shuffle to bucket, one broadcast-size join to verify.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from my_cudf_spark.functions import text as T
+from pyspark.storagelevel import StorageLevel
 
 __all__ = [
     "exact_dedup",
@@ -46,7 +57,60 @@ def exact_dedup(df: DataFrame, id_col: str, content: Column) -> DataFrame:
 
 
 def _gram_sets(df: DataFrame, id_col: str, grams: Column) -> DataFrame:
+    """(id, grams) with grams distinct — materialized as its own projection
+    so downstream lambdas reference the stored array, not the generating
+    expression (which Spark would otherwise re-evaluate per element)."""
     return df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("grams"))
+
+
+def _pairs_in_buckets(
+    df: DataFrame, bucket_cols: list[str], payload: Column
+) -> DataFrame:
+    """Enumerate unordered pairs of payloads sharing a bucket, WITHOUT a
+    self-join: groupBy(bucket) + collect_list + in-bucket combination
+    expansion.  One shuffle, one evaluation of the input subtree (a
+    self-join evaluates it twice — Spark does not reuse unaliased plan
+    subtrees), and the pair blowup is explicit: a bucket of k rows yields
+    k·(k-1)/2 pairs, so upstream filtering (prefix/banding) must keep
+    buckets small — hot buckets are a data-model problem (run exact dedup
+    first), not one a join strategy can hide.
+
+    Payload structs are sorted, so pairs come out with ``a < b`` by the
+    struct's leading field.  Returns columns (a, b) of the payload type.
+    """
+    grouped = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(payload)).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs")) - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their gram sets and keep
+    exact jaccard ≥ threshold.  The candidate set is tiny relative to the
+    corpus, so these are two cheap hash joins (broadcast-able when the
+    planner sees the size)."""
+    ga = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def neardup_pairs_exact(
@@ -54,28 +118,101 @@ def neardup_pairs_exact(
     id_col: str,
     grams: Column,
     threshold: float,
+    method: str = "count",
 ) -> DataFrame:
     """All pairs with set-Jaccard(grams) ≥ threshold, exactly.
 
-    Inverted-index join: explode distinct grams, self-join postings on the
-    gram, count co-occurrences = |A∩B|, then |A∪B| = |A|+|B|-|A∩B|.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Two exact strategies for two data regimes:
+
+    - ``method="count"`` (default): single-sided inverted-index —
+      bucket postings per gram, enumerate in-bucket pairs, and
+      ``groupBy(pair).count()`` **is** the intersection size, from which
+      jaccard follows (|A∪B| = n_a + n_b − |A∩B|).  Two shuffles, zero
+      array operations.  Cost ∝ Σ|posting list|² — right when shingles are
+      selective (short posting lists), e.g. ≥trigram shingles.
+    - ``method="prefix"``: AllPairs/PPJoin prefix filtering — order grams
+      rarest-first (global document frequency) and index only the first
+      ``n − ⌈t·n⌉ + 1`` grams per document (if J(A,B) ≥ t the pigeonhole
+      forces a shared prefix gram), with the length filter
+      ``t·max(n_a,n_b) ≤ min(n_a,n_b)``; then verify candidates with exact
+      array jaccard.  Right when documents are long and posting lists are
+      hot (the count method's Σ|list|² blows up) but true-pair density is
+      low: the verification cost is per-candidate, so it pays off exactly
+      when prefix filtering prunes hard.  (On a dense small-vocabulary
+      corpus it inverts — measured 400k surviving candidates at sf0.1
+      made array verification 10× slower than counting.)
     """
-    sets = _gram_sets(df, id_col, grams).withColumn("n", F.size("grams"))
-    postings = sets.select("id", "n", F.explode("grams").alias("g"))
-    a = postings.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "g")
-    b = postings.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "g")
-    pairs = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if method not in ("count", "prefix"):
+        raise ValueError(f"unknown method: {method}")
+    # The gram table feeds several consumers; Spark re-evaluates an
+    # unpersisted subtree per consumer, so materialize it once.
+    # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
+    sets = (
+        _gram_sets(df, id_col, grams)
+        .withColumn("n", F.size("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    postings = sets.select("id", "n", F.explode("grams").alias("g"))
+
+    if method == "count":
+        pairs = _pairs_in_buckets(postings, ["g"], F.struct("id", "n"))
+        counted = (
+            pairs.filter(F.greatest("a.n", "b.n") * threshold <= F.least("a.n", "b.n"))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        return (
+            counted.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    from pyspark.sql import Window
+
+    dfreq = postings.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    prefix = (
+        postings.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "n", "g")
+    )
+    cand = (
+        _pairs_in_buckets(prefix, ["g"], F.struct("id", "n"))
+        .filter(F.greatest("a.n", "b.n") * threshold <= F.least("a.n", "b.n"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard(cand, sets, threshold)
+
+
+def minhash_pairs_signatures(
+    sets: DataFrame, num_hashes: int
+) -> DataFrame:
+    """(id, sig array<long>) minhash signatures via explode + groupBy.
+
+    Each gram is hashed **once** (xxhash64, the algorithm family the
+    reference exposes — hashing.hpp:183); the k signature lanes re-hash
+    that 8-byte value with the lane index as seed (xxhash64(i, h) — cheap
+    fixed-width hashing, no k-fold string re-hashing, no k array
+    traversals).  groupBy(id) with k ``min`` aggs gets map-side partial
+    aggregation for free — the shuffle carries k longs per document.
+    """
+    hashed = sets.select("id", F.explode("grams").alias("g")).select(
+        "id", F.xxhash64("g").alias("h")
+    )
+    mins = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "h")).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -91,41 +228,67 @@ def minhash_lsh_pairs(
     exact jaccard (minhash.hpp:72-213 + the standard banding construction).
 
     num_hashes/bands set the S-curve: bands=16 × rows=4 targets τ≈0.5.
-    Signature is fixed-size regardless of document length → the shuffle
-    volume is O(docs × num_hashes), independent of text size.
+    Signature is fixed-size regardless of document length → the band
+    shuffle is O(docs × bands), independent of text size.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sets = _gram_sets(df, id_col, grams)
-    sig = sets.withColumn("sig", T.minhash_signature(F.col("grams"), num_hashes))
+    # Reused by the signature build and both verification sides (see
+    # neardup_pairs_exact on why persist).
+    sets = (
+        _gram_sets(df, id_col, grams)
+        .filter(F.size("grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = minhash_pairs_signatures(sets, num_hashes)
     banded = sig.select(
         "id",
-        "grams",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.array_join(F.transform(
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ), ","))
+                    F.xxhash64(
+                        F.lit(i), *[F.element_at("sig", i * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)]
+                    )
                     for i in range(bands)
                 ]
             )
         ).alias("band_idx", "band_hash"),
     )
-    left = banded.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"), "band_idx", "band_hash")
-    right = banded.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"), "band_idx", "band_hash")
     cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "g_a", "g_b")
+        _pairs_in_buckets(banded, ["band_idx", "band_hash"], F.struct("id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", T.jaccard(F.col("g_a"), F.col("g_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(cand, sets, threshold)
+
+
+def simhash_signatures(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
+    """(id, sh) 64-bit SimHash per document via explode + groupBy: one
+    xxhash64 per token, then 64 conditional-sum aggs (one per bit) and a
+    bitwise reassembly.  Documents with zero tokens get signature 0 (the
+    empty-vote fixpoint), restored via left join."""
+    ids = df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    hashed = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("t")).select(
+        "id", F.xxhash64("t").alias("h")
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bit = lambda b: F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    sh = bit(0)
+    for b in range(1, 63):
+        sh = sh + bit(b) * F.lit(1 << b).cast("long")
+    sh = sh + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("id", sh.alias("sh"))
+    return ids.join(sigs, "id", "left").select(
+        "id", F.coalesce("sh", F.lit(0).cast("long")).alias("sh")
     )
 
 
@@ -143,7 +306,7 @@ def simhash_pairs(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = df.select(F.col(id_col).alias("id"), T.simhash64(tokens).alias("sh"))
+    sig = simhash_signatures(df, id_col, tokens)
     banded = sig.select(
         "id",
         "sh",
@@ -154,14 +317,13 @@ def simhash_pairs(
             ])
         ).alias("band_idx", "band_val"),
     )
-    l = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val")
-    r = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
-        l.join(r, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        _pairs_in_buckets(banded, ["band_idx", "band_val"], F.struct("id", "sh"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -18,15 +18,35 @@ from my_cudf_spark.sources import load_table
 
 # DuckDB twin of text.normalize_text
 SQL_NORM = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
-# DuckDB twin of distinct word-bigram sets over normalized text
-SQL_BIGRAMS = (
-    f"list_distinct(list_transform(range(1, len(string_split({SQL_NORM},' '))), "
-    f"i -> string_split({SQL_NORM},' ')[i] || ' ' || string_split({SQL_NORM},' ')[i+1]))"
+# DuckDB twin of distinct word-trigram sets over normalized text.  Trigrams
+# (not bigrams) for the near-dup index: the fixture vocabulary is ~40 words,
+# so the bigram space is dense enough that nearly every document pair shares
+# a bigram and any inverted-index join degenerates quadratic; trigram
+# posting lists are short (max 7 at sf0.01) and stay short as the corpus
+# grows, which is the property the 100 TB index needs.
+SQL_TRIGRAMS = (
+    f"list_distinct(list_transform(range(1, len(string_split({SQL_NORM},' ')) - 1), "
+    f"i -> string_split({SQL_NORM},' ')[i] || ' ' || string_split({SQL_NORM},' ')[i+1]"
+    f" || ' ' || string_split({SQL_NORM},' ')[i+2]))"
 )
 
 
 def _norm_tokens():
     return F.split(T.normalize_text("text"), " ")
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    """Materialize normalized tokens as their own projection.
+
+    Required for performance, not correctness: an expression passed inline
+    into a higher-order-function lambda is re-evaluated **per array
+    element** (Catalyst does not hoist loop invariants out of lambdas), so
+    `transform(..., i -> f(split(regexp(text)), i))` pays the regex+split n
+    times per row.  A separate projection makes downstream lambdas read the
+    stored array (CollapseProject keeps multi-use non-cheap aliases
+    un-inlined).  Measured ~15× on gram generation at sf0.1.
+    """
+    return docs.withColumn("toks", _norm_tokens())
 
 
 @register(
@@ -91,13 +111,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length/alpha/word-length heuristics) + stopword-ratio
     language signal (north star text analysis)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _norm_tokens()
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.quality_score("text").alias("quality"),
-        F.round(T.stopword_ratio(toks, "en"), 6).alias("sw_en"),
-        F.round(T.stopword_ratio(toks, "de"), 6).alias("sw_de"),
+        F.round(T.stopword_ratio(F.col("toks"), "en"), 6).alias("sw_en"),
+        F.round(T.stopword_ratio(F.col("toks"), "de"), 6).alias("sw_de"),
     ).orderBy("doc_id")
 
 
@@ -115,8 +134,8 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """generate_ngrams (generate_ngrams.hpp:59): word bigrams, exploded with
     position (explode_position, lists/explode.hpp:108)."""
-    docs = load_table(spark, sf_dir, "documents")
-    bigrams = T.word_ngrams(_norm_tokens(), 2)
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    bigrams = T.word_ngrams(F.col("toks"), 2)
     return (
         docs.select("doc_id", F.posexplode(bigrams).alias("pos", "bigram"))
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "bigram")
@@ -148,7 +167,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_neardup_pairs",
     sql=f"""
-    WITH s AS (SELECT doc_id, {SQL_BIGRAMS} AS g FROM documents),
+    WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
          e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM s),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
                FROM e a JOIN e b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2,3,4)
@@ -159,12 +178,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs (jaccard_index, nvtext/jaccard.hpp:73) on word-
-    bigram sets via inverted-index join — the oracle-checkable dedup path;
-    LSH below approximates exactly this."""
-    docs = load_table(spark, sf_dir, "documents")
-    bigrams = T.word_ngrams(_norm_tokens(), 2)
+    trigram sets via prefix-filtered inverted-index join — the
+    oracle-checkable dedup path; LSH below approximates exactly this."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    trigrams = T.word_ngrams(F.col("toks"), 3)
     return (
-        D.neardup_pairs_exact(docs, "doc_id", bigrams, threshold=0.5)
+        D.neardup_pairs_exact(docs, "doc_id", trigrams, threshold=0.5)
         .orderBy("id_a", "id_b")
     )
 
@@ -175,10 +194,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path: fixed-size signatures, bucket join, exact-jaccard
     verification of candidates. Rows-only for the driver; recall vs the
     exact path asserted in tests/test_dedup.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    bigrams = T.word_ngrams(_norm_tokens(), 2)
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    trigrams = T.word_ngrams(F.col("toks"), 3)
     return (
-        D.minhash_lsh_pairs(docs, "doc_id", bigrams, threshold=0.5, num_hashes=64, bands=16)
+        D.minhash_lsh_pairs(docs, "doc_id", trigrams, threshold=0.5, num_hashes=64, bands=16)
         .orderBy("id_a", "id_b")
     )
 
@@ -187,8 +206,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 near-dup pairs (north star) — banded candidate
     join + popcount filter."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     return (
-        D.simhash_pairs(docs, "doc_id", _norm_tokens(), max_hamming=3)
+        D.simhash_pairs(docs, "doc_id", F.col("toks"), max_hamming=3)
         .orderBy("id_a", "id_b")
     )

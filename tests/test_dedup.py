@@ -15,19 +15,19 @@ from my_cudf_spark.sources import load_table
 from tests.conftest import SF_DIR
 
 
-def _bigrams():
-    return T.word_ngrams(F.split(T.normalize_text("text"), " "), 2)
+def _trigrams():
+    return T.word_ngrams(F.split(T.normalize_text("text"), " "), 3)
 
 
 def test_minhash_lsh_matches_exact(spark):
     docs = load_table(spark, SF_DIR, "documents")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in D.neardup_pairs_exact(docs, "doc_id", _bigrams(), 0.5).collect()
+        for r in D.neardup_pairs_exact(docs, "doc_id", _trigrams(), 0.5).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in D.minhash_lsh_pairs(docs, "doc_id", _bigrams(), 0.5, num_hashes=64, bands=16).collect()
+        for r in D.minhash_lsh_pairs(docs, "doc_id", _trigrams(), 0.5, num_hashes=64, bands=16).collect()
     }
     # verified candidates → every LSH pair is a true pair
     assert lsh <= exact
