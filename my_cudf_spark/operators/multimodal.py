@@ -1,0 +1,219 @@
+"""Multimodal (image/audio/video) column plumbing (north star; no
+reference equivalent — cudf stops at strings/lists/structs).
+
+Design: media is an opaque ``binary`` payload column plus a typed metadata
+struct (``media_meta_schema``); decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` stages so each Python
+worker sees a columnar batch of payloads (one numpy decode per batch, no
+per-row IPC).  The image/audio codecs are not installed in this
+environment, so the codec boundary is a pluggable ``decoder`` callable:
+``pil_decoder``/``ffmpeg_decoder`` raise NotImplementedError with install
+hints, while ``raw_gray_decoder`` (bytes → 1×N gray8 ndarray,
+deterministic) exercises the full pipeline — schema, partitioning, UDF
+signature, batch shape — and is SQL-replicable, so the feature stage is
+oracle-checked end-to-end.
+
+Scale notes: payloads never pass through Python row-at-a-time — Arrow
+moves each partition's binary column in bulk; feature rows shrink the data
+(bytes → a handful of doubles), so the expensive decode sits before the
+first shuffle and partition sizing (``spark.sql.files.maxPartitionBytes``)
+is the only knob that matters.  Metadata-only predicates (width/fmt/
+duration) are plain columns → Catalyst prunes/pushes them without touching
+payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "media_meta_schema",
+    "attach_payload",
+    "raw_gray_decoder",
+    "pil_decoder",
+    "image_features",
+    "resize_gray",
+    "frame_sample",
+]
+
+
+def media_meta_schema() -> StructType:
+    """Typed metadata carried next to the opaque payload."""
+    return StructType(
+        [
+            StructField("fmt", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("frames", IntegerType()),
+        ]
+    )
+
+
+def attach_payload(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat a text column's UTF-8 bytes as a 1×N gray8
+    image payload with populated metadata.  Real pipelines read payloads
+    with ``spark.read.format("binaryFile")`` or from parquet binary
+    columns; everything downstream is identical."""
+    return df.withColumn("payload", F.encode(F.col(content_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("gray8").alias("fmt"),
+            F.octet_length("payload").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(1).alias("frames"),
+        ),
+    )
+
+
+def raw_gray_decoder(payload: bytes, meta: Any) -> "Any":
+    """Deterministic stand-in codec: payload bytes ARE the 1×N gray8
+    pixels.  Keeps the full mapInPandas pipeline testable (and
+    SQL-replicable: pixel values = byte values) without image libraries."""
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.uint8).reshape(1, -1)
+
+
+def pil_decoder(payload: bytes, meta: Any) -> "Any":
+    """Real-image codec seam — requires Pillow, which is not installed in
+    this environment; the decode stage is STUBBED here by design."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "pil_decoder needs Pillow (`pip install pillow`); use "
+            "raw_gray_decoder for the deterministic test codec"
+        ) from e
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(_io.BytesIO(payload)))
+
+
+def _feature_schema(id_col: str) -> str:
+    return (
+        f"{id_col} long, n_bytes long, mean_px double, min_px int, max_px int"
+    )
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str,
+    decoder: Callable[[bytes, Any], Any] = raw_gray_decoder,
+) -> DataFrame:
+    """Decode + per-image features via one Arrow-batched pass
+    (mapInPandas): (n_bytes, mean/min/max pixel).  The decoder sees raw
+    bytes; everything else is numpy on the decoded array."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["media_meta"]
+            ):
+                img = decoder(payload, meta)
+                arr = np.asarray(img, dtype=np.float64)
+                rows.append(
+                    (
+                        rid,
+                        len(payload),
+                        float(arr.mean()) if arr.size else 0.0,
+                        int(arr.min()) if arr.size else 0,
+                        int(arr.max()) if arr.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_bytes", "mean_px", "min_px", "max_px"]
+            )
+
+    return df.select(id_col, "payload", "media_meta").mapInPandas(
+        run, schema=_feature_schema(id_col)
+    )
+
+
+def resize_gray(
+    df: DataFrame,
+    id_col: str,
+    out_width: int,
+    decoder: Callable[[bytes, Any], Any] = raw_gray_decoder,
+) -> DataFrame:
+    """Nearest-neighbor resize of 1×N gray images to 1×out_width, returned
+    as a re-encoded payload (bytes) + updated metadata — the shape of any
+    decode → transform → re-encode media stage."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["media_meta"]
+            ):
+                arr = np.asarray(decoder(payload, meta)).ravel()
+                if arr.size:
+                    idx = (np.arange(out_width) * arr.size // out_width).clip(
+                        0, arr.size - 1
+                    )
+                    out = arr[idx].astype(np.uint8).tobytes()
+                else:
+                    out = b""
+                rows.append((rid, out, out_width))
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "width"])
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+        ]
+    )
+    return df.select(id_col, "payload", "media_meta").mapInPandas(run, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    every_k: int,
+    decoder: Callable[[bytes, Any], Any] = raw_gray_decoder,
+) -> DataFrame:
+    """Sample every k-th frame (here: byte) of a "video" payload and emit
+    one row per sampled frame with its index and value — the explode-shaped
+    stage of a frame-extraction pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fidx, fval = [], [], []
+            for rid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["media_meta"]
+            ):
+                arr = np.asarray(decoder(payload, meta)).ravel()
+                sel = np.arange(0, arr.size, every_k)
+                ids.extend([rid] * len(sel))
+                fidx.extend(sel.tolist())
+                fval.extend(arr[sel].astype(int).tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "frame_val": fval}
+            )
+
+    return df.select(id_col, "payload", "media_meta").mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, frame_val int"
+    )

@@ -39,6 +39,9 @@ _QUERY_MODULES = (
     "my_cudf_spark.queries.reshape_queries",
     "my_cudf_spark.queries.text_queries",
     "my_cudf_spark.queries.vector_queries",
+    "my_cudf_spark.queries.multimodal_queries",
+    "my_cudf_spark.queries.io_queries",
+    "my_cudf_spark.queries.udf_queries",
     "my_cudf_spark.queries.event_queries",
     "my_cudf_spark.queries.streaming_queries",
 )
