@@ -1,0 +1,61 @@
+"""IO round-trip queries (SURVEY.md §2.2): write a fixture table through a
+format and read it back with its explicit schema; the DuckDB oracle reads
+the ORIGINAL parquet, so a hash match certifies end-to-end writer+reader
+fidelity (values, nulls, dates/timestamps) for that format.
+
+Staging dirs are deterministic per (format, sf) under /tmp and rewritten
+with mode=overwrite, so repeated runs (bench repeats, driver warmup) don't
+accumulate files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import io as IO
+from my_cudf_spark.sources import load_table
+
+_STAGE = os.path.join(tempfile.gettempdir(), "my_cudf_spark_io")
+
+
+def _stage(fmt: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(_STAGE, f"{fmt}_{tag}")
+
+
+@register("io_csv_roundtrip", sql="SELECT * FROM orders ORDER BY o_orderkey")
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write→read (csv.hpp): dates, doubles (Java shortest-repr float
+    formatting is round-trip exact) and strings survive the text format."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage("csv", sf_dir)
+    IO.write_csv(orders, path)
+    return IO.read_csv(spark, path, schema=orders.schema).orderBy("o_orderkey")
+
+
+@register("io_json_roundtrip", sql="SELECT * FROM events ORDER BY event_id")
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON write→read (json.hpp): µs timestamps and the embedded-JSON
+    ``props`` string (quote escaping) survive; schema applied explicitly on
+    read, matching the reference's explicit-dtype JSON reader."""
+    events = load_table(spark, sf_dir, "events")
+    path = _stage("json", sf_dir)
+    # default NTZ format truncates to ms — pin µs on both sides
+    us = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    IO.write_json(events, path, timestampNTZFormat=us)
+    return IO.read_json(
+        spark, path, schema=events.schema, timestampNTZFormat=us
+    ).orderBy("event_id")
+
+
+@register("io_orc_roundtrip", sql="SELECT * FROM part ORDER BY p_partkey")
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read (orc.hpp) with native vectorized reader."""
+    part = load_table(spark, sf_dir, "part")
+    path = _stage("orc", sf_dir)
+    IO.write_orc(part, path)
+    return IO.read_orc(spark, path).orderBy("p_partkey")
