@@ -1,0 +1,23 @@
+"""Plan inspection & scale guardrails (SURVEY.md §4: all reference
+rewrites are Catalyst builtins — this package verifies Catalyst actually
+applied them per query)."""
+
+from my_cudf_spark.plans.inspect import (
+    count_broadcasts,
+    count_shuffles,
+    has_cartesian,
+    physical_plan,
+    plan_report,
+    pushed_filters,
+    read_schemas,
+)
+
+__all__ = [
+    "count_broadcasts",
+    "count_shuffles",
+    "has_cartesian",
+    "physical_plan",
+    "plan_report",
+    "pushed_filters",
+    "read_schemas",
+]

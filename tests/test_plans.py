@@ -1,0 +1,60 @@
+"""Scale guardrails: assert the planner chose 100 TB-viable physical plans
+for the headline queries — filters pushed to the scan, schemas pruned,
+dimension joins broadcast, shuffle counts bounded, no cartesian products.
+
+These are the properties that decide cluster behavior; a regression here
+(e.g. a dimension join silently falling back to sort-merge and shuffling
+the fact table) would not change correctness results at test scale but
+would dominate cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from my_cudf_spark import plans as P
+from my_cudf_spark.queries import load_registry
+from tests.conftest import SF_DIR
+
+REGISTRY = load_registry()
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    rep = P.plan_report(_df(spark, "ndsh_q1"))
+    # shipdate predicate reaches the parquet scan
+    assert any("l_shipdate" in f for f in rep["pushed_filters"]), rep
+    # 7-column projection (of lineitem's 16) is what the scan reads
+    assert all(len(s.split(",")) <= 8 for s in rep["read_schemas"]), rep
+    # partial+final agg = one hash shuffle, plus one range shuffle for sort
+    assert rep["shuffles"] <= 2, rep
+    assert not rep["cartesian"]
+
+
+@pytest.mark.parametrize("name,min_broadcasts", [("ndsh_q5", 4), ("ndsh_q9", 2), ("ndsh_q10", 2)])
+def test_star_joins_broadcast_dims(spark, name, min_broadcasts):
+    rep = P.plan_report(_df(spark, name))
+    # every dimension join broadcasts; the lineitem fact table is never
+    # shuffled for a join (agg + sort shuffles remain)
+    assert rep["broadcast_joins"] >= min_broadcasts, rep
+    assert not rep["cartesian"]
+    assert rep["shuffles"] <= 3, rep
+
+
+def test_q6_scan_only_plan(spark):
+    rep = P.plan_report(_df(spark, "ndsh_q6"))
+    # pure filter+agg: every predicate pushed, zero joins, single agg shuffle
+    assert rep["pushed_filters"] and any("l_discount" in f for f in rep["pushed_filters"])
+    assert rep["broadcast_joins"] == 0
+    assert rep["shuffles"] <= 1, rep
+
+
+def test_theta_join_is_bnlj_not_cartesian(spark):
+    rep = P.plan_report(_df(spark, "join_theta"))
+    # conditional join (join.hpp:579) must plan as broadcast nested loop,
+    # never CartesianProduct
+    assert not rep["cartesian"], rep
+    assert rep["broadcast_joins"] >= 1, rep
