@@ -1,0 +1,221 @@
+"""Remaining aggregation kinds + struct/map functions (SURVEY.md §2.4
+Kind enum tail, §2.8 structs/maps/labeling) — closes the coverage gaps the
+earlier family queries didn't touch: ANY/ALL, ARGMAX/ARGMIN, NUNIQUE,
+NTH_ELEMENT, COLLECT_LIST/COLLECT_SET, HISTOGRAM (via binned counts +
+label_bins/cut), COVARIANCE, SPEARMAN correlation, struct field access,
+map construction/extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions.stable import DEC, PRICE, sql_dec2dbl
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+
+@register(
+    "agg_bool_argminmax",
+    sql="""
+    SELECT o_orderpriority,
+           bool_or(o_totalprice > 200000) AS any_big,
+           bool_and(o_totalprice > 0) AS all_pos,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           arg_max(o_totalprice, o_orderkey) AS price_at_last,
+           arg_min(o_totalprice, o_orderkey) AS price_at_first
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_bool_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY/ALL/NUNIQUE/ARGMAX/ARGMIN aggregation kinds
+    (aggregation.hpp:87-123).  arg extremes keyed on the unique o_orderkey
+    so ties cannot make the result engine-dependent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_or(F.col("o_totalprice") > 200000).alias("any_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+            F.max_by("o_totalprice", "o_orderkey").alias("price_at_last"),
+            F.min_by("o_totalprice", "o_orderkey").alias("price_at_first"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_collect_nth",
+    sql="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS names,
+           list_sort(list(n_name))[2] AS second_name,
+           COUNT(DISTINCT n_name) AS n_distinct
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_collect_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT_LIST/COLLECT_SET/NTH_ELEMENT kinds (aggregation.hpp:87-123;
+    nth via element_at over the sorted collected list)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("names"),
+            F.element_at(F.sort_array(F.collect_list("n_name")), 2).alias("second_name"),
+            F.count_distinct("n_name").alias("n_distinct"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_histogram_bins",
+    sql="""
+    SELECT CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 0
+                WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 1
+                END AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1 ORDER BY bin
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM kind + label_bins / cut (labeling/label_bins.hpp:71,
+    cudf cut.py): bin labels via compat.label_bins (values outside the
+    edge range label NULL, matching the reference), then binned counts —
+    the relational histogram (one shuffle, partial counts map-side)."""
+    from my_cudf_spark.functions.compat import label_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bin", label_bins("o_totalprice", [100000.0, 200000.0, 300000.0])
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "agg_covar_spearman",
+    sql=f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS re
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {sql_dec2dbl(f'SUM(CAST(rq AS {DEC}))')} AS sq,
+             {sql_dec2dbl(f'SUM(CAST(re AS {DEC}))')} AS se,
+             {sql_dec2dbl(f'SUM(CAST(rq AS {DEC}) * CAST(re AS {DEC}))')} AS sqe,
+             {sql_dec2dbl(f'SUM(CAST(rq AS {DEC}) * CAST(rq AS {DEC}))')} AS sqq,
+             {sql_dec2dbl(f'SUM(CAST(re AS {DEC}) * CAST(re AS {DEC}))')} AS see
+      FROM r GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           (sqe - sq*se/n) / (n-1) AS covar_rank,
+           (sqe - sq*se/n) / (sqrt(sqq - sq*sq/n) * sqrt(see - se*se/n)) AS spearman
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_covar_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIANCE + SPEARMAN correlation kinds (aggregation.hpp:255):
+    average-method ranks (sorting.hpp:203 AVERAGE) per group, then the
+    Pearson formula on ranks from exact decimal co-moments — identical
+    double operands on both engines, so no rounding is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rq_rank = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    re_rank = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tie_q = Window.partitionBy("l_returnflag", "l_quantity")
+    tie_e = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (F.rank().over(rq_rank) + (F.count(F.lit(1)).over(tie_q) - 1) / 2.0).alias("rq"),
+        (F.rank().over(re_rank) + (F.count(F.lit(1)).over(tie_e) - 1) / 2.0).alias("re"),
+    )
+    rq, re = F.col("rq").cast(DEC), F.col("re").cast(DEC)
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rq).cast("double").alias("sq"),
+        F.sum(re).cast("double").alias("se"),
+        F.sum(rq * re).cast("double").alias("sqe"),
+        F.sum(rq * rq).cast("double").alias("sqq"),
+        F.sum(re * re).cast("double").alias("see"),
+    )
+    n, sq, se = F.col("n"), F.col("sq"), F.col("se")
+    sqe, sqq, see = F.col("sqe"), F.col("sqq"), F.col("see")
+    return s.select(
+        "l_returnflag",
+        ((sqe - sq * se / n) / (n - 1)).alias("covar_rank"),
+        (
+            (sqe - sq * se / n)
+            / (F.sqrt(sqq - sq * sq / n) * F.sqrt(see - se * se / n))
+        ).alias("spearman"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "fn_struct_map",
+    sql="""
+    SELECT c_custkey,
+           struct_pack(seg := c_mktsegment, bal := c_acctbal).seg AS seg_field,
+           struct_pack(seg := c_mktsegment, bal := c_acctbal).bal AS bal_field,
+           map {'balance': c_acctbal, 'double_bal': c_acctbal * 2}['double_bal'][1] AS from_map,
+           array_to_string(map_keys(map {'balance': c_acctbal, 'double_bal': c_acctbal * 2}), ',') AS mkeys
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (cudf structs §2 structs;
+    col.getField) and MAP construction/extraction — cudf has no map type
+    (encodes list<struct<k,v>>; SURVEY.md §1.2), Spark's MapType is the
+    native superset."""
+    customer = load_table(spark, sf_dir, "customer")
+    st = F.struct(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal"))
+    mp = F.create_map(
+        F.lit("balance"), F.col("c_acctbal"),
+        F.lit("double_bal"), F.col("c_acctbal") * 2,
+    )
+    return customer.select(
+        "c_custkey",
+        st.getField("seg").alias("seg_field"),
+        st.getField("bal").alias("bal_field"),
+        F.element_at(mp, "double_bal").alias("from_map"),
+        F.concat_ws(",", F.map_keys(mp)).alias("mkeys"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_search_isin",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           c_mktsegment IN ('BUILDING', 'MACHINERY') AS in_segs,
+           CAST(list_position([100.0, 1000.0, 5000.0, 10000.0], 5000.0) AS BIGINT) AS pos_of,
+           len(list_filter([100.0, 1000.0, 5000.0, 10000.0], x -> x <= c_acctbal)) AS lower_bound
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_search_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search ops (search.hpp:70/112/138): ``contains`` → isin,
+    ``lower_bound`` (searchsorted) → count of sorted-array elements ≤ the
+    probe, ``index_of`` → array_position — all JVM-side expressions."""
+    customer = load_table(spark, sf_dir, "customer")
+    edges = F.array(*[F.lit(v) for v in (100.0, 1000.0, 5000.0, 10000.0)])
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY").alias("in_segs"),
+        F.array_position(edges, 5000.0).alias("pos_of"),
+        F.size(F.filter(edges, lambda x: x <= F.col("c_acctbal"))).cast("long").alias("lower_bound"),
+    ).orderBy("c_custkey")
