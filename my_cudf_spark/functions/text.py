@@ -186,3 +186,12 @@ def bpe_token_count(col: Column | str) -> Column:
     c = _c(col)
     pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), 0)
     return F.size(pieces)
+
+
+def porter_stemmer_measure(word: Column | str) -> Column:
+    """porter_stemmer_measure (nvtext/stemmer.hpp:80): the m in the
+    [C](VC)^m[V] decomposition of a lowercase word = number of
+    vowel-group→consonant-group transitions ('y' after a consonant acts as
+    a vowel; approximated here as always-vowel, the common simplification)."""
+    w = F.lower(_c(word))
+    return F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+[^aeiouy]+"), 0))

@@ -308,3 +308,31 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.copy_if_else(F.col("o_orderpriority") == "1-URGENT", p, F.lit(0.0)).alias("urgent_price"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("int").alias("is_final"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_convert",
+    sql="""
+    SELECT c_custkey,
+           upper(to_hex(c_custkey)) AS key_hex,
+           CAST(c_custkey // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST(c_custkey // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(c_custkey // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(c_custkey % 256 AS VARCHAR) AS as_ipv4,
+           CAST(c_custkey * 16777216 % 4294967296 + 1 AS BIGINT) AS ipv4_back
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/number converters (strings/convert/*.hpp): hex (conv base
+    10→16 / convert_hex), integer↔dotted-quad ipv4 (convert_ipv4.hpp) —
+    both pure arithmetic/bit expressions, no UDF."""
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    octet = lambda shift: F.shiftrightunsigned(k, shift).bitwiseAND(F.lit(255)).cast("string")
+    return customer.select(
+        "c_custkey",
+        F.conv(k.cast("string"), 10, 16).alias("key_hex"),
+        F.concat_ws(".", octet(24), octet(16), octet(8), octet(0)).alias("as_ipv4"),
+        ((k * 16777216) % 4294967296 + 1).cast("long").alias("ipv4_back"),
+    ).orderBy("c_custkey")

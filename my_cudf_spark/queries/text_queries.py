@@ -211,3 +211,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.simhash_pairs(docs, "doc_id", F.col("toks"), max_hamming=3)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_stemmer",
+    sql="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ')[1]), '[aeiouy]+[^aeiouy]+')) AS m_first
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_stemmer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """porter_stemmer_measure (stemmer.hpp:80) on each document's first
+    normalized token."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        T.porter_stemmer_measure(F.element_at("toks", 1)).cast("long").alias("m_first"),
+    ).orderBy("doc_id")
