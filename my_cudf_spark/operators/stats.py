@@ -1,0 +1,105 @@
+"""Statistical aggregations without Spark builtins (SURVEY.md §2.4:
+KENDALL correlation, aggregation.hpp:255; §7.3 lists it as thin custom).
+
+Kendall's tau-b needs concordant/discordant pair counts — O(n²) naively.
+Knight's algorithm gets it in O(n log n): sort by (x, y), count the
+inversions of y with a merge sort, and correct for ties.  The merge-sort
+inversion count here is bottom-up and vectorized (per merge of runs A,B:
+``inversions += Σ_b |{a ∈ A : a > b}|`` via one searchsorted per run pair),
+so the per-group cost is numpy-speed, not Python-loop speed.
+
+Distribution: one shuffle on the group keys (applyInPandas), each group
+computed independently in a worker — the same contract as any grouped
+custom aggregation; groups must fit a worker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["kendall_tau_b", "grouped_kendall"]
+
+
+def _count_inversions(y: np.ndarray) -> int:
+    """Pairs (i<j) with y[i] > y[j], by bottom-up merge sort (vectorized
+    per run pair)."""
+    y = np.asarray(y, dtype=np.float64).copy()
+    n = len(y)
+    inv = 0
+    width = 1
+    while width < n:
+        for lo in range(0, n, 2 * width):
+            mid = min(lo + width, n)
+            hi = min(lo + 2 * width, n)
+            if mid >= hi:
+                continue
+            a, b = y[lo:mid], y[mid:hi]
+            # a is sorted asc; for each b_k count strictly-greater a's
+            inv += int((len(a) - np.searchsorted(a, b, side="right")).sum())
+            y[lo:hi] = np.sort(np.concatenate((a, b)), kind="mergesort")
+        width *= 2
+    return inv
+
+
+def _tie_term(v: np.ndarray) -> int:
+    """Σ t(t-1)/2 over runs of equal values in a SORTED array."""
+    _, counts = np.unique(v, return_counts=True)
+    return int((counts * (counts - 1) // 2).sum())
+
+
+def kendall_tau_b(x: np.ndarray, y: np.ndarray) -> float | None:
+    """Exact Kendall tau-b of two equal-length vectors (ties handled);
+    None when a denominator degenerates (all-tied axis or n<2)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        return None
+    perm = np.lexsort((y, x))
+    xs, ys = x[perm], y[perm]
+    tot = n * (n - 1) // 2
+    xtie = _tie_term(xs)
+    ytie = _tie_term(np.sort(y))
+    # joint ties: runs of equal (x, y) in the lexicographic order
+    same = (np.diff(xs) == 0) & (np.diff(ys) == 0)
+    # run lengths of consecutive equal pairs
+    xytie = 0
+    run = 1
+    for s in same:
+        if s:
+            run += 1
+        else:
+            xytie += run * (run - 1) // 2
+            run = 1
+    xytie += run * (run - 1) // 2
+    dis = _count_inversions(ys)
+    con_minus_dis = tot - xtie - ytie + xytie - 2 * dis
+    if tot == xtie or tot == ytie:
+        return None
+    # keep the float expression shape identical to the SQL oracle:
+    # (C−D) / sqrt(n0−n1) / sqrt(n0−n2)
+    return float(con_minus_dis / np.sqrt(tot - xtie) / np.sqrt(tot - ytie))
+
+
+def grouped_kendall(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "kendall_tau",
+) -> DataFrame:
+    """Per-group Kendall tau-b via applyInPandas (one shuffle on keys)."""
+    keys = list(keys)
+    key_fields = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        tau = kendall_tau_b(pdf[x_col].to_numpy(), pdf[y_col].to_numpy())
+        return pd.DataFrame([{**{k: pdf[k].iloc[0] for k in keys}, out_col: tau}])
+
+    return df.groupBy(*keys).applyInPandas(
+        per_group, schema=f"{key_fields}, {out_col} double"
+    )

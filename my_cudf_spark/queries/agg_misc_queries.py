@@ -219,3 +219,33 @@ def fn_search_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(edges, 5000.0).alias("pos_of"),
         F.size(F.filter(edges, lambda x: x <= F.col("c_acctbal"))).cast("long").alias("lower_bound"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "agg_decimal128",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS sum_dec,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS min_dec,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS max_dec
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL128 aggregation (SURVEY.md §1.2/§7.4.8: cudf DECIMAL128 ↔
+    DecimalType(38)): exact wide-decimal sum/min/max, emitted as canonical
+    strings so precision-growth rules (Spark caps sum at p=38) can't hide a
+    value drift behind a double cast.  (AVG is excluded: DuckDB's decimal
+    AVG returns DOUBLE, so its last digit is not comparable to Spark's
+    decimal average — a real cross-engine semantic, not a bug.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(38,10)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.sum(d).cast("decimal(38,10)").cast("string").alias("sum_dec"),
+            F.min(d).cast("string").alias("min_dec"),
+            F.max(d).cast("string").alias("max_dec"),
+        )
+        .orderBy("o_orderstatus")
+    )

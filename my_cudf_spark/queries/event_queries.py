@@ -162,3 +162,46 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "agg_kendall",
+    sql="""
+    WITH e AS (SELECT user_id, value AS x,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS y, event_id
+               FROM events WHERE value IS NOT NULL),
+         p AS (SELECT a.user_id,
+                      SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                 OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS c,
+                      SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                                 OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS d,
+                      SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS xt,
+                      SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS yt,
+                      COUNT(*) AS n0
+               FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+               GROUP BY a.user_id)
+    SELECT user_id,
+           CAST(c - d AS DOUBLE) / sqrt(CAST(n0 - xt AS DOUBLE))
+                                 / sqrt(CAST(n0 - yt AS DOUBLE)) AS kendall_tau
+    FROM p ORDER BY user_id
+    """,
+)
+def agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL correlation kind (aggregation.hpp:255; SURVEY.md §7.3
+    custom): per-user tau-b of (value, event time) via Knight's O(n log n)
+    algorithm in applyInPandas — the oracle is the O(n²) pair-join
+    definition, viable only at test scale.  Integer pair counts feed an
+    identically-shaped float expression on both sides, so the match is
+    exact without rounding."""
+    from my_cudf_spark.operators.stats import grouped_kendall
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("value").alias("x"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("y"),
+        )
+    )
+    return grouped_kendall(ev, ["user_id"], "x", "y").orderBy("user_id")

@@ -58,3 +58,21 @@ def test_theta_join_is_bnlj_not_cartesian(spark):
     # never CartesianProduct
     assert not rep["cartesian"], rep
     assert rep["broadcast_joins"] >= 1, rep
+
+
+def test_dedup_lsh_plan_bounded(spark):
+    rep = P.plan_report(_df(spark, "dedup_minhash_lsh"))
+    # signature build + banding + verify: hash/agg shuffles only, no
+    # cartesian, and the candidate-verify joins stay hash/broadcast
+    assert not rep["cartesian"], rep
+    assert rep["shuffles"] <= 12, rep
+
+
+def test_vector_lsh_plan_bounded(spark):
+    rep = P.plan_report(_df(spark, "vec_topk_lsh"))
+    assert not rep["cartesian"], rep
+
+
+def test_asof_join_no_cartesian(spark):
+    rep = P.plan_report(_df(spark, "join_asof"))
+    assert not rep["cartesian"], rep

@@ -1,0 +1,52 @@
+"""Kendall tau-b: Knight's O(n log n) implementation vs brute-force pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from my_cudf_spark.operators.stats import kendall_tau_b
+
+
+def _brute_tau_b(x, y):
+    n = len(x)
+    c = d = xt = yt = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = np.sign(x[j] - x[i])
+            sy = np.sign(y[j] - y[i])
+            if sx == 0:
+                xt += 1
+            if sy == 0:
+                yt += 1
+            if sx != 0 and sy != 0:
+                if sx == sy:
+                    c += 1
+                else:
+                    d += 1
+    tot = n * (n - 1) // 2
+    if tot == xt or tot == yt:
+        return None
+    return (c - d) / np.sqrt(tot - xt) / np.sqrt(tot - yt)
+
+
+def test_kendall_matches_brute_force():
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(2, 60)
+        # heavy ties: draw from a small integer alphabet
+        x = rng.randint(0, 6, size=n).astype(float)
+        y = rng.randint(0, 6, size=n).astype(float)
+        got = kendall_tau_b(x, y)
+        want = _brute_tau_b(x, y)
+        if want is None:
+            assert got is None
+        else:
+            assert got is not None and abs(got - want) < 1e-12, (trial, got, want)
+
+
+def test_kendall_perfect_orders():
+    x = np.arange(50, dtype=float)
+    assert abs(kendall_tau_b(x, x) - 1.0) < 1e-15
+    assert abs(kendall_tau_b(x, -x) + 1.0) < 1e-15
+    assert kendall_tau_b(np.ones(10), np.arange(10.0)) is None
+    assert kendall_tau_b(np.array([1.0]), np.array([2.0])) is None
