@@ -195,3 +195,16 @@ def porter_stemmer_measure(word: Column | str) -> Column:
     a vowel; approximated here as always-vowel, the common simplification)."""
     w = F.lower(_c(word))
     return F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+[^aeiouy]+"), 0))
+
+
+def tokens_to_vocab_ids(tokens: Column, vocab: list[str], oov_id: int = -1) -> Column:
+    """tokenize_with_vocabulary (nvtext/tokenize.hpp:273/303): map each
+    token to its id in a fixed vocabulary, OOV → ``oov_id``.  For small
+    vocabularies this inlines as a literal map lookup (JVM-side); for large
+    vocabularies prefer an explode + broadcast-join against a vocab table.
+    """
+    pairs: list[Column] = []
+    for i, w in enumerate(vocab):
+        pairs.extend([F.lit(w), F.lit(i)])
+    vmap = F.create_map(*pairs)
+    return F.transform(tokens, lambda t: F.coalesce(vmap[t], F.lit(oov_id)))

@@ -229,3 +229,31 @@ def text_stemmer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.porter_stemmer_measure(F.element_at("toks", 1)).cast("long").alias("m_first"),
     ).orderBy("doc_id")
+
+
+VOCAB = ["table", "query", "spark", "fast", "value"]
+
+
+@register(
+    "text_vocab_tokenize",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(toks, x -> CAST(COALESCE(list_position({VOCAB!r}, x) - 1, -1) AS VARCHAR)),
+             ',') AS ids,
+           len(list_filter(toks, x -> list_contains({VOCAB!r}, x))) AS n_known
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize_with_vocabulary (tokenize.hpp:273): token → vocab id with
+    OOV = -1, plus the count of in-vocabulary tokens."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    ids = T.tokens_to_vocab_ids(F.col("toks"), VOCAB)
+    known = F.size(F.filter(ids, lambda i: i >= 0))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids"),
+        known.cast("long").alias("n_known"),
+    ).orderBy("doc_id")
