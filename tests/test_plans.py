@@ -76,3 +76,18 @@ def test_vector_lsh_plan_bounded(spark):
 def test_asof_join_no_cartesian(spark):
     rep = P.plan_report(_df(spark, "join_asof"))
     assert not rep["cartesian"], rep
+
+
+def test_cache_subplan_reuse(spark):
+    """Cache IR node (cudf_polars ir.py:711): df.cache() makes every later
+    consumer scan the in-memory columnar copy (InMemoryTableScan)."""
+    from my_cudf_spark.sources import load_table
+
+    base = load_table(spark, SF_DIR, "orders").groupBy("o_orderstatus").count()
+    base.cache()
+    try:
+        base.count()  # materialize
+        plan = P.physical_plan(base.filter("count > 0"))
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    finally:
+        base.unpersist()
