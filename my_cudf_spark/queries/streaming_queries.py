@@ -33,10 +33,19 @@ _run_id = count()
 
 def _drain(stream_df: DataFrame, tag: str, work_dir: str, output_mode: str | None = None) -> DataFrame:
     """Run the bounded stream to completion, drop the staging dir, and
-    pin the result rows (the memory sink lives in driver memory)."""
+    pin the result rows (the memory sink lives in driver memory).
+
+    Stateful operators pay per-partition state-store overhead EVERY
+    micro-batch (open/commit of 1 store × shuffle partitions × batches), so
+    the replay runs at 8 shuffle partitions instead of the session's 32 —
+    on a real cluster this is sized to state volume, not core count."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         return S.run_to_memory(stream_df, f"{tag}_{next(_run_id)}", output_mode)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(work_dir, ignore_errors=True)
 
 

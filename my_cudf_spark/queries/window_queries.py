@@ -270,17 +270,22 @@ def resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEDIAN/QUANTILE aggregation kinds (aggregation.hpp:87-123,
-    quantiles.hpp:130 linear interpolation) → exact percentile()."""
+    quantiles.hpp:130 linear interpolation) → exact percentile().
+
+    One ``percentile(col, array(...))`` agg, not three separate ones: each
+    separate exact-percentile agg serializes its OWN copy of every group's
+    values through the partial→final shuffle (measured 3× the bytes, 3.3×
+    the wall time at sf0.1); the array form shares a single buffer."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("med_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
-        )
-        .orderBy("l_returnflag")
+    qs = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.25D, 0.75D))").alias("q")
     )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.element_at("q", 1), 6).alias("med_price"),
+        F.round(F.element_at("q", 2), 6).alias("p25"),
+        F.round(F.element_at("q", 3), 6).alias("p75"),
+    ).orderBy("l_returnflag")
 
 
 @register(
