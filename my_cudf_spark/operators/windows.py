@@ -243,6 +243,55 @@ def rank_avg(
     )
 
 
+def rank_avg_distinct(
+    df: DataFrame,
+    name: str,
+    value_col: str,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """rank(method='average') via the distinct-value table — the scale path
+    for few-group/many-row rank (sorting.hpp:203 AVERAGE).
+
+    ``rank_avg`` puts every ROW of a group through one window task; with a
+    handful of huge groups that is a serial sort of the whole group, four
+    times over in a query ranking two columns.  Average rank only depends on
+    the value, so rank the DISTINCT (group, value) pairs instead:
+    ``avg_rank(v) = count(< v) + (cnt(v)+1)/2`` from a cumulative sum over
+    the distinct-value counts, then hash-join the ranks back.  Serial work
+    per group drops from row count to distinct count (ties collapse), the
+    count aggregation and the join-back are fully distributed, and a
+    low-cardinality column's rank table broadcasts.
+    """
+    keys = list(partition_by or [])
+    cnt_w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranks = (
+        df.groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            *keys,
+            value_col,
+            (
+                F.sum("__cnt").over(cnt_w)
+                - F.col("__cnt")
+                + (F.col("__cnt") + 1) / 2.0
+            ).alias(name),
+        )
+    )
+    join_keys = keys + [value_col]
+    ranks = ranks.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in join_keys], F.col(name)
+    )
+    cond = None
+    for k in join_keys:
+        c = df[k].eqNullSafe(ranks[f"__rk_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(ranks, cond).drop(*[f"__rk_{k}" for k in join_keys])
+
+
 def interpolate_linear(
     df: DataFrame,
     col: str,

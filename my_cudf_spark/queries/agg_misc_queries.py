@@ -133,17 +133,20 @@ def agg_covar_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COVARIANCE + SPEARMAN correlation kinds (aggregation.hpp:255):
     average-method ranks (sorting.hpp:203 AVERAGE) per group, then the
     Pearson formula on ranks from exact decimal co-moments — identical
-    double operands on both engines, so no rounding is needed."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rq_rank = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    re_rank = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    tie_q = Window.partitionBy("l_returnflag", "l_quantity")
-    tie_e = Window.partitionBy("l_returnflag", "l_extendedprice")
-    ranked = li.select(
-        "l_returnflag",
-        (F.rank().over(rq_rank) + (F.count(F.lit(1)).over(tie_q) - 1) / 2.0).alias("rq"),
-        (F.rank().over(re_rank) + (F.count(F.lit(1)).over(tie_e) - 1) / 2.0).alias("re"),
+    double operands on both engines, so no rounding is needed.
+
+    Ranks come from ``rank_avg_distinct``: with only 3 returnflag groups, a
+    per-row rank window is 3 serial sorts of 200k rows per ordering; ranking
+    the distinct (group, value) pairs and joining back keeps every stage
+    distributed (and the 150-row quantity rank table broadcasts)."""
+    from my_cudf_spark.operators.windows import rank_avg_distinct
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
     )
+    ranked = rank_avg_distinct(li, "rq", "l_quantity", ["l_returnflag"])
+    ranked = rank_avg_distinct(ranked, "re", "l_extendedprice", ["l_returnflag"])
+    ranked = ranked.select("l_returnflag", "rq", "re")
     rq, re = F.col("rq").cast(DEC), F.col("re").cast(DEC)
     s = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
