@@ -190,6 +190,17 @@ def day_name(col: Column | str) -> Column:
     return F.date_format(_c(col), "EEEE")
 
 
+def url_encode(col: Column | str) -> Column:
+    """strings/convert/convert_urls.hpp url_encode → Spark url_encode
+    (3.4+): percent-encode for URLs."""
+    return F.url_encode(_c(col))
+
+
+def url_decode(col: Column | str) -> Column:
+    """strings/convert/convert_urls.hpp url_decode → Spark url_decode."""
+    return F.url_decode(_c(col))
+
+
 # --- hashing -----------------------------------------------------------------
 
 def hash_values(*cols: Column | str, method: str = "murmur3") -> Column:

@@ -140,6 +140,32 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def replace_tokens(tokens: Column, mapping: dict[str, str]) -> Column:
+    """replace_tokens (nvtext/replace.hpp:87): swap target tokens for their
+    replacements, leaving the rest — transform + map lookup, all JVM-side.
+    The mapping is a literal MapType expression, so at scale it ships once
+    inside the plan (a table-sized vocabulary belongs in
+    tokens_to_vocab_ids' broadcast-join path instead)."""
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend((F.lit(k), F.lit(v)))
+    m = F.create_map(*pairs)
+    return F.transform(tokens, lambda t: F.coalesce(m[t], t))
+
+
+def filter_tokens(tokens: Column, min_token_length: int) -> Column:
+    """filter_tokens (nvtext/replace.hpp:136): drop tokens shorter than
+    ``min_token_length`` (higher-order filter; no shuffle, no UDF)."""
+    return F.filter(tokens, lambda t: F.length(t) >= min_token_length)
+
+
+def detokenize(tokens: Column, sep: str = " ") -> Column:
+    """detokenize (nvtext/tokenize.hpp:181): rows of token arrays back to
+    strings.  The row-wise inverse of :func:`tokenize`; the reference's
+    row-indices variant is a groupBy(collect_list) + this."""
+    return F.array_join(tokens, sep)
+
+
 def normalize_text(col: Column | str) -> Column:
     """normalize_characters+spaces (normalize.hpp:55/216): lower, strip
     non-alphanumerics to space, collapse runs."""

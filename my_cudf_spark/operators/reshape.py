@@ -16,7 +16,16 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["melt", "pivot", "pivot_table", "crosstab", "get_dummies", "transpose"]
+__all__ = [
+    "melt",
+    "pivot",
+    "pivot_table",
+    "crosstab",
+    "get_dummies",
+    "transpose",
+    "interleave_columns",
+    "tile",
+]
 
 
 def melt(
@@ -86,3 +95,25 @@ def transpose(df: DataFrame, index_col: str) -> DataFrame:
     value_cols = [c for c in df.columns if c != index_col]
     melted = df.unpivot([index_col], value_cols, "variable", "value")
     return melted.groupBy("variable").pivot(index_col).agg(F.first("value"))
+
+
+def interleave_columns(
+    df: DataFrame, cols: Sequence[str], pos_col: str = "pos", out_col: str = "value"
+) -> DataFrame:
+    """interleave_columns (reshape.hpp:53): k same-typed columns → one
+    column of k·n rows, row-major.  posexplode(array(cols)) — a narrow
+    generate, no shuffle; ``pos_col`` (1-based, matching the within-row
+    source position) keeps the interleave order explicit since Spark rows
+    carry no implicit order."""
+    others = [c for c in df.columns if c not in cols]
+    return df.select(
+        *others, F.posexplode(F.array(*cols)).alias(pos_col, out_col)
+    ).withColumn(pos_col, F.col(pos_col) + 1)
+
+
+def tile(df: DataFrame, count: int, rep_col: str = "rep") -> DataFrame:
+    """tile (reshape.hpp:77): repeat every row ``count`` times.  explode of
+    a literal sequence — narrow, no shuffle; ``rep_col`` ∈ [0, count) tags
+    the copy (the reference's output order is an exec detail we surface as
+    a column)."""
+    return df.withColumn(rep_col, F.explode(F.sequence(F.lit(0), F.lit(count - 1))))

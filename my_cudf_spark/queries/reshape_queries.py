@@ -119,6 +119,36 @@ def reshape_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reshape_interleave_tile",
+    sql="""
+    SELECT n_nationkey, r.rep, p.pos,
+           [n_name, CAST(n_regionkey AS VARCHAR)][p.pos] AS value
+    FROM nation, range(0, 2) r(rep), range(1, 3) p(pos)
+    ORDER BY n_nationkey, rep, pos
+    """,
+)
+def reshape_interleave_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interleave_columns + tile (reshape.hpp:53/77): k columns → k·n rows
+    row-major, and count-fold row repetition — both narrow generates (no
+    shuffle), with explicit pos/rep columns since Spark rows carry no
+    implicit order."""
+    from my_cudf_spark.operators.reshape import interleave_columns, tile
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.col("n_name").alias("a"),
+        F.col("n_regionkey").cast("string").alias("b"),
+    )
+    out = interleave_columns(tile(nation, 2), ["a", "b"])
+    return out.select(
+        "n_nationkey",
+        F.col("rep").cast("long").alias("rep"),
+        F.col("pos").cast("long").alias("pos"),
+        "value",
+    ).orderBy("n_nationkey", "rep", "pos")
+
+
+@register(
     "agg_cube_rollup",
     sql="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

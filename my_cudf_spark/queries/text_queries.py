@@ -257,3 +257,57 @@ def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids"),
         known.cast("long").alias("n_known"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_token_ops",
+    sql=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(toks,
+             x -> CASE WHEN x = 'fast' THEN 'quick'
+                       WHEN x = 'slow' THEN 'sluggish' ELSE x END), ' ') AS replaced,
+           array_to_string(list_filter(toks, x -> length(x) >= 5), ' ') AS long_only
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_token_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace_tokens / filter_tokens / detokenize (nvtext/replace.hpp:87/
+    :136, tokenize.hpp:181): all higher-order array expressions over one
+    materialized token projection — narrow, JVM-side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    return d.select(
+        "doc_id",
+        T.detokenize(
+            T.replace_tokens(F.col("toks"), {"fast": "quick", "slow": "sluggish"})
+        ).alias("replaced"),
+        T.detokenize(T.filter_tokens(F.col("toks"), 5)).alias("long_only"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_edit_matrix",
+    sql=r"""
+    WITH w AS (SELECT DISTINCT string_split_regex(trim(text), '\s+')[1] AS w
+               FROM documents WHERE text IS NOT NULL)
+    SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS INT) AS dist
+    FROM w a JOIN w b ON a.w < b.w ORDER BY w1, w2
+    """,
+)
+def text_edit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edit_distance_matrix (nvtext/edit_distance.hpp:101): pairwise
+    Levenshtein over the distinct leading tokens.  The distinct side is
+    vocabulary-sized, so it broadcasts and the quadratic pair expansion
+    happens in a BroadcastNestedLoopJoin — no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = docs.select(
+        F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1).alias("w")
+    ).distinct()
+    pairs = w.select(F.col("w").alias("w1")).join(
+        F.broadcast(w.select(F.col("w").alias("w2"))), F.col("w1") < F.col("w2")
+    )
+    return pairs.select(
+        "w1", "w2", F.levenshtein("w1", "w2").cast("int").alias("dist")
+    ).orderBy("w1", "w2")

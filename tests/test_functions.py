@@ -89,3 +89,38 @@ def test_wrap(spark):
     wrapped = df.select(C.wrap("s", 10).alias("v")).first()["v"]
     assert all(len(line) <= 10 for line in wrapped.splitlines())
     assert wrapped.replace("\n", " ").split() == ["the", "quick", "brown", "fox", "jumps"]
+
+
+def test_url_encode_decode(spark):
+    df = spark.createDataFrame([("a b&c/d?e=f",), ("plain",)], "s string")
+    rows = df.select(
+        C.url_decode(C.url_encode("s")).alias("rt"),
+        C.url_encode("s").alias("enc"),
+    ).collect()
+    assert [r["rt"] for r in rows] == ["a b&c/d?e=f", "plain"]
+    assert rows[0]["enc"] == "a+b%26c%2Fd%3Fe%3Df"
+
+
+def test_replace_filter_detokenize(spark):
+    from my_cudf_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["fast", "red", "slow", "ox"],)], "toks array<string>")
+    rows = df.select(
+        T.detokenize(T.replace_tokens(F.col("toks"), {"fast": "quick"})).alias("rep"),
+        T.detokenize(T.filter_tokens(F.col("toks"), 3), "-").alias("flt"),
+    ).first()
+    assert rows["rep"] == "quick red slow ox"
+    assert rows["flt"] == "fast-red-slow"
+
+
+def test_interleave_tile(spark):
+    from my_cudf_spark.operators.reshape import interleave_columns, tile
+
+    df = spark.createDataFrame([(1, "a", "b"), (2, "c", "d")], "k int, x string, y string")
+    inter = interleave_columns(df, ["x", "y"]).orderBy("k", "pos").collect()
+    assert [(r["k"], r["pos"], r["value"]) for r in inter] == [
+        (1, 1, "a"), (1, 2, "b"), (2, 1, "c"), (2, 2, "d"),
+    ]
+    tiled = tile(df.select("k"), 3).groupBy("k").count().orderBy("k").collect()
+    assert [(r["k"], r["count"]) for r in tiled] == [(1, 3), (2, 3)]
