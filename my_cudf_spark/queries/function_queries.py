@@ -336,3 +336,34 @@ def fn_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(".", octet(24), octet(16), octet(8), octet(0)).alias("as_ipv4"),
         ((k * 16777216) % 4294967296 + 1).cast("long").alias("ipv4_back"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "fn_month_sequence",
+    sql="""
+    SELECT o_orderkey,
+           array_to_string(list_transform(
+             generate_series(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+                             CAST(date_trunc('month', o_orderdate) + INTERVAL 2 MONTH AS TIMESTAMP),
+                             INTERVAL 1 MONTH),
+             t -> strftime(t, '%Y-%m-%d')), ',') AS months,
+           array_to_string([o_orderpriority, o_orderpriority, o_orderpriority], '|') AS tiled
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def fn_month_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill/sequence/repeat/calendrical_month_sequence (filling.hpp:89/180/
+    125/238): per-row date sequence via ``sequence(start, stop, interval)``
+    and value repetition via ``array_repeat`` — narrow generates, no
+    shuffle.  byte_cast (reshape.hpp:104) is intentionally out of scope:
+    it exposes device-memory layout, which has no Spark-level meaning."""
+    o = load_table(spark, sf_dir, "orders")
+    start = F.trunc("o_orderdate", "MM")
+    months = F.sequence(start, F.add_months(start, 2), F.expr("interval 1 month"))
+    return o.select(
+        "o_orderkey",
+        F.array_join(
+            F.transform(months, lambda d: F.date_format(d, "yyyy-MM-dd")), ","
+        ).alias("months"),
+        F.array_join(F.array_repeat(F.col("o_orderpriority"), 3), "|").alias("tiled"),
+    ).orderBy("o_orderkey")
