@@ -91,3 +91,18 @@ def test_cache_subplan_reuse(spark):
         assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
     finally:
         base.unpersist()
+
+
+def test_spearman_rank_is_distributed(spark):
+    # rank_avg_distinct's scale contract: ranks are computed on the
+    # distinct-value tables (every window is a cumulative sum over the
+    # distinct-count column __cnt), never a per-row rank window that would
+    # serialize each returnflag group into one task; the tiny quantity
+    # rank table broadcasts.
+    df = _df(spark, "agg_covar_spearman")
+    plan = P.physical_plan(df)
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert windows and all("__cnt" in l for l in windows), plan
+    rep = P.plan_report(df)
+    assert rep["broadcast_joins"] >= 1, rep
+    assert not rep["cartesian"]
