@@ -5,6 +5,7 @@ applied them per query)."""
 from my_cudf_spark.plans.inspect import (
     count_broadcasts,
     count_shuffles,
+    forced_broadcast_hints,
     has_cartesian,
     physical_plan,
     plan_report,
@@ -15,6 +16,7 @@ from my_cudf_spark.plans.inspect import (
 __all__ = [
     "count_broadcasts",
     "count_shuffles",
+    "forced_broadcast_hints",
     "has_cartesian",
     "physical_plan",
     "plan_report",

@@ -78,6 +78,18 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in physical_plan(df)
 
 
+def forced_broadcast_hints(df: DataFrame) -> int:
+    """Number of explicit broadcast *hints* in the optimized logical plan.
+
+    A hint is mandatory — it bypasses ``autoBroadcastJoinThreshold`` and AQE
+    sizing, so a hint on a scale-growing table is a 100 TB OOM waiting to
+    happen.  Plans should pin hints only on fixed-size dims (nation/region)
+    and let AQE size everything else.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return len(re.findall(r"broadcast(?![A-Za-z])", plan)) + plan.count("ResolvedHint")
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-stop summary used by tests and for judge-facing evidence."""
     return {

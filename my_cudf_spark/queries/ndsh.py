@@ -13,12 +13,16 @@ Adaptations for the driver fixtures (FIXTURES.md):
 - Q10: customer has no address/phone/comment columns → grouped on the
   available ones.
 
-Scale notes: lineitem is the only large input; every join below keeps
-lineitem un-repartitioned and broadcasts the dimension side (region, nation,
-supplier, customer, part are 1e-4..1e-2 of lineitem in TPC-H ratios), so all
-five queries run without a fact-table shuffle except the final groupBy — and
-Q1/Q6's groupBy keys are low-cardinality so partial aggregation collapses
-the shuffle to a few KB per partition.
+Scale notes: lineitem is the only large input.  ``broadcast()`` hints are
+pinned ONLY on the fixed-size dimensions (region: 5 rows, nation: 25 rows —
+constant at every scale factor).  orders/customer/supplier/part grow
+linearly with SF, so they carry NO hint: a Spark broadcast hint is
+mandatory (it bypasses ``autoBroadcastJoinThreshold`` and AQE sizing) and
+would OOM executors at the 100 TB posture.  At small SF, AQE + the 64 MiB
+threshold still picks broadcast-hash for them automatically; at scale it
+degrades gracefully to shuffle-hash/sort-merge — the plan adapts instead of
+crashing.  Q1/Q6's groupBy keys are low-cardinality so partial aggregation
+collapses the final shuffle to a few KB per partition.
 """
 
 from __future__ import annotations
@@ -116,8 +120,8 @@ ORDER BY revenue DESC, n_name
 
 @register("ndsh_q5", sql=Q5_SQL)
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-way star join (reference: q05.cpp). All dims broadcast; the only
-    fact-side shuffle is the final 25-key groupBy."""
+    """Six-way star join (reference: q05.cpp). Fixed-size dims (nation,
+    region) pinned broadcast; scale-growing sides left to AQE sizing."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -130,10 +134,10 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem
-        .join(broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -207,9 +211,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         lineitem
-        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -253,8 +257,8 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         lineitem
-        .join(broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(DISC_PRICE()).cast("double").alias("revenue"))

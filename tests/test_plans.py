@@ -34,12 +34,25 @@ def test_q1_pushdown_and_pruning(spark):
     assert not rep["cartesian"]
 
 
-@pytest.mark.parametrize("name,min_broadcasts", [("ndsh_q5", 4), ("ndsh_q9", 2), ("ndsh_q10", 2)])
-def test_star_joins_broadcast_dims(spark, name, min_broadcasts):
-    rep = P.plan_report(_df(spark, name))
-    # every dimension join broadcasts; the lineitem fact table is never
-    # shuffled for a join (agg + sort shuffles remain)
+@pytest.mark.parametrize(
+    "name,min_broadcasts,max_hints",
+    [("ndsh_q5", 2, 2), ("ndsh_q9", 1, 1), ("ndsh_q10", 1, 1)],
+)
+def test_star_joins_broadcast_dims(spark, name, min_broadcasts, max_hints):
+    df = _df(spark, name)
+    rep = P.plan_report(df)
+    # Fixed-size dims (nation 25 rows, region 5 rows) are the only tables
+    # with a *mandatory* broadcast hint; scale-growing tables
+    # (orders/customer/supplier/part) must be left to AQE sizing so the
+    # plan degrades to shuffle join at 100 TB instead of OOMing.  At test
+    # SF the threshold still auto-broadcasts them (so broadcast_joins is
+    # typically higher than the hint count) — the assert floor is the
+    # pinned-dim count only.
     assert rep["broadcast_joins"] >= min_broadcasts, rep
+    assert P.forced_broadcast_hints(df) <= max_hints, (
+        "mandatory broadcast hint on a scale-growing table",
+        df._jdf.queryExecution().optimizedPlan().toString(),
+    )
     assert not rep["cartesian"]
     assert rep["shuffles"] <= 3, rep
 
