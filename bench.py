@@ -54,6 +54,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
+    # Durable copy: stdout tail capture can truncate the head of the
+    # per-query dict, so every run also lands in BENCH_LOCAL.json
+    # (full result) for round-over-round diffing.
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# BENCH_LOCAL.json not written: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -135,10 +135,17 @@ def normalize_spaces(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
 
 
-def filter_characters(col: Column | str, keep_regex: str) -> Column:
-    """strings/translate.hpp:100 filter_characters: keep only chars matching
-    the class regex."""
-    return F.regexp_replace(_c(col), f"[^{keep_regex}]", "")
+def filter_characters(col: Column | str, keep: str, *, is_class_body: bool = False) -> Column:
+    """strings/translate.hpp:100 filter_characters: keep only the given
+    characters.
+
+    ``keep`` is a literal set of characters to retain — each is escaped
+    before entering the negated character class, so ']', '^', '-' and '\\'
+    are safe.  Pass ``is_class_body=True`` to supply a raw, already-valid
+    character-class body instead (e.g. ``"a-z0-9"`` for ranges).
+    """
+    body = keep if is_class_body else "".join("\\" + ch for ch in keep)
+    return F.regexp_replace(_c(col), f"[^{body}]", "")
 
 
 def partition_str(col: Column | str, sep: str) -> Column:

@@ -40,7 +40,36 @@ __all__ = [
     "neardup_pairs_exact",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "release_cached",
 ]
+
+# Gram-set frames persisted by the pair builders below.  The returned plans
+# reference them lazily, so they cannot be unpersisted inside the builder;
+# instead each builder releases the PREVIOUS generation on entry, and
+# long-lived sessions may call release_cached() once consumers finish.
+# Unpersisting is advisory in Spark — a still-unconsumed older plan simply
+# recomputes — so this never affects correctness, only caching.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every gram-set frame cached by earlier builder calls.
+    Returns the number of frames released."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    _PERSISTED.clear()
+    return n
 
 
 def exact_dedup(df: DataFrame, id_col: str, content: Column) -> DataFrame:
@@ -144,14 +173,11 @@ def neardup_pairs_exact(
     """
     if method not in ("count", "prefix"):
         raise ValueError(f"unknown method: {method}")
+    release_cached()
     # The gram table feeds several consumers; Spark re-evaluates an
     # unpersisted subtree per consumer, so materialize it once.
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
-    sets = (
-        _gram_sets(df, id_col, grams)
-        .withColumn("n", F.size("grams"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sets = _persist(_gram_sets(df, id_col, grams).withColumn("n", F.size("grams")))
     postings = sets.select("id", "n", F.explode("grams").alias("g"))
 
     if method == "count":
@@ -234,13 +260,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
+    release_cached()
     # Reused by the signature build and both verification sides (see
     # neardup_pairs_exact on why persist).
-    sets = (
-        _gram_sets(df, id_col, grams)
-        .filter(F.size("grams") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sets = _persist(_gram_sets(df, id_col, grams).filter(F.size("grams") > 0))
     sig = minhash_pairs_signatures(sets, num_hashes)
     banded = sig.select(
         "id",

@@ -102,25 +102,33 @@ def asof_join(
 
     Implementation (scales: one shuffle per side, no range cross-product):
     union both sides tagged, single window pass carrying the last (backward)
-    or next (forward) right-side values along ``on``, then keep left rows.
+    or next (forward) right-side row along ``on``, then keep left rows.
     Matches DuckDB ``ASOF JOIN`` semantics (the oracle for this operator).
+
+    All right-side payload columns ride in ONE struct carried by a single
+    ``last(ignorenulls=True)`` window, so every output row's payload comes
+    from the single matched right row — a right row with NULL in one payload
+    column never gets that column back-filled from an older right row (and
+    one window pass replaces len(rcols) passes).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
     by = list(by) if by else []
     rcols = [c for c in right.columns if c != on and c not in by]
+    from pyspark.sql import types as T
 
+    r_struct_type = T.StructType([right.schema[c] for c in rcols])
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *[F.col(c) if c in (by + [on]) else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
           if c in (by + [on])],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (by + [on])],
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__r"),
     ).select(*[c for c in l_tag.columns])  # align column order
 
     unioned = l_tag.unionByName(r_tag)
@@ -129,13 +137,17 @@ def asof_join(
         F.col(on).desc(), F.col("__is_left").asc()
     ]
     w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    out = unioned
+    out = (
+        unioned
+        .withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+    )
     for c in rcols:
-        out = out.withColumn(f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
-    out = out.filter(F.col("__is_left") == 1).drop("__is_left")
-    for c in rcols:
-        out = out.withColumnRenamed(f"__r_{c}", c if c not in left.columns else f"{c}{suffix}")
-    return out
+        out = out.withColumn(
+            c if c not in left.columns else f"{c}{suffix}", F.col("__r").getField(c)
+        )
+    return out.drop("__r")
 
 
 def salted_join(
@@ -148,7 +160,16 @@ def salted_join(
     """Skew-resistant equi-join: salt the (large, skewed) left side with a
     random bucket and explode the right side ``salt`` ways, so one hot key
     spreads over ``salt`` reducers. Complements AQE skew-join for cases AQE
-    can't split (e.g. aggregations after the join)."""
+    can't split (e.g. aggregations after the join).
+
+    Only left-preserving joins are allowed: the right side is replicated
+    ``salt`` ways, so right/full outer would emit each unmatched right row
+    once per salt copy (silent row multiplication)."""
+    if how not in ("inner", "left", "left_semi", "semi", "left_anti", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not how={how!r}: "
+            "the exploded right side would duplicate unmatched right rows"
+        )
     on = list(on)
     l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

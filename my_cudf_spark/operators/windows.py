@@ -179,8 +179,12 @@ def ewma(
     order_by: Sequence[str | Column],
     partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Exponentially weighted moving average, adjust=False pandas/cudf
-    semantics:  y_i = (1-α)·y_{i-1} + α·x_i  (Series.ewm, SURVEY.md §7.4.5).
+    """Exponentially weighted moving average, adjust=True pandas/cudf
+    semantics: y_i = Σ_j (1-α)^(i-j) x_j / Σ_j (1-α)^(i-j) (Series.ewm,
+    SURVEY.md §7.4.5) — same convention as ``ewma_exact`` and the
+    window_ewma oracle. (adjust=False's recurrence y_i=(1-α)y_{i-1}+αx_i
+    is inherently sequential; use ``ewma_exact`` with adjust=False in the
+    pandas call if that variant is needed.)
 
     Closed form over the prefix:  y_i = Σ_j w_ij x_j / Σ_j w_ij with
     w_ij = (1-α)^(i-j) (first obs gets full weight). Computed as

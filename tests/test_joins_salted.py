@@ -35,3 +35,16 @@ def test_salted_left_join_keeps_unmatched(spark):
         plain.filter(F.col("n").isNull()).count()
         == salted.filter(F.col("n").isNull()).count()
     )
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    # right/full would replicate each unmatched right row once per salt copy
+    import pytest
+
+    from my_cudf_spark.sources import load_table as _lt
+
+    ev = _lt(spark, SF_DIR, "events").select("event_id", "user_id")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(ev, ev, ["user_id"], how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(ev, ev, ["user_id"], how="full")
