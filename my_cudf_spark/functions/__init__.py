@@ -6,6 +6,9 @@
 - ``stable``  : decimal-stable aggregate helpers for differential testing.
 - ``text``    : nvtext-surface text ops (tokenize, ngrams, minhash, jaccard,
   language-id heuristic, quality scoring, fingerprinting).
+- ``bpe``     : real byte-pair encoding + WordPiece tokenization against
+  fixed merges/vocab model artifacts (byte_pair_encoding.hpp:97,
+  wordpiece_tokenize.hpp:71).
 - ``vectors`` : embedding-column helpers (cosine, dot, norms).
 """
 

@@ -14,9 +14,10 @@ Reference parity:
 - edit distance: edit_distance.hpp:62 → F.levenshtein (builtin)
 - normalize_spaces/characters: normalize.hpp:55/216
 - replace/filter tokens: replace.hpp:87/136
-- BPE/subword/wordpiece: byte_pair_encoding.hpp:97, subword_tokenize.hpp —
-  require external vocab models; surfaced as ``bpe_token_count`` regex
-  approximation + a pandas_udf seam (see operators/multimodal.py pattern).
+- BPE/subword/wordpiece: the real algorithms live in
+  :mod:`my_cudf_spark.functions.bpe` (byte_pair_encoding.hpp:97,
+  wordpiece_tokenize.hpp:71); ``bpe_token_count`` here remains the cheap
+  JVM-side screening estimate for token budgeting.
 """
 
 from __future__ import annotations

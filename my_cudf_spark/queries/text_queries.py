@@ -311,3 +311,118 @@ def text_edit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "w1", "w2", F.levenshtein("w1", "w2").cast("int").alias("dist")
     ).orderBy("w1", "w2")
+
+
+# --- Real BPE / WordPiece (byte_pair_encoding.hpp:97, wordpiece_tokenize
+# .hpp:71) over the p_name vocabulary (16 fixed words, 2 per name). The
+# merges/vocab tables are fixed model artifacts; the oracle maps each WORD
+# to its independently hand-checked encoding (BPE factorizes across the
+# space piece — bpe_tests.cpp:52 "this-istestsentence 3" pins the
+# three-space join), so DuckDB reconstructs the full-string encoding
+# without re-running the merge loop.  The algorithm itself is pinned to
+# the reference's own test vectors in tests/test_bpe.py.
+
+BPE_MERGES = [
+    "o l", "l d", "ol d",
+    "i n", "n g", "in g", "r ing",
+    "e a", "g ea", "gea r",
+    "b o", "l t", "bo lt",
+    "r o", "ro d",
+    "h o", "ho t",
+    "n e", "ne w",
+    "r e",
+    "a l", "al l", "s m", "sm all",
+    "l u", "lu e", "b lue",
+    "g e", "e t", "ge t", "w id",
+    "i d", "wid get",
+    "a r", "l ar", "lar ge",
+    "a t", "p l", "pl at", "plat e",
+    "i z", "iz mo", "m o", "g izmo",
+    "a n", "v i", "vi l",
+    "c o", "co ld",
+]
+
+# word -> (bpe pieces joined ' ', wordpiece ids joined ',') — hand-checked
+# against the merge ranks (e.g. bolt: "o l" rank 0 fires before "b o"/"l t"
+# can, so bolt = b ol t, never bo lt; cold: ol then "ol d" -> c old).
+_WORD_ENC = {
+    "anvil": ("an vil", "17,18"), "blue": ("blue", "5"),
+    "bolt": ("b ol t", "0"), "cold": ("c old", "10,11"),
+    "gear": ("gear", "6,7"), "gizmo": ("gizmo", "6,8"),
+    "hot": ("hot", "12"), "large": ("large", "14"),
+    "new": ("new", "13"), "old": ("old", "9"),
+    "plate": ("plate", "15"), "red": ("re d", "3"),
+    "ring": ("ring", "2"), "rod": ("rod", "16"),
+    "small": ("small", "1"), "widget": ("widget", "4"),
+}
+
+WP_VOCAB = ["[UNK]", "small", "ring", "red", "widget", "blue", "g", "##ear",
+            "##izmo", "old", "c", "##old", "hot", "new", "large", "plate",
+            "rod", "an", "##vil"]
+
+_BPE_VALUES = ", ".join(f"('{w}', '{b}')" for w, (b, _) in sorted(_WORD_ENC.items()))
+_WP_VALUES = ", ".join(f"('{w}', '{i}')" for w, (_, i) in sorted(_WORD_ENC.items()))
+
+
+@register(
+    "text_bpe",
+    sql=f"""
+    WITH m AS (SELECT * FROM (VALUES {_BPE_VALUES}) AS t(w, enc)),
+    p AS (SELECT DISTINCT p_name,
+                 string_split(p_name, ' ')[1] AS w1,
+                 string_split(p_name, ' ')[2] AS w2 FROM part)
+    SELECT p.p_name AS p_name, m1.enc || '   ' || m2.enc AS bpe
+    FROM p JOIN m m1 ON p.w1 = m1.w JOIN m m2 ON p.w2 = m2.w
+    ORDER BY p_name
+    """,
+)
+def text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real byte-pair encoding (byte_pair_encoding.hpp:97; replaces the
+    bpe_token_count estimate as the headline tokenizer): distinct p_name
+    strings encoded against the fixed BPE_MERGES table, pieces joined by
+    ' ' with the original space a standalone piece (bpe_tests.cpp:58)."""
+    from my_cudf_spark.functions import bpe as B
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    return names.select(
+        "p_name", B.byte_pair_encode("p_name", BPE_MERGES).alias("bpe")
+    ).orderBy("p_name")
+
+
+@register(
+    "text_wordpiece",
+    sql=f"""
+    WITH m AS (SELECT * FROM (VALUES {_WP_VALUES}) AS t(w, ids)),
+    p AS (SELECT DISTINCT p_name,
+                 string_split(p_name, ' ')[1] AS w1,
+                 string_split(p_name, ' ')[2] AS w2 FROM part)
+    SELECT p.p_name AS p_name,
+           m1.ids || ',' || m2.ids AS ids,
+           CAST(len(string_split(m1.ids, ',')) + len(string_split(m2.ids, ','))
+                AS BIGINT) AS n_tokens,
+           m1.ids AS ids_first_word
+    FROM p JOIN m m1 ON p.w1 = m1.w JOIN m m2 ON p.w2 = m2.w
+    ORDER BY p_name
+    """,
+)
+def text_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization (wordpiece_tokenize.hpp:71): greedy
+    longest-match-first ids over WP_VOCAB, '##' continuation pieces
+    (gear -> g + ##ear), plus the max_words_per_row=1 truncated variant
+    from the hpp example."""
+    from my_cudf_spark.functions import bpe as B
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    toks = names.select(
+        "p_name",
+        B.wordpiece_tokenize("p_name", WP_VOCAB).alias("toks"),
+        B.wordpiece_tokenize("p_name", WP_VOCAB, max_words_per_row=1).alias("t1"),
+    )
+    return toks.select(
+        "p_name",
+        F.array_join(F.transform("toks", lambda i: i.cast("string")), ",").alias("ids"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_join(F.transform("t1", lambda i: i.cast("string")), ",").alias(
+            "ids_first_word"
+        ),
+    ).orderBy("p_name")

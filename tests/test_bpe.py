@@ -1,0 +1,107 @@
+"""Real BPE + WordPiece, pinned to the reference's own test vectors:
+cpp/tests/text/bpe_tests.cpp:30-120 (basic / custom separator / adjacent
+pairs) and the wordpiece_tokenize.hpp:71 doc examples (incl.
+max_words_per_row truncation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions.bpe import (
+    _bpe_word,
+    byte_pair_encode,
+    load_merge_pairs,
+    load_wordpiece_vocabulary,
+    wordpiece_tokenize,
+)
+
+# bpe_tests.cpp:32-45 — partial gpt2 merges table
+GPT2_MERGES = [
+    "e n", "i t", "i s", "e s", "en t", "c e", "es t", "en ce",
+    "t h", "h i", "th is", "t est", "s i", "s ent",
+]
+
+
+def test_bpe_reference_basic(spark):
+    # bpe_tests.cpp:52-65
+    rows = [
+        ("thisisit", "this is it"),
+        ("thisis test-sentence-1", "this is   test - sent ence - 1"),
+        ("thisistestsentence-2", "this is test sent ence - 2"),
+        ("this-istestsentence 3", "this - is test sent ence   3"),
+        (None, None),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r["e"] for r in
+           df.select(byte_pair_encode("s", GPT2_MERGES).alias("e")).collect()]
+    assert got == [e for _, e in rows]
+
+
+def test_bpe_reference_separator(spark):
+    # bpe_tests.cpp:75-92 — "$" separator; Ġ-style byte-level prefixes
+    merges = ["Ġ t", "Ġt he", "h e", "e n", "i t", "e s",
+              "en t", "c e", "es t", "en ce", "t est", "s ent"]
+    rows = [
+        ("Ġthe test sentence", "Ġthe$ $test$ $sent$ence"),
+        ("test Ġthe sentence", "test$ $Ġthe$ $sent$ence"),
+        ("Ġthetest sentence", "Ġthe$test$ $sent$ence"),
+        ("testĠthesentence", "test$Ġthe$sent$ence"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r["e"] for r in
+           df.select(byte_pair_encode("s", merges, separator="$").alias("e")).collect()]
+    assert got == [e for _, e in rows]
+
+
+def test_bpe_adjacent_pairs():
+    # bpe_tests.cpp:96-116 — rank order decides between overlapping merges
+    ranks = load_merge_pairs([
+        "▁ H", "m m", "? !", "▁H mm", "mm m", "?! !",
+        "? !?", "mm mm", "▁H m", "?! ?!", "?!? !",
+    ])
+    assert _bpe_word("▁Hmmmmm", ranks) == ["▁Hmm", "mmm"]
+    assert _bpe_word("?!?!?!", ranks) == ["?!?!", "?!"]
+
+
+def test_load_merge_pairs_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_merge_pairs([])
+    with pytest.raises(ValueError):
+        load_merge_pairs(["a b", "bad"])
+    # earlier line wins on duplicate pairs
+    assert load_merge_pairs(["a b", "a b"])[("a", "b")] == 0
+
+
+WP_VOCAB = ["[UNK]", "a", "have", "I", "new", "GP", "##U", "!"]
+
+
+def test_wordpiece_reference_example(spark):
+    # wordpiece_tokenize.hpp:80-86: unmatched word ('now') -> [UNK] id
+    df = spark.createDataFrame([("I have a new GPU now !",), (None,)], "s string")
+    got = [r["t"] for r in
+           df.select(wordpiece_tokenize("s", WP_VOCAB).alias("t")).collect()]
+    assert got == [[3, 2, 1, 4, 5, 6, 0, 7], None]
+
+
+def test_wordpiece_max_words_per_row(spark):
+    # wordpiece_tokenize.hpp:92-101: double space still one word boundary
+    df = spark.createDataFrame([("I have  a new GPU now !",)], "s string")
+    t4 = df.select(wordpiece_tokenize("s", WP_VOCAB, max_words_per_row=4).alias("t"))
+    t5 = df.select(wordpiece_tokenize("s", WP_VOCAB, max_words_per_row=5).alias("t"))
+    assert t4.collect()[0]["t"] == [3, 2, 1, 4]
+    assert t5.collect()[0]["t"] == [3, 2, 1, 4, 5, 6]
+
+
+def test_wordpiece_no_unk_in_vocab(spark):
+    # vocab without [UNK]: misses map to -1
+    df = spark.createDataFrame([("zzz a",)], "s string")
+    [row] = df.select(wordpiece_tokenize("s", ["a"]).alias("t")).collect()
+    assert row["t"] == [-1, 0]
+
+
+def test_vocab_ids_are_row_indices():
+    ids = load_wordpiece_vocabulary(["x", "y", "x"])
+    assert ids["x"] == 0 and ids["y"] == 1
