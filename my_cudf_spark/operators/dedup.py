@@ -44,31 +44,52 @@ __all__ = [
 ]
 
 # Gram-set frames persisted by the pair builders below.  The returned plans
-# reference them lazily, so they cannot be unpersisted inside the builder;
-# instead each builder releases the PREVIOUS generation on entry, and
-# long-lived sessions may call release_cached() once consumers finish.
-# Unpersisting is advisory in Spark — a still-unconsumed older plan simply
-# recomputes — so this never affects correctness, only caching.
-_PERSISTED: list[DataFrame] = []
+# reference them lazily, so they cannot be unpersisted inside the builder.
+# Instead: a semantic-hash-keyed LRU.  A repeated identical build (same
+# source, same gram expr — e.g. re-running a query) returns the SAME
+# persisted frame, so Spark's plan-based cache stays warm; distinct builds
+# beyond _CACHE_CAP evict the least-recent (unpersist is advisory — an
+# unconsumed older plan just recomputes — so eviction never affects
+# correctness, only caching).  Long-lived sessions stay bounded at
+# _CACHE_CAP gram frames; release_cached() drops them all eagerly.
+from collections import OrderedDict
+
+_CACHE: OrderedDict[int, DataFrame] = OrderedDict()
+_CACHE_CAP = 4
 
 
 def _persist(df: DataFrame) -> DataFrame:
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover — defensive: hash failure disables reuse
+        key = id(df)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        _CACHE.move_to_end(key)
+        return hit
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(df)
+    _CACHE[key] = df
+    while len(_CACHE) > _CACHE_CAP:
+        _, old = _CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 
 def release_cached() -> int:
-    """Unpersist every gram-set frame cached by earlier builder calls.
-    Returns the number of frames released."""
+    """Unpersist every gram-set frame cached by the builders (call once
+    consumers finish, e.g. at the end of a pipeline stage).  Returns the
+    number of frames released."""
     n = 0
-    for df in _PERSISTED:
+    for df in _CACHE.values():
         try:
             df.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass
-    _PERSISTED.clear()
+    _CACHE.clear()
     return n
 
 
@@ -173,9 +194,9 @@ def neardup_pairs_exact(
     """
     if method not in ("count", "prefix"):
         raise ValueError(f"unknown method: {method}")
-    release_cached()
     # The gram table feeds several consumers; Spark re-evaluates an
-    # unpersisted subtree per consumer, so materialize it once.
+    # unpersisted subtree per consumer, so materialize it once (LRU-reused
+    # across repeated builds).
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
     sets = _persist(_gram_sets(df, id_col, grams).withColumn("n", F.size("grams")))
     postings = sets.select("id", "n", F.explode("grams").alias("g"))
@@ -260,9 +281,8 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    release_cached()
     # Reused by the signature build and both verification sides (see
-    # neardup_pairs_exact on why persist).
+    # neardup_pairs_exact on why persist; LRU-reused across repeated builds).
     sets = _persist(_gram_sets(df, id_col, grams).filter(F.size("grams") > 0))
     sig = minhash_pairs_signatures(sets, num_hashes)
     banded = sig.select(
