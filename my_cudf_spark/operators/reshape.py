@@ -22,6 +22,7 @@ __all__ = [
     "pivot_table",
     "crosstab",
     "get_dummies",
+    "unstack",
     "transpose",
     "interleave_columns",
     "tile",
@@ -87,6 +88,25 @@ def get_dummies(df: DataFrame, column: str, categories: Sequence[str], prefix: s
             for v in categories
         ],
     )
+
+
+def unstack(
+    df: DataFrame,
+    index: Sequence[str],
+    column: str,
+    value: str,
+    fill_value=None,
+) -> DataFrame:
+    """unstack (reference python/cudf/cudf/core/reshape.py:1174): pivot the
+    ``column`` level of a long frame into one output column per distinct
+    value, cells taken from ``value``.  (index, column) pairs are expected
+    unique — like the reference, duplicate cells are an input error; we
+    surface ``first(value)`` per cell.  One shuffle (groupBy+pivot); pass a
+    pre-aggregated frame at scale so the distinct-values scan is tiny."""
+    out = df.groupBy(*index).pivot(column).agg(F.first(value))
+    if fill_value is not None:
+        out = out.na.fill(fill_value, [c for c in out.columns if c not in index])
+    return out
 
 
 def transpose(df: DataFrame, index_col: str) -> DataFrame:

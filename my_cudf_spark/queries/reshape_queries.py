@@ -165,3 +165,69 @@ def agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
     )
+
+
+@register(
+    "reshape_unstack",
+    sql="""
+    WITH long AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority,
+           COALESCE(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS F,
+           COALESCE(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS O,
+           COALESCE(max(CASE WHEN o_orderstatus = 'P' THEN n END), 0) AS P
+    FROM long GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def reshape_unstack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unstack (reference reshape.py:1174): long (priority, status, n) →
+    wide one column per status.  Pre-aggregated input, so (index, column)
+    cells are unique and the pivot's distinct-values scan touches a
+    15-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    long = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        R.unstack(long, ["o_orderpriority"], "o_orderstatus", "n", fill_value=0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "reshape_transpose",
+    sql="""
+    WITH base AS (
+      SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+             CAST(min(n_nationkey) AS BIGINT) AS min_key,
+             CAST(max(n_nationkey) AS BIGINT) AS max_key
+      FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name)
+    SELECT v.variable,
+           max(CASE WHEN r_name = 'AFRICA' THEN v.val END) AS AFRICA,
+           max(CASE WHEN r_name = 'AMERICA' THEN v.val END) AS AMERICA,
+           max(CASE WHEN r_name = 'ASIA' THEN v.val END) AS ASIA,
+           max(CASE WHEN r_name = 'EUROPE' THEN v.val END) AS EUROPE,
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN v.val END) AS "MIDDLE EAST"
+    FROM base, LATERAL (VALUES ('n_nations', n_nations), ('min_key', min_key),
+                               ('max_key', max_key)) AS v(variable, val)
+    GROUP BY v.variable ORDER BY v.variable
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transpose (transpose.hpp:46): 5-region × 3-metric summary flipped to
+    3 rows × 5 region columns via melt + pivot — the small-frame regime the
+    reference also restricts transpose to."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_nationkey").alias("min_key"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+    )
+    return R.transpose(base, "r_name").orderBy("variable")
