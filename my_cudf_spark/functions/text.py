@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokenize",
+    "character_tokenize",
     "count_tokens",
     "word_ngrams",
     "char_ngrams",
@@ -58,6 +59,15 @@ def _c(col: Column | str) -> Column:
 def tokenize(col: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace/delimiter tokenize (tokenize.hpp:61)."""
     return F.split(F.trim(_c(col)), pattern)
+
+
+def character_tokenize(col: Column | str) -> Column:
+    """character_tokenize (nvtext/tokenize.hpp:187): every character —
+    including spaces — becomes a token.  The reference flattens across
+    rows; we keep a per-row array (explode for the flat form).  Note
+    Spark's split('') yields [''] for an empty string where the reference
+    yields no tokens — filter empties when exploding."""
+    return F.split(_c(col), "")
 
 
 def count_tokens(col: Column | str, pattern: str = r"\s+") -> Column:

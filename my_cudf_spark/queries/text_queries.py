@@ -426,3 +426,28 @@ def text_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids_first_word"
         ),
     ).orderBy("p_name")
+
+
+@register(
+    "text_char_tokenize",
+    sql="""
+    SELECT c AS ch, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(p_name, '')) AS c
+          FROM (SELECT DISTINCT p_name FROM part))
+    GROUP BY c ORDER BY ch
+    """,
+)
+def text_char_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """character_tokenize (nvtext/tokenize.hpp:187): every character of the
+    distinct p_name strings becomes a token; the flat (exploded) form with
+    frequency counts — explode is a narrow generate, the count is one
+    map-side-partial shuffle."""
+    from my_cudf_spark.functions.text import character_tokenize
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    return (
+        names.select(F.explode(character_tokenize("p_name")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("ch")
+    )

@@ -10,6 +10,7 @@ we cover session windows, sliding windows, and the Kafka plumbing contract.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -82,3 +83,29 @@ def test_kafka_stream_contract(spark):
         assert "kafka" in str(e).lower()
     else:
         assert df.isStreaming
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA"),
+    reason="live Kafka smoke: set SPARK_GRAFT_KAFKA=host:port (needs the "
+    "spark-sql-kafka connector on the classpath and a reachable broker)",
+)
+def test_kafka_live_roundtrip(spark):
+    """End-to-end against a real broker: write one batch to a topic, pull
+    it back with the custreamz-shaped offset-range read
+    (kafka_batch_read), and check payload fidelity."""
+    import uuid
+
+    from my_cudf_spark.streaming.sources import kafka_batch_read
+
+    servers = os.environ["SPARK_GRAFT_KAFKA"]
+    topic = f"spark_graft_smoke_{uuid.uuid4().hex[:8]}"
+    src = spark.createDataFrame(
+        [(str(i), f'{{"k":{i}}}') for i in range(10)], "key string, value string"
+    )
+    (src.write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic).save())
+    got = kafka_batch_read(spark, servers, topic, partition=0, start=0, end=10)
+    vals = sorted(r["value"].decode() for r in got.select("value").collect())
+    assert vals == sorted(f'{{"k":{i}}}' for i in range(10))
