@@ -38,6 +38,7 @@ __all__ = [
     "byte_pair_encode",
     "load_wordpiece_vocabulary",
     "wordpiece_tokenize",
+    "subword_tokenize",
 ]
 
 
@@ -143,6 +144,29 @@ def load_wordpiece_vocabulary(vocab: Sequence[str]) -> dict[str, int]:
     return ids
 
 
+def _wp_word(word: str, ids: dict[str, int], unk_id: int) -> tuple[int, ...]:
+    """Greedy longest-match-first WordPiece for one word: continuation
+    pieces looked up with a ``##`` prefix; any unmatched position turns the
+    WHOLE word into the UNK id (wordpiece_tokenize.hpp:80 — 'now' -> 0)."""
+    out: list[int] = []
+    i, n = 0, len(word)
+    while i < n:
+        j = n
+        hit = None
+        while j > i:
+            sub = word[i:j] if i == 0 else "##" + word[i:j]
+            tid = ids.get(sub)
+            if tid is not None:
+                hit = tid
+                break
+            j -= 1
+        if hit is None:
+            return (unk_id,)
+        out.append(hit)
+        i = j
+    return tuple(out)
+
+
 def wordpiece_tokenize(
     col: Column | str,
     vocab: Sequence[str],
@@ -167,23 +191,7 @@ def wordpiece_tokenize(
 
         @lru_cache(maxsize=65536)
         def wp(word: str) -> tuple[int, ...]:
-            out: list[int] = []
-            i, n = 0, len(word)
-            while i < n:
-                j = n
-                hit = None
-                while j > i:
-                    sub = word[i:j] if i == 0 else "##" + word[i:j]
-                    tid = ids.get(sub)
-                    if tid is not None:
-                        hit = tid
-                        break
-                    j -= 1
-                if hit is None:
-                    return (unk_id,)
-                out.append(hit)
-                i = j
-            return tuple(out)
+            return _wp_word(word, ids, unk_id)
 
         def one(text):
             if text is None:
@@ -202,3 +210,69 @@ def wordpiece_tokenize(
 
     tokenize_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(tokenize_batch, "array<int>")(c)
+
+
+def subword_tokenize(
+    df,
+    text_col: str,
+    vocab: Sequence[str],
+    id_cols: Sequence[str],
+    max_sequence_length: int = 64,
+    stride: int = 48,
+    do_lower: bool = True,
+    do_truncate: bool = False,
+    unk_token: str = "[UNK]",
+):
+    """BERT-style subword tokenization to fixed-size tensor rows
+    (subword_tokenize.hpp:150, tokenizer_result :79 — deprecated upstream
+    in 25.06 in favor of wordpiece, kept here for parity).
+
+    Output: one row per tensor window —
+    ``(*id_cols, seq, token_ids, attention_mask, n_valid, start_pos,
+    stop_pos)`` where ``token_ids`` is zero-padded to
+    ``max_sequence_length``, ``attention_mask`` marks the valid prefix, and
+    (start_pos, stop_pos) are the covered token positions (the reference's
+    tensor_metadata triple, with ``id_cols`` in place of the row-id).
+
+    ``do_truncate=True`` keeps only the first window; otherwise overlapping
+    windows advance by ``stride`` until one reaches the end of the token
+    sequence (HF-style overflow).
+
+    Scale shape: one Arrow-batched pandas_udf pass for WordPiece ids, then
+    the windowing — sequence/filter/explode/slice/pad — is all JVM-side
+    higher-order Column expressions: narrow, no shuffle, codegen-friendly.
+    """
+    if not 0 < stride <= max_sequence_length:
+        raise ValueError("require 0 < stride <= max_sequence_length")
+    c = F.col(text_col)
+    if do_lower:
+        c = F.lower(c)
+    t = df.select(*id_cols, wordpiece_tokenize(c, vocab, unk_token=unk_token).alias("__ids"))
+    n = F.size("__ids")
+    if do_truncate:
+        starts = F.array(F.lit(0))
+    else:
+        # candidate starts 0, stride, 2*stride, ... ≤ n-1; keep a window if
+        # it is the first OR the previous window did not already reach the
+        # end (start - stride + max < n).
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: (s == 0) | (s + F.lit(max_sequence_length - stride) < n),
+        )
+    t = t.select(*id_cols, "__ids", F.explode(starts).alias("start"))
+    sl = F.slice("__ids", F.col("start") + 1, max_sequence_length)
+    n_valid = F.size(sl)
+    pad = F.lit(max_sequence_length) - n_valid
+    return t.select(
+        *id_cols,
+        (F.col("start") / stride).cast("int").alias("seq"),
+        F.concat(sl, F.array_repeat(F.lit(0), pad)).alias("token_ids"),
+        F.concat(
+            F.array_repeat(F.lit(1), n_valid), F.array_repeat(F.lit(0), pad)
+        ).alias("attention_mask"),
+        n_valid.alias("n_valid"),
+        F.col("start").alias("start_pos"),
+        (F.least(F.col("start") + max_sequence_length, F.size("__ids")) - 1).alias(
+            "stop_pos"
+        ),
+    )

@@ -451,3 +451,73 @@ def text_char_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("ch")
     )
+
+
+# BERT-style subword tensors (subword_tokenize.hpp:150) over documents:
+# 31-word corpus vocabulary; 'window' splits to win + ##dow, 'merge' is
+# deliberately out-of-vocab -> [UNK]=0.  tests/test_bpe.py pins the literal
+# word->ids mapping used by the oracle to the wordpiece algorithm.
+SUBWORD_VOCAB = [
+    "[UNK]", "a", "agg", "batch", "big", "column", "customer", "data",
+    "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "win", "##dow",
+]
+_SUBWORD_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN w = '{w}' THEN [{i}]"
+        for i, w in enumerate(SUBWORD_VOCAB)
+        if w != "[UNK]" and not w.startswith("##")
+    )
+    + " WHEN w = 'window' THEN [30, 31] ELSE [0] END"
+)
+_SW_MAX, _SW_STRIDE = 32, 24
+
+
+@register(
+    "text_subword",
+    sql=f"""
+    WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                  FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id,
+                   flatten(list_transform(ws, w -> {_SUBWORD_CASE})) AS ids
+            FROM docs),
+    st AS (SELECT doc_id, ids, len(ids) AS n,
+                  unnest(list_filter(list_transform(range(0, 10), k -> k * {_SW_STRIDE}),
+                                     s -> s = 0 OR s + {_SW_MAX - _SW_STRIDE} < n)) AS start
+           FROM tok),
+    win AS (SELECT doc_id, CAST(start // {_SW_STRIDE} AS INT) AS seq,
+                   list_slice(ids, start + 1, start + {_SW_MAX}) AS sl, n, start
+            FROM st)
+    SELECT doc_id, seq,
+           array_to_string(list_concat(sl, list_transform(range(0, {_SW_MAX} - len(sl)), x -> 0)), ',') AS token_ids,
+           array_to_string(list_concat(list_transform(range(0, len(sl)), x -> 1),
+                                       list_transform(range(0, {_SW_MAX} - len(sl)), x -> 0)), ',') AS attention_mask,
+           CAST(len(sl) AS INT) AS n_valid,
+           CAST(start AS INT) AS start_pos,
+           CAST(least(start + {_SW_MAX}, n) - 1 AS INT) AS stop_pos
+    FROM win ORDER BY doc_id, seq
+    """,
+)
+def text_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subword_tokenize (subword_tokenize.hpp:150): fixed-size BERT tensor
+    rows — padded token ids + attention mask + (start, stop) metadata —
+    with overlapping stride-24 windows of length 32.  One pandas_udf pass
+    for WordPiece; windowing is JVM-side (sequence/filter/explode/slice)."""
+    from my_cudf_spark.functions import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = B.subword_tokenize(
+        docs, "text", SUBWORD_VOCAB, ["doc_id"],
+        max_sequence_length=_SW_MAX, stride=_SW_STRIDE,
+    )
+    return out.select(
+        "doc_id",
+        "seq",
+        F.array_join(F.transform("token_ids", lambda i: i.cast("string")), ",").alias("token_ids"),
+        F.array_join(F.transform("attention_mask", lambda i: i.cast("string")), ",").alias("attention_mask"),
+        "n_valid",
+        "start_pos",
+        "stop_pos",
+    ).orderBy("doc_id", "seq")

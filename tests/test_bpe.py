@@ -105,3 +105,44 @@ def test_wordpiece_no_unk_in_vocab(spark):
 def test_vocab_ids_are_row_indices():
     ids = load_wordpiece_vocabulary(["x", "y", "x"])
     assert ids["x"] == 0 and ids["y"] == 1
+
+
+def test_subword_windows(spark):
+    # overlapping windows: 5 tokens, max=4, stride=2 -> starts 0 and 2
+    from my_cudf_spark.functions.bpe import subword_tokenize
+
+    df = spark.createDataFrame([(1, "a a a a a")], "id int, text string")
+    rows = subword_tokenize(
+        df, "text", ["[UNK]", "a"], ["id"], max_sequence_length=4, stride=2
+    ).orderBy("seq").collect()
+    assert [(r["seq"], r["start_pos"], r["stop_pos"]) for r in rows] == [(0, 0, 3), (1, 2, 4)]
+    assert rows[0]["token_ids"] == [1, 1, 1, 1]
+    assert rows[0]["attention_mask"] == [1, 1, 1, 1]
+    assert rows[1]["token_ids"] == [1, 1, 1, 0]
+    assert rows[1]["attention_mask"] == [1, 1, 1, 0]
+    assert rows[1]["n_valid"] == 3
+
+
+def test_subword_truncate_and_lower(spark):
+    from my_cudf_spark.functions.bpe import subword_tokenize
+
+    df = spark.createDataFrame([(1, "A a A a A")], "id int, text string")
+    rows = subword_tokenize(
+        df, "text", ["[UNK]", "a"], ["id"],
+        max_sequence_length=4, stride=2, do_truncate=True,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["token_ids"] == [1, 1, 1, 1]
+
+
+def test_subword_oracle_mapping_matches_algorithm():
+    # the literal word->ids CASE used by the text_subword oracle must agree
+    # with the wordpiece algorithm
+    from my_cudf_spark.functions.bpe import _wp_word, load_wordpiece_vocabulary
+    from my_cudf_spark.queries.text_queries import SUBWORD_VOCAB
+
+    ids = load_wordpiece_vocabulary(SUBWORD_VOCAB)
+    for i, w in enumerate(SUBWORD_VOCAB):
+        if w != "[UNK]" and not w.startswith("##"):
+            assert _wp_word(w, ids, 0) == (i,)
+    assert _wp_word("window", ids, 0) == (30, 31)
+    assert _wp_word("merge", ids, 0) == (0,)
