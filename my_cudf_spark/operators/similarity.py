@@ -7,6 +7,9 @@ nvtext stops at token-level similarity).
   Cost O(|corpus|·|queries|·dim) — the correctness baseline.
 - ``lsh_topk``          : the scale path — random-hyperplane LSH buckets;
   only rows sharing a bucket are scored. Recall tunable via tables/bits.
+- ``cosine_pairs_exact``/``cosine_neardup_lsh`` : embedding-cosine
+  near-duplicate PAIRS (the dedup tier over embeddings): exact blocked
+  baseline + LSH-bucketed scale path with exact-cosine verification.
 
 Vectors are ``array<float>`` columns; norms are precomputed once per side.
 """
@@ -17,7 +20,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk"]
+__all__ = [
+    "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
+    "cosine_pairs_exact", "cosine_neardup_lsh",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -140,4 +146,90 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exactly: all unordered (id_a, id_b)
+    with cosine ≥ threshold.  O(n²/|blocks|) — the correctness baseline for
+    :func:`cosine_neardup_lsh`, same role brute_force_topk plays for
+    lsh_topk.  ``block_col`` is an equi-join blocking key (e.g. a class
+    label or cluster id) that both bounds the quadratic and gives the join
+    a hash-partitionable condition; without it the comparison is a
+    broadcast nested-loop over ``id_a < id_b``."""
+    cond = F.col("id_a") < F.col("id_b")
+    acols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")]
+    bcols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")]
+    if block_col is not None:
+        acols.append(F.col(block_col).alias("__blk_a"))
+        bcols.append(F.col(block_col).alias("__blk_b"))
+        cond = (F.col("__blk_a") == F.col("__blk_b")) & cond
+    pairs = df.select(*acols).join(df.select(*bcols), cond)
+    return (
+        pairs.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    bits: int = 12,
+    tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH —
+    candidates are pairs sharing any (table, signature) bucket, verified
+    with exact cosine ≥ threshold so false positives never escape.  The
+    per-bit collision probability is 1 − θ/π, so this targets the true
+    near-duplicate regime (cosine ≳ 0.8); at low thresholds the candidate
+    set approaches all-pairs and :func:`cosine_pairs_exact` with a blocking
+    key is the honest choice.  Shuffle ∝ rows×tables; the in-bucket pair
+    expansion reuses the dedup groupBy+collect_list shape (no self-join)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from my_cudf_spark.operators.dedup import _pairs_in_buckets
+
+    planes = np.array(
+        [p for t in range(tables) for p in _hyperplanes(dim, bits, seed=101 + t)]
+    )
+    powers = 1 << np.arange(bits)
+
+    def _buckets(vecs):
+        X = np.stack(vecs.to_numpy())
+        B = (X @ planes.T) > 0
+        sigs = B.reshape(len(X), tables, bits) @ powers
+        return pd.Series([[f"{t}:{int(s)}" for t, s in enumerate(row)] for row in sigs])
+
+    _buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    bucket_udf = pandas_udf(_buckets, "array<string>")
+
+    banded = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", F.explode(bucket_udf(F.col("v"))))
+    cand = (
+        _pairs_in_buckets(banded, ["bucket"], F.struct("id", "v"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("__va"),
+            F.col("b.v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )

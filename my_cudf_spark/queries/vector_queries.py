@@ -83,3 +83,28 @@ def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "vec_neardup_pairs",
+    sql="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos
+    FROM p WHERE cos >= 0.25 ORDER BY id_a, id_b
+    """,
+)
+def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact): same-label blocking bounds
+    the quadratic and hash-partitions the join; cosine computed once per
+    surviving pair.  The correctness baseline for cosine_neardup_lsh (the
+    scale path, recall-tested against this in tests/test_similarity.py).
+    Threshold 0.25 sits in the fixture's top-1% similarity tail."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    out = S.cosine_pairs_exact(emb, "vec_id", "embedding", 0.25, block_col="label")
+    return out.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    ).orderBy("id_a", "id_b")

@@ -30,3 +30,40 @@ def test_cosine_self_similarity(spark):
     emb = _emb(spark).limit(20)
     row = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
     assert all(abs(r["c"] - 1.0) < 1e-12 for r in row)
+
+
+def test_cosine_neardup_lsh_recall_on_planted_dups(spark):
+    """LSH near-dup targets the high-cosine regime, so plant it: 40 base
+    vectors + a small-noise copy of each (cos ≳ 0.98). The LSH path must
+    recover ≥90% of the planted pairs and report only true ≥-threshold
+    pairs (false positives are impossible by construction — candidates are
+    exact-verified)."""
+    import random
+
+    from my_cudf_spark.operators.similarity import (
+        cosine_neardup_lsh,
+        cosine_pairs_exact,
+    )
+
+    rng = random.Random(7)
+    dim, n = 16, 40
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.03)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(df, "vec_id", "embedding", 0.9).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_lsh(
+            df, "vec_id", "embedding", 0.9, dim=dim, bits=10, tables=12
+        ).collect()
+    }
+    assert approx <= exact  # exact verification: no false positives
+    assert len(exact) >= n  # every planted pair qualifies
+    assert len(approx) >= 0.9 * len(exact)
