@@ -521,3 +521,37 @@ def text_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_pos",
         "stop_pos",
     ).orderBy("doc_id", "seq")
+
+
+@register(
+    "pack_documents",
+    sql="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+          FROM t)
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 512 AS BIGINT) AS pack_id,
+           CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_pack_id,
+           (start_offset + n_tokens - 1) // 512 > start_offset // 512 AS straddle
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk) of documents into 512-token
+    training sequences: global token offsets via the two-phase distributed
+    cumsum (operators/packing.py — no single-partition window), then pack
+    assignment is pure arithmetic."""
+    from my_cudf_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(t, "doc_id", "n_tokens", 512).select(
+        "doc_id", "n_tokens", "start_offset", "pack_id", "end_pack_id", "straddle"
+    ).orderBy("doc_id")

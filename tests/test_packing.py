@@ -1,0 +1,42 @@
+"""global_cumsum / pack_sequences: the two-phase distributed prefix sum
+must equal the single-window reference on any partitioning, and pack
+assignment must respect boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from my_cudf_spark.operators.packing import global_cumsum, pack_sequences
+
+
+def test_global_cumsum_matches_single_window(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, "k", "v", "cs", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["cs"]
+        for r in df.withColumn("cs", F.coalesce(F.sum("v").over(w), F.lit(0))).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_boundaries(spark):
+    # budget 10; docs of 4 tokens each: doc 2 (offset 8) straddles 8..11
+    df = spark.createDataFrame([(i, 4) for i in range(1, 6)], "doc long, n long")
+    out = {r["doc"]: r for r in pack_sequences(df, "doc", "n", 10).collect()}
+    assert [out[d]["start_offset"] for d in range(1, 6)] == [0, 4, 8, 12, 16]
+    assert [out[d]["pack_id"] for d in range(1, 6)] == [0, 0, 0, 1, 1]
+    assert out[3]["straddle"] and out[3]["end_pack_id"] == 1
+    assert not out[1]["straddle"] and not out[4]["straddle"]
+
+
+def test_pack_sequences_doc_longer_than_budget(spark):
+    df = spark.createDataFrame([(1, 25), (2, 3)], "doc long, n long")
+    out = {r["doc"]: r for r in pack_sequences(df, "doc", "n", 10).collect()}
+    assert out[1]["pack_id"] == 0 and out[1]["end_pack_id"] == 2
+    assert out[2]["start_offset"] == 25 and out[2]["pack_id"] == 2
