@@ -163,16 +163,37 @@ def cosine_pairs_exact(
     label or cluster id) that both bounds the quadratic and gives the join
     a hash-partitionable condition; without it the comparison is a
     broadcast nested-loop over ``id_a < id_b``."""
+    # Precompute the scalar norm ONCE PER ROW so each of the O(n²) pairs
+    # costs a single array traversal (the dot) plus one multiply/divide —
+    # and the expression tree dot/(norm_a·norm_b) stays bit-identical to
+    # the differential oracle's (pre-normalizing the vectors instead would
+    # reorder the float ops and drift in the last ulps).
+    side = df.select(
+        F.col(id_col).alias("__id"),
+        *([F.col(block_col).alias("__blk")] if block_col is not None else []),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
     cond = F.col("id_a") < F.col("id_b")
-    acols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")]
-    bcols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")]
+    a = side.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        *([F.col("__blk").alias("__blk_a")] if block_col is not None else []),
+    )
+    b = side.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        *([F.col("__blk").alias("__blk_b")] if block_col is not None else []),
+    )
     if block_col is not None:
-        acols.append(F.col(block_col).alias("__blk_a"))
-        bcols.append(F.col(block_col).alias("__blk_b"))
         cond = (F.col("__blk_a") == F.col("__blk_b")) & cond
-    pairs = df.select(*acols).join(df.select(*bcols), cond)
+    pairs = a.join(b, cond)
     return (
-        pairs.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        pairs.withColumn(
+            "cos", dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
