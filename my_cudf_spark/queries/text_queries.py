@@ -555,3 +555,39 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(t, "doc_id", "n_tokens", 512).select(
         "doc_id", "n_tokens", "start_offset", "pack_id", "end_pack_id", "straddle"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
+    e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
+          FROM e a JOIN e b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+    pairs AS (SELECT id_a, id_b FROM p
+              WHERE CAST(inter AS DOUBLE)/(n_a + n_b - inter) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+           (id = MIN(r)) AS is_canonical
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: connected components over the exact near-dup
+    pair graph (the step after jaccard.hpp:73 pair detection every dedup
+    pipeline needs) — every document labeled with its cluster's min doc_id,
+    singletons included; the DuckDB oracle recomputes components with a
+    recursive CTE."""
+    from my_cudf_spark.operators import clustering as C
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    trigrams = T.word_ngrams(F.col("toks"), 3)
+    pairs = D.neardup_pairs_exact(docs, "doc_id", trigrams, threshold=0.5)
+    return C.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")

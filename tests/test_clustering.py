@@ -1,0 +1,65 @@
+"""connected_components vs a driver-side union-find on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_cudf_spark.operators.clustering import connected_components, dedup_clusters
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 15), (2, 60, 80), (3, 40, 39)])
+def test_connected_components_matches_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    expect = _union_find(n, edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_chain_converges(spark):
+    # A single path graph — worst case for pure propagation, where pointer
+    # jumping's O(log n) rounds must kick in within max_iterations.
+    n = 200
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    out = connected_components(df, max_iterations=12).collect()
+    assert len(out) == n
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(ids, pairs, id_col="doc_id").collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[3]["cluster_id"] == 1
+    assert rows[8]["cluster_id"] == 7
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_canonical"]
+    assert not rows[3]["is_canonical"]
+    canon = [r for r in rows.values() if r["is_canonical"]]
+    assert {r["doc_id"] for r in canon} == {0, 1, 4, 5, 6, 7, 9}
