@@ -12,6 +12,10 @@ the scale-minded helpers and the joins the reference lacks:
                     per-row range probe, one shuffle per side.
 - ``salted_join`` : skew mitigation — explode hot keys on the build side,
                     salt the probe side (SURVEY.md §7.2.7).
+- ``range_join``  : point-in-interval join via bin bucketing — turns the
+                    BNLJ Spark would plan for ``p BETWEEN lo AND hi`` into
+                    an equi-join on bin id (the standard trick interval/
+                    spatial engines use; absent in reference like asof).
 """
 
 from __future__ import annotations
@@ -22,7 +26,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["equi_join", "theta_join", "mixed_join", "asof_join", "salted_join"]
+__all__ = [
+    "equi_join", "theta_join", "mixed_join", "asof_join", "salted_join",
+    "range_join",
+]
 
 _HOW = {
     "inner", "left", "right", "full", "outer", "left_semi", "semi",
@@ -175,3 +182,65 @@ def salted_join(
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l.join(r, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def _as_long(df: DataFrame, col: str) -> Column:
+    """Numeric view of a column for binning: dates → days since epoch,
+    timestamps → epoch seconds (session tz pinned UTC), numerics as-is."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype == "date":
+        return F.datediff(c, F.lit("1970-01-01")).cast("long")
+    if dtype.startswith("timestamp"):
+        return F.unix_timestamp(c)
+    return c.cast("long")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+    closed: str = "both",
+) -> DataFrame:
+    """Join each ``points`` row to every ``intervals`` row whose
+    ``[lo, hi]`` contains ``point`` — WITHOUT the BroadcastNestedLoopJoin
+    Spark plans for a bare ``p BETWEEN lo AND hi`` predicate.
+
+    Bin bucketing: intervals are exploded to every ``bin_width``-sized bin
+    they overlap, points map to exactly one bin, and the join becomes an
+    equi-join on bin id + residual containment predicate.  A (point,
+    interval) pair can only meet in the point's single bin, so no dedup
+    pass is needed.  Shuffle volume is O(points + intervals·span/bin_width)
+    — pick ``bin_width`` near the typical interval span so most intervals
+    explode to ~2 bins.  This is the interval-join shape that survives
+    100 TB; Spark's own optimizer has no equivalent rewrite.
+
+    ``closed``: "both" ([lo, hi]), "left" ([lo, hi)), "right" ((lo, hi]),
+    "neither".  ``how``: inner or left (points-preserving; interval-side
+    outer would need per-bin dedup of unmatched interval copies).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, not how={how!r}")
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"unknown closed={closed!r}")
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+
+    p_long = _as_long(points, point_col)
+    lo_long = _as_long(intervals, lo_col)
+    hi_long = _as_long(intervals, hi_col)
+
+    p = points.withColumn("__bin", F.floor(p_long / w))
+    i = intervals.withColumn(
+        "__bin", F.explode(F.sequence(F.floor(lo_long / w), F.floor(hi_long / w)))
+    )
+    pc, lo, hi = F.col(point_col), F.col(lo_col), F.col(hi_col)
+    lower = pc >= lo if closed in ("both", "left") else pc > lo
+    upper = pc <= hi if closed in ("both", "right") else pc < hi
+    cond = (p["__bin"] == i["__bin"]) & lower & upper
+    return p.join(i, cond, how).drop("__bin")

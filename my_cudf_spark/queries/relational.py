@@ -301,3 +301,51 @@ def unique_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_range",
+    sql="""
+    WITH o AS (SELECT o_orderkey, o_orderdate,
+                      o_orderdate + INTERVAL 10 DAY AS o_end
+               FROM orders
+               WHERE o_orderpriority = '1-URGENT'
+                 AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31')
+    SELECT o.o_orderkey AS o_orderkey,
+           COUNT(*) AS n_ship,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.o_end
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via bin bucketing (operators/joins.range_join):
+    shipments falling inside each urgent order's 10-day window, as an
+    equi-join on bin id instead of the BNLJ a raw BETWEEN predicate plans
+    (guarded by tests/test_plans.py)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("o_end"),
+        )
+    )
+    points = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = j.range_join(
+        points, orders, "l_shipdate", "o_orderdate", "o_end",
+        bin_width=7 * 86400, closed="left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_ship"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderkey")
+    )
