@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "my_cudf_spark.queries.function_queries",
     "my_cudf_spark.queries.reshape_queries",
     "my_cudf_spark.queries.text_queries",
+    "my_cudf_spark.queries.sampling_queries",
     "my_cudf_spark.queries.vector_queries",
     "my_cudf_spark.queries.multimodal_queries",
     "my_cudf_spark.queries.io_queries",

@@ -1,0 +1,71 @@
+"""Deterministic-sampling correctness queries (north-star pipeline ops)
+over the ``documents`` fixture.
+
+Membership must be a pure function of the row key (operators/sampling.py)
+— the oracle runs the IDENTICAL md5-prefix expression in DuckDB, so any
+engine- or partitioning-dependence would show up as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.operators import sampling as S
+from my_cudf_spark.operators.sampling import _threshold_hex
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+# DuckDB twin of sampling.hash_bucket over doc_id with empty salt.
+SQL_BUCKET = "substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@register(
+    "sample_split",
+    sql=f"""
+    WITH h AS (SELECT doc_id, {SQL_BUCKET} AS b FROM documents)
+    SELECT doc_id,
+           b < '{_threshold_hex(0.25)}' AS in_sample,
+           CASE WHEN b < '{_threshold_hex(0.8)}' THEN 'train'
+                WHEN b < '{_threshold_hex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample membership + train/val/test split
+    assignment, both pure functions of doc_id (reproducible across
+    clusters and engines; no RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = S.hash_bucket(["doc_id"])
+    labeled = S.assign_splits(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return labeled.select(
+        "doc_id",
+        (bucket < F.lit(_threshold_hex(0.25))).alias("in_sample"),
+        "split",
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified",
+    sql=f"""
+    WITH h AS (SELECT doc_id, lang, source, {SQL_BUCKET} AS b FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY lang, source
+              ORDER BY b, CAST(doc_id AS VARCHAR)) AS rk
+          FROM h)
+    SELECT doc_id, lang, source FROM r WHERE rk <= 3 ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus construction: exactly min(3, |stratum|) documents
+    per (lang, source) stratum, chosen by deterministic hash rank (one
+    windowed shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        S.stratified_sample(docs, ["lang", "source"], ["doc_id"], 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,69 @@
+"""Deterministic sampling: reproducibility, split exhaustiveness, quotas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_cudf_spark.operators.sampling import (
+    assign_splits,
+    hash_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.range(2000).withColumn("g", (F.col("id") % 7).cast("int"))
+
+
+def test_hash_sample_fraction_and_determinism(rows):
+    got = hash_sample(rows, ["id"], 0.25)
+    n = got.count()
+    assert abs(n / 2000 - 0.25) < 0.05  # binomial 3-sigma ≈ 0.029
+    # invariant under repartitioning — the property df.sample lacks
+    again = hash_sample(rows.repartition(13), ["id"], 0.25)
+    assert {r["id"] for r in got.collect()} == {r["id"] for r in again.collect()}
+    # nested: a smaller fraction is a subset of a larger one
+    small = {r["id"] for r in hash_sample(rows, ["id"], 0.1).collect()}
+    assert small <= {r["id"] for r in got.collect()} or len(small - {r["id"] for r in got.collect()}) == 0
+
+
+def test_hash_sample_salt_changes_membership(rows):
+    a = {r["id"] for r in hash_sample(rows, ["id"], 0.5).collect()}
+    b = {r["id"] for r in hash_sample(rows, ["id"], 0.5, salt="v2").collect()}
+    assert a != b
+
+
+def test_assign_splits_disjoint_exhaustive(rows):
+    out = assign_splits(rows, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic across repartition
+    again = assign_splits(
+        rows.repartition(17), ["id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert (
+        out.join(again.withColumnRenamed("split", "split2"), "id")
+        .filter(F.col("split") != F.col("split2"))
+        .count()
+        == 0
+    )
+
+
+def test_assign_splits_validates_weights(rows):
+    with pytest.raises(ValueError):
+        assign_splits(rows, ["id"], {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_quota(rows):
+    out = stratified_sample(rows, ["g"], ["id"], 5)
+    counts = out.groupBy("g").count().collect()
+    assert all(r["count"] == 5 for r in counts) and len(counts) == 7
+    # small stratum: takes all rows, not more
+    tiny = rows.filter(F.col("id") < 3)
+    assert stratified_sample(tiny, ["g"], ["id"], 5).count() == 3
+    with pytest.raises(ValueError):
+        stratified_sample(rows, ["g"], ["id"], 0)
