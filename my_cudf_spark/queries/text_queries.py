@@ -591,3 +591,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams = T.word_ngrams(F.col("toks"), 3)
     pairs = D.neardup_pairs_exact(docs, "doc_id", trigrams, threshold=0.5)
     return C.dedup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+@register(
+    "text_contamination",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g,
+                      substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+               FROM documents),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM s
+              WHERE b < '0ccccccc' AND len(g) > 0),
+    tr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM s
+           WHERE b >= '0ccccccc' AND len(g) > 0)
+    SELECT tr.doc_id AS doc_id,
+           CAST(tr.n_grams AS BIGINT) AS n_grams,
+           COUNT(bench.gram) AS n_overlap,
+           ROUND(CAST(COUNT(bench.gram) AS DOUBLE) / tr.n_grams, 6) AS ratio,
+           CAST(COUNT(bench.gram) AS DOUBLE) / tr.n_grams >= 0.2 AS contaminated
+    FROM tr LEFT JOIN bench USING (gram)
+    GROUP BY tr.doc_id, tr.n_grams ORDER BY doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): a deterministic
+    5% hash slice of the corpus plays the eval set; every remaining
+    document is scored by trigram overlap against it and flagged at
+    ratio ≥ 0.2."""
+    from my_cudf_spark.operators.decontam import contamination_report
+    from my_cudf_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    th = _threshold_hex(0.05)
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
+        hash_bucket(["doc_id"]).alias("b"),
+    ).filter(F.size("grams") > 0)
+    bench = sets.filter(F.col("b") < th).select(F.explode("grams").alias("gram"))
+    train = sets.filter(F.col("b") >= th).select(F.col("doc_id").alias("id"), "grams")
+    rep = contamination_report(train, bench, threshold=0.2)
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_overlap",
+        F.round("ratio", 6).alias("ratio"),
+        "contaminated",
+    ).orderBy("doc_id")
