@@ -22,7 +22,7 @@ from pyspark.sql.functions import broadcast
 
 __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
-    "cosine_pairs_exact", "cosine_neardup_lsh",
+    "ivf_topk", "cosine_pairs_exact", "cosine_neardup_lsh",
 ]
 
 
@@ -253,4 +253,113 @@ def cosine_neardup_lsh(
         cand.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def _assign_nearest(
+    vecs: DataFrame, centroids: DataFrame, ident: str, n_probe: int
+) -> DataFrame:
+    """(ident, cid[, probe_rank]) — each vector's n_probe nearest centroids
+    by cosine (ties → lower cid).  Centroids are a bounded set (≪ corpus),
+    so the join is a broadcast; cost O(rows × centroids × dim)."""
+    scored = vecs.crossJoin(broadcast(centroids)).withColumn(
+        "__cos_c",
+        dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")),
+    )
+    w = Window.partitionBy(ident).orderBy(F.col("__cos_c").desc(), F.col("cid"))
+    out = scored.withColumn("__pr", F.row_number().over(w)).filter(
+        F.col("__pr") <= n_probe
+    )
+    return out.select(ident, "cid", "__v", "__n")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iterations: int = 0,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale path
+    next to :func:`lsh_topk`: partition the corpus into ``n_centroids``
+    Voronoi cells, search only the ``n_probe`` cells nearest each query.
+
+    Cost: assignment O(corpus × centroids), search O(corpus × n_probe /
+    n_centroids × queries-per-probed-cell) — sublinear in the corpus per
+    query once cells are selective, and every stage is an equi-join or
+    broadcast (no all-pairs).
+
+    Determinism (and the DuckDB oracle) comes from seeded centroids: the
+    ``n_centroids`` corpus rows with the smallest ids.  ``lloyd_iterations``
+    distributed k-means steps (posexplode → per-(cid, dim) mean → rebuild)
+    refine them; each step is two shuffles, linear in corpus size.  Empty
+    cells keep their previous centroid.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    w_seed = Window.orderBy("neighbor_id")
+    cents = (
+        c.withColumn("__rn", F.row_number().over(w_seed))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            (F.col("__rn") - 1).alias("cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"),
+        )
+    )
+
+    for _ in range(lloyd_iterations):
+        assigned = _assign_nearest(c, cents, "neighbor_id", 1)
+        means = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x.getField("m").cast("float"),
+                ).alias("__cv")
+            )
+            .withColumn("__cn", l2_norm(F.col("__cv")))
+        )
+        # Empty cells vanish from `means`; keep their previous centroid.
+        cents = (
+            cents.select("cid", F.col("__cv").alias("__cv0"), F.col("__cn").alias("__cn0"))
+            .join(means, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("__cv", "__cv0").alias("__cv"),
+                F.coalesce("__cn", "__cn0").alias("__cn"),
+            )
+        )
+
+    buckets = _assign_nearest(c, cents, "neighbor_id", 1)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    probes = _assign_nearest(q, cents, query_id, n_probe).select(
+        query_id, "cid", F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+    scored = (
+        buckets.join(probes, "cid")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn(
+            "cos", dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n"))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cos", "rank")
     )

@@ -108,3 +108,47 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cos", 6).alias("cos")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "vec_topk_ivf",
+    sql="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+               FROM embeddings),
+    cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nn AS cn
+              FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id AS neighbor_id, n.v, n.nn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    buckets AS (SELECT neighbor_id, v, nn, cid FROM ca WHERE pr = 1),
+    qa AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nn AS qn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c WHERE n.vec_id < 5),
+    probes AS (SELECT query_id, qv, qn, cid FROM qa WHERE pr <= 4),
+    s AS (SELECT p.query_id, b.neighbor_id,
+                 list_dot_product(p.qv, b.v)/(p.qn*b.nn) AS cos
+          FROM probes p JOIN buckets b USING (cid)
+          WHERE b.neighbor_id <> p.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def vec_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.ivf_topk): 16 seeded Voronoi cells,
+    4-probe search — the inverted-file scale path next to vec_topk_lsh,
+    deterministic (seeded centroids, no Lloyd step) so the DuckDB oracle
+    replays the identical cell assignment and probe search."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4, lloyd_iterations=0,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    ).orderBy("query_id", "rank")

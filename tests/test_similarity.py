@@ -67,3 +67,35 @@ def test_cosine_neardup_lsh_recall_on_planted_dups(spark):
     assert approx <= exact  # exact verification: no false positives
     assert len(exact) >= n  # every planted pair qualifies
     assert len(approx) >= 0.9 * len(exact)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    approx = S.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5,
+        n_centroids=8, n_probe=4, lloyd_iterations=0,
+    ).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall}"
+
+
+def test_ivf_lloyd_refinement_runs_and_keeps_contract(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=4,
+        n_centroids=6, n_probe=2, lloyd_iterations=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
+    for q, rows in by_q.items():
+        assert len(rows) <= 4
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
