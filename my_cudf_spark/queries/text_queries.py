@@ -637,3 +637,55 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ratio", 6).alias("ratio"),
         "contaminated",
     ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_filter",
+    sql=r"""
+    WITH t AS (SELECT doc_id, lang,
+                      ROUND(CASE WHEN length(text) > 0 THEN
+                        (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text))*0.6
+                        + (CASE WHEN (CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                                      /(length(regexp_replace(text, '[^ ]', '', 'g'))+1)) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.0 END)*0.3
+                        + LEAST(CAST(length(text) AS DOUBLE)/100.0, 1.0)*0.1
+                      ELSE 0.0 END, 6) AS q
+               FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n FROM t),
+    th AS (SELECT lang, q AS th FROM r WHERE rn = CAST(ceil(0.25*n) AS BIGINT))
+    SELECT t.doc_id AS doc_id, t.lang AS lang, t.q AS quality,
+           t.q >= th.th AS kept
+    FROM t JOIN th USING (lang) ORDER BY doc_id
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality filtering (the standard corpus-pruning
+    step): drop each language's bottom quartile by quality score.  The
+    threshold is the DISCRETE 0.25-quantile (rank-based, percentile_disc
+    semantics) — an actual data value selected by row_number, so both
+    engines agree exactly with zero interpolation float math.  Thresholds
+    are a tiny per-lang dim joined back broadcast-style."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.quality_score("text").alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    wn = Window.partitionBy("lang")
+    th = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(0.25 * F.col("n")))
+        .select("lang", F.col("q").alias("th"))
+    )
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("q").alias("quality"),
+            (F.col("q") >= F.col("th")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
