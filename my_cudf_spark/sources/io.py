@@ -27,9 +27,11 @@ only at the CSV/JSON boundary when the caller asks for it.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 __all__ = [
@@ -45,6 +47,8 @@ __all__ = [
     "read_avro",
     "to_arrow",
     "from_arrow",
+    "write_sized",
+    "compact",
 ]
 
 
@@ -181,3 +185,67 @@ def to_arrow(df: DataFrame):
 def from_arrow(spark: SparkSession, table) -> DataFrame:
     """pyarrow.Table → DataFrame (interop.hpp from_arrow)."""
     return spark.createDataFrame(table)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    target_file_bytes: int = 128 << 20,
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options: Any,
+) -> int:
+    """Write with OUTPUT FILE SIZING — the knob plain ``df.write`` lacks
+    and 100 TB curation pipelines need twice: upstream filtering yields
+    thousands of near-empty tasks (small-files problem), while unsplit
+    monsters stall single readers.
+
+    File count is derived from Catalyst's optimized-plan size estimate
+    (``LogicalPlan.stats.sizeInBytes`` — free: statistics propagation, no
+    extra job) divided by ``target_file_bytes``, then enforced with a
+    round-robin ``repartition(n)`` so every output file lands near the
+    target.  The in-memory estimate overstates on-disk parquet (encoding +
+    compression), so files come out under target rather than over — the
+    safe side for parallel readers.  ``max_records_per_file`` adds Spark's
+    own hard cap as a belt-and-braces bound.  Returns the partition count
+    used.
+
+    With ``partition_by``, rows are first hash-distributed on the
+    partition columns so each directory is written by as few tasks as
+    possible (the files-per-directory explosion of round-robin +
+    partitionBy), still capped at ``n`` overall.
+    """
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(1 << 16, -(-est // target_file_bytes)))
+    if partition_by:
+        out = df.repartition(n, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n)
+    writer = out.write.format(format).mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return n
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    target_file_bytes: int = 128 << 20,
+    **options: Any,
+) -> int:
+    """Rewrite a directory of small files into near-target-size files
+    (the maintenance pass after many incremental/streaming appends).
+    Returns the partition count written.  Writes to ``path + '.compact'``
+    then the caller swaps — an in-place overwrite of the input path would
+    delete the source mid-read (Spark reads lazily)."""
+    df = spark.read.format(format).options(**options).load(path)
+    return write_sized(df, path + ".compact", format, target_file_bytes)

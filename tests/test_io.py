@@ -49,3 +49,51 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert df.count() == orders.filter(F.col("o_year") == one_year).count()
     assert "PartitionFilters: [" in plan and f"(o_year#" in plan or "o_year" in plan
+
+
+def test_write_sized_splits_by_target(spark, tmp_path):
+    from my_cudf_spark.sources.io import write_sized
+
+    df = spark.range(200_000).selectExpr("id", "repeat('x', 64) AS pad")
+    out = str(tmp_path / "sized")
+    n = write_sized(df, out, target_file_bytes=1 << 20)
+    files = [p for p in os.listdir(out) if p.endswith(".parquet")]
+    assert n > 1 and len(files) == n
+    back = spark.read.parquet(out)
+    assert back.count() == 200_000
+    # near-even spread: no file dominates (round-robin repartition)
+    sizes = [os.path.getsize(os.path.join(out, f)) for f in files]
+    assert max(sizes) < 3 * min(sizes)
+
+
+def test_write_sized_single_file_for_tiny_input(spark, tmp_path):
+    from my_cudf_spark.sources.io import write_sized
+
+    df = spark.range(10)
+    out = str(tmp_path / "tiny")
+    n = write_sized(df, out, target_file_bytes=128 << 20)
+    assert n == 1
+    assert len([p for p in os.listdir(out) if p.endswith(".parquet")]) == 1
+
+
+def test_write_sized_partition_by(spark, tmp_path):
+    from my_cudf_spark.sources.io import write_sized
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 3 AS INT) AS g")
+    out = str(tmp_path / "parts")
+    write_sized(df, out, target_file_bytes=1 << 30, partition_by=["g"])
+    assert sorted(p for p in os.listdir(out) if p.startswith("g=")) == ["g=0", "g=1", "g=2"]
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    from my_cudf_spark.sources.io import compact
+
+    src = str(tmp_path / "fragmented")
+    spark.range(50_000).selectExpr("id", "repeat('y', 32) AS pad").repartition(64).write.parquet(src)
+    assert len([p for p in os.listdir(src) if p.endswith(".parquet")]) == 64
+    n = compact(spark, src, target_file_bytes=128 << 20)
+    dst = src + ".compact"
+    files = [p for p in os.listdir(dst) if p.endswith(".parquet")]
+    assert n == len(files) and len(files) < 64
+    assert spark.read.parquet(dst).count() == 50_000
