@@ -336,10 +336,21 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("o_end"),
         )
     )
-    points = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # Static bound implied by the join (intervals span ≤ 1995-04-10): lets
+    # the parquet scan skip ~95% of lineitem row groups via PushedFilters —
+    # the predicate a user would write; the join condition already implies it.
+    points = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-04-30"))
+        .select("l_orderkey", "l_shipdate")
+    )
     joined = j.range_join(
         points, orders, "l_shipdate", "o_orderdate", "o_end",
-        bin_width=7 * 86400, closed="left",
+        # 1-day bins: join parallelism = distinct bins (the fixture's
+        # order-date span / width), so day bins give ~90 reducers where
+        # week bins gave ~13; each 10-day interval replicates to ~11 bins
+        # — replication × parallelism is the range-join tradeoff.
+        bin_width=86400, closed="left",
     )
     return (
         joined.groupBy("o_orderkey")

@@ -119,3 +119,55 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_join_replay",
+    sql="""
+    WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+           MIN(p.pts) AS first_purchase
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.pts >= c.cts
+                 AND p.pts <= c.cts + INTERVAL 1 HOUR
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (the Structured Streaming capability the
+    reference's Kafka-ingest-only surface can't express): clicks joined to
+    purchases by the same user within the following hour, both sides
+    watermarked so the join state is bounded by the event-time range
+    condition.  Replayed micro-batches; watermark past the replay span
+    makes the drained result equal the batch join by construction (the
+    per-user rollup runs in batch on the drained pairs — counting is not
+    the operator under test)."""
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"))
+        .withWatermark("cts", "40 days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "40 days")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _drain(pairs.select("user_id", "cts", "pts"), "ssjoin", work_dir)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("pts").alias("first_purchase"),
+        )
+        .orderBy("user_id")
+    )

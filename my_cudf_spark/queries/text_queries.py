@@ -622,11 +622,16 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     th = _threshold_hex(0.05)
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
-        hash_bucket(["doc_id"]).alias("b"),
-    ).filter(F.size("grams") > 0)
+    # Two consumers (bench slice + train slice) read this subtree; persist
+    # it once via the dedup LRU or the trigram generation (the expensive
+    # regex+split+ngram pass) runs twice.
+    sets = D._persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
+            hash_bucket(["doc_id"]).alias("b"),
+        ).filter(F.size("grams") > 0)
+    )
     bench = sets.filter(F.col("b") < th).select(F.explode("grams").alias("gram"))
     train = sets.filter(F.col("b") >= th).select(F.col("doc_id").alias("id"), "grams")
     rep = contamination_report(train, bench, threshold=0.2)

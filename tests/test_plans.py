@@ -119,3 +119,39 @@ def test_spearman_rank_is_distributed(spark):
     rep = P.plan_report(df)
     assert rep["broadcast_joins"] >= 1, rep
     assert not rep["cartesian"]
+
+
+def test_range_join_query_is_equi_join(spark):
+    rep = P.plan_report(_df(spark, "join_range"))
+    assert not rep["cartesian"], rep
+    plan = _df(spark, "join_range")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_split_is_narrow(spark):
+    # Deterministic sampling must add ZERO shuffles beyond the final sort:
+    # membership is a per-row hash, so the plan is scan → project → sort.
+    rep = P.plan_report(_df(spark, "sample_split"))
+    assert rep["shuffles"] <= 1, rep  # the orderBy only
+    assert not rep["cartesian"]
+
+
+def test_quality_filter_threshold_is_broadcast(spark):
+    # The per-lang threshold dim must come back as a broadcast join, not a
+    # shuffle of the full corpus on lang (a 3-value skew key at scale).
+    rep = P.plan_report(_df(spark, "text_quality_filter"))
+    assert rep["broadcast_joins"] >= 1, rep
+    assert not rep["cartesian"]
+
+
+def test_contamination_no_cartesian(spark):
+    rep = P.plan_report(_df(spark, "text_contamination"))
+    assert not rep["cartesian"], rep
+
+
+def test_ivf_centroid_join_is_broadcast(spark):
+    # Centroid assignment is corpus × centroids; the centroid side is
+    # bounded so it must be the broadcast side of a BNLJ/cross, never a
+    # shuffle-partitioned cartesian.
+    rep = P.plan_report(_df(spark, "vec_topk_ivf"))
+    assert rep["broadcast_joins"] >= 1, rep
