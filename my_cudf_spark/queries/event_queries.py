@@ -205,3 +205,32 @@ def agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grouped_kendall(ev, ["user_id"], "x", "y").orderBy("user_id")
+
+
+@register(
+    "sketch_distinct_users",
+    sql="""
+    SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+           COUNT(DISTINCT user_id) AS users
+    FROM events GROUP BY 1 ORDER BY week
+    """,
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-cardinality rollup (operators/sketches.py): daily HLL
+    user sketches unioned to weekly estimates — the shape that answers
+    re-grouped distinct questions from kilobyte summaries at 100 TB.  The
+    oracle is exact COUNT(DISTINCT): at the gate's cardinalities (≤150
+    users/bucket) the DataSketches HLL is in its sparse, exact regime, so
+    estimate == exact; the general ±1.6% contract and merge≡direct
+    property are pinned in tests/test_sketches.py."""
+    from my_cudf_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts"),
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    )
+    daily = SK.distinct_sketch(ev, ["week", "day"], "user_id")
+    weekly = SK.merge_sketches(daily, ["week"])
+    return weekly.select("week", SK.estimate().alias("users")).orderBy("week")
