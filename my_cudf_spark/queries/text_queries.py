@@ -694,3 +694,56 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_tfidf",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS ts FROM documents),
+    t AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1),
+    dfq AS (SELECT token, COUNT(*) AS dfreq FROM tc GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS nd FROM documents),
+    s AS (SELECT tc.doc_id, tc.token,
+                 (CAST(tc.c AS DOUBLE) / dl.n)
+                   * ln((nn.nd + 1.0) / (dfq.dfreq + 1.0)) AS score
+          FROM tc JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN nn),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS rk FROM s)
+    SELECT doc_id, token, ROUND(score, 6) AS score, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring (the classic corpus-statistics op the nvtext
+    surface stops short of): smoothed idf = ln((N+1)/(df+1)), top-3 terms
+    per document.  Three hash aggregations plus a broadcast of the scalar
+    corpus size and the per-term df dim — no all-pairs, no collect; the
+    df table is |vocab|-sized (bounded, Zipf-concentrated) so its join
+    broadcast-sizes at any corpus scale."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.explode("toks").alias("token"))
+    tc = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    s = (
+        tc.join(dl, "doc_id")
+        .join(dfq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log((F.col("nd") + 1.0) / (F.col("dfreq") + 1.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", F.round("score", 6).alias("score"), "rk")
+        .orderBy("doc_id", "rk")
+    )
