@@ -252,3 +252,32 @@ def agg_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_mode",
+    sql="""
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY cnt DESC, event_type) AS rn FROM c)
+    SELECT user_id, event_type AS mode_event, cnt
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode aggregate: most frequent value per group with a
+    total tie-break (count desc, value asc) — Spark's builtin ``mode()``
+    returns an arbitrary tied value, which is unusable under a
+    cross-engine exactness gate.  Two hash aggregations (both with
+    map-side partials) + a per-group top-1 window over the already
+    group-reduced counts."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
+        .orderBy("user_id")
+    )
