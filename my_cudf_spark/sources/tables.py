@@ -49,12 +49,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # ns-as-long → µs TIMESTAMP_NTZ (session tz pinned to UTC makes the
-        # TimestampType→NTZ cast an identity on the wall-clock value).
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        # Fixture generations vary: ts is either ns-as-long or a native
+        # timestamp.  Normalize both to µs TIMESTAMP_NTZ (session tz pinned
+        # to UTC makes the TimestampType→NTZ cast an identity on the
+        # wall-clock value).
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "integer"):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
