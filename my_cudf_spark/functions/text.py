@@ -76,19 +76,33 @@ def count_tokens(col: Column | str, pattern: str = r"\s+") -> Column:
 
 
 def word_ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
-    """generate_ngrams (generate_ngrams.hpp:59): n-grams of a token array."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+    """generate_ngrams (generate_ngrams.hpp:59): n-grams of a token array.
+
+    Guarded for |tokens| < n: Spark's ``sequence(1, 0)`` counts DOWN
+    ([1, 0]), which would feed slice() a zero start — short arrays yield
+    an empty gram list instead."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.array_join(F.slice(tokens, i, n), sep),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def char_ngrams(col: Column | str, n: int) -> Column:
-    """generate_character_ngrams (generate_ngrams.hpp:89)."""
+    """generate_character_ngrams (generate_ngrams.hpp:89).
+
+    Same short-input guard as ``word_ngrams``: without it,
+    ``sequence(1, 0)`` counts down and a too-short string yields two
+    bogus partial grams instead of none."""
     c = _c(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
         lambda i: F.substring(c, i, n),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -214,6 +228,28 @@ def quality_score(col: Column | str) -> Column:
         F.when(n > 0, (alpha / n) * 0.6 + wl_ok * 0.3 + F.least(n / 100.0, F.lit(1.0)) * 0.1).otherwise(F.lit(0.0)),
         6,
     )
+
+
+def dup_token_fraction(tokens: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    1 - |distinct|/|tokens| (Gopher-style repetition signal; pure Column
+    expression, no shuffle)."""
+    n = F.size(tokens)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tokens)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(tokens: Column, n: int) -> Column:
+    """Fraction of word n-grams that are duplicates (Gopher's
+    'duplicate n-gram fraction' family). Linear in document length."""
+    grams = word_ngrams(tokens, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
 
 
 def bpe_token_count(col: Column | str) -> Column:

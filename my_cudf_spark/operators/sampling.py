@@ -27,7 +27,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "assign_splits", "stratified_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "assign_splits",
+    "stratified_sample",
+    "mixture_sample",
+]
 
 _PREFIX_LEN = 8  # 32 bits of the digest: plenty for sampling resolution
 
@@ -108,4 +114,71 @@ def stratified_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_cols: Sequence[str | Column],
+    target_weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample each domain so the surviving corpus approaches the target
+    mixture (the DoReMi/data-mixing reshape: domain reweighting by
+    subsampling, never upsampling).
+
+    With n_d rows in domain d and target share w_d, the largest achievable
+    corpus keeps p_d = c*w_d/n_d of domain d where c = min_d(n_d/w_d) —
+    the binding domain is kept whole, every other domain is thinned to
+    match its share.  Membership stays a pure function of the row key:
+    row kept iff hash_bucket < hex(floor(p_d*16^8)).  Plan shape: one tiny
+    count-per-domain aggregate, a scalar min folded in a second tiny agg,
+    a broadcast-sized join of per-domain thresholds back onto the corpus,
+    then a narrow filter — no full-data shuffle at any scale.
+
+    Domains absent from ``target_weights`` get weight 0 (dropped).
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    bad = [w for w in target_weights.values() if w <= 0]
+    if bad:
+        raise ValueError(f"target weights must be positive, got {bad}")
+    total = sum(target_weights.values())
+    weight = F.create_map(
+        *[F.lit(x) for kv in target_weights.items() for x in (kv[0], kv[1] / total)]
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", weight[F.col("__dom")])
+        .filter(F.col("__w").isNotNull())
+    )
+    # c = min_d n_d/w_d, as exact int/double division; the cross join is a
+    # single scalar row.
+    c = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__c"))
+    thresholds = (
+        counts.crossJoin(c)
+        .withColumn("__p", F.least(F.lit(1.0), F.col("__c") * F.col("__w") / F.col("__n")))
+        .withColumn(
+            "__thr",
+            F.lower(
+                F.lpad(
+                    F.hex(F.floor(F.col("__p") * F.lit(float(16**_PREFIX_LEN))).cast("bigint")),
+                    _PREFIX_LEN + 1,
+                    "0",
+                )
+            ),
+        )
+        .select("__dom", "__thr")
+    )
+    # Thresholds are 9 hex digits (p=1 → 0x100000000); pad the 8-digit
+    # bucket with a leading 0 so the lexicographic compare stays numeric.
+    bucket = F.concat(F.lit("0"), hash_bucket(key_cols, salt))
+    return (
+        df.join(
+            F.broadcast(thresholds), F.col(domain_col) == F.col("__dom"), "inner"
+        )
+        .filter(bucket < F.col("__thr"))
+        .drop("__dom", "__thr")
     )

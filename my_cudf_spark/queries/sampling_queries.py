@@ -69,3 +69,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source AS dom, COUNT(*) AS n FROM documents
+  WHERE source IN ('src1','src2','src3') GROUP BY source),
+w AS (
+  SELECT dom, n,
+         CASE dom WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+                  WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) END AS w
+  FROM counts),
+c AS (SELECT MIN(n / w) AS c FROM w),
+thr AS (
+  SELECT dom,
+         lpad(printf('%x',
+              CAST(floor(least(CAST(1.0 AS DOUBLE), c * w / n)
+                         * 4294967296.0) AS BIGINT)), 9, '0') AS thr
+  FROM w, c)
+SELECT doc_id, source
+FROM documents d JOIN thr ON d.source = thr.dom
+WHERE '0' || {SQL_BUCKET} < thr
+ORDER BY doc_id
+"""
+
+
+@register("sample_mixture", sql=MIXTURE_SQL)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (DoReMi-style reweighting by
+    subsampling): thin each source so the surviving corpus approaches
+    target shares 0.5/0.3/0.2, membership a pure function of doc_id.
+    The binding domain keeps probability 1 — which exercises the 9-hex
+    threshold path.  Plan: two tiny aggregates + broadcast join + narrow
+    filter; no full-data shuffle (operators/sampling.py:mixture_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = S.mixture_sample(
+        docs, "source", ["doc_id"], {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")

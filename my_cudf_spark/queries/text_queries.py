@@ -747,3 +747,62 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", F.round("score", 6).alias("score"), "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+        FROM tc GROUP BY doc_id),
+ex AS (
+  SELECT doc_id,
+    CASE WHEN len(l) > 0
+         THEN 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l)
+         ELSE 0.0 END AS dup_token_frac,
+    CASE WHEN len(l) >= 2
+         THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(l)),
+                i -> l[i] || ' ' || l[i+1]))) AS DOUBLE) / (len(l) - 1)
+         ELSE 0.0 END AS dup_2gram_frac,
+    CASE WHEN len(l) >= 3
+         THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS DOUBLE) / (len(l) - 2)
+         ELSE 0.0 END AS dup_3gram_frac
+  FROM t)
+SELECT ex.doc_id, dup_token_frac, dup_2gram_frac, dup_3gram_frac, top_token_frac
+FROM ex JOIN top ON ex.doc_id = top.doc_id
+ORDER BY ex.doc_id
+"""
+
+
+@register("text_repetition", sql=REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    token / 2-gram / 3-gram fractions (pure Column expressions over the
+    token array — zero shuffle) plus most-common-token fraction (one
+    explode + two hash aggregations, linear in corpus size).  These are
+    the standard pre-training repetition filters (e.g. Gopher table A1);
+    the reference's nvtext surface stops at n-gram generation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("l")
+    )
+    ex = docs.select(
+        "doc_id",
+        T.dup_token_fraction(F.col("l")).alias("dup_token_frac"),
+        T.dup_ngram_fraction(F.col("l"), 2).alias("dup_2gram_frac"),
+        T.dup_ngram_fraction(F.col("l"), 3).alias("dup_3gram_frac"),
+    )
+    tc = (
+        docs.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac")
+    )
+    return (
+        ex.join(top, "doc_id")
+        .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac",
+                "top_token_frac")
+        .orderBy("doc_id")
+    )

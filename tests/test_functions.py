@@ -124,3 +124,42 @@ def test_interleave_tile(spark):
     ]
     tiled = tile(df.select("k"), 3).groupBy("k").count().orderBy("k").collect()
     assert [(r["k"], r["count"]) for r in tiled] == [(1, 3), (2, 3)]
+
+
+def test_repetition_fractions(spark):
+    from my_cudf_spark.functions.text import dup_ngram_fraction, dup_token_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # 5 tokens, 2 distinct; bigrams: ab ba ab ba
+            (2, "x y z"),            # all unique
+            (3, "w"),                # single token: no bigrams
+        ],
+        ["id", "text"],
+    )
+    toks = F.split("text", " ")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dup_token_fraction(toks).alias("dt"),
+            dup_ngram_fraction(toks, 2).alias("d2"),
+        ).collect()
+    }
+    assert got[1]["dt"] == 1 - 2 / 5
+    assert got[1]["d2"] == 1 - 2 / 4
+    assert got[2]["dt"] == 0.0 and got[2]["d2"] == 0.0
+    assert got[3]["d2"] == 0.0  # no bigrams → defined as 0
+
+
+def test_ngrams_short_inputs(spark):
+    from my_cudf_spark.functions.text import char_ngrams, word_ngrams
+
+    df = spark.createDataFrame([("ab",), ("a",), ("",)], ["s"])
+    got = df.select(
+        word_ngrams(F.split("s", ""), 3).alias("w"),
+        char_ngrams("s", 3).alias("c"),
+    ).collect()
+    # inputs shorter than n yield no grams (not descending-sequence junk)
+    assert all(r["w"] == [] for r in got)
+    assert all(r["c"] == [] for r in got)

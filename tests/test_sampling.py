@@ -67,3 +67,38 @@ def test_stratified_sample_quota(rows):
     assert stratified_sample(tiny, ["g"], ["id"], 5).count() == 3
     with pytest.raises(ValueError):
         stratified_sample(rows, ["g"], ["id"], 0)
+
+
+def test_mixture_sample_shares_and_determinism(spark):
+    from my_cudf_spark.operators.sampling import mixture_sample
+
+    df = spark.range(6000).select(
+        F.col("id"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("dom"),
+    )
+    # 2000 rows per domain; targets 0.6/0.3/0.1 → c = min(2000/0.6, ...) and
+    # d0 binds: p0 = 1.0, p1 = 0.5, p2 = 1/6.
+    kept = mixture_sample(df, "dom", ["id"], {"d0": 0.6, "d1": 0.3, "d2": 0.1})
+    counts = {r["dom"]: r["n"] for r in
+              kept.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["d0"] == 2000  # binding domain kept whole (p=1 path)
+    assert abs(counts["d1"] / 2000 - 0.5) < 0.04
+    assert abs(counts["d2"] / 2000 - 1 / 6) < 0.04
+    # membership is partitioning-invariant
+    again = mixture_sample(
+        df.repartition(17), "dom", ["id"], {"d0": 0.6, "d1": 0.3, "d2": 0.1}
+    )
+    assert {r["id"] for r in kept.collect()} == {r["id"] for r in again.collect()}
+    # unweighted domains are dropped entirely
+    partial = mixture_sample(df, "dom", ["id"], {"d0": 1.0, "d1": 1.0})
+    assert partial.filter(F.col("dom") == "d2").count() == 0
+
+
+def test_mixture_sample_validates_weights(spark):
+    from my_cudf_spark.operators.sampling import mixture_sample
+
+    df = spark.range(10).withColumn("dom", F.lit("a"))
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "dom", ["id"], {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "dom", ["id"], {"a": -1.0})
