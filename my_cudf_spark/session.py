@@ -28,8 +28,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores timestamp[ns]; Spark has no ns timestamp type, so
-    # read as long and convert to µs explicitly (SURVEY.md §7.4.2).
+    # Older fixture generations stored events.ts as timestamp[ns]; Spark has
+    # no ns timestamp type, so read those as long and convert to µs in
+    # sources.load_table (type-aware — a no-op on µs-native fixtures).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # dims here are tiny vs. fact tables; 64 MiB is a sane cluster default.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

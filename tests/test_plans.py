@@ -155,3 +155,56 @@ def test_ivf_centroid_join_is_broadcast(spark):
     # shuffle-partitioned cartesian.
     rep = P.plan_report(_df(spark, "vec_topk_ivf"))
     assert rep["broadcast_joins"] >= 1, rep
+
+
+def test_tpch_q4_semi_join_no_duplication(spark):
+    # EXISTS compiles to a left-semi join: no cartesian, no distinct stage,
+    # and no mandatory broadcast (lineitem grows with SF).
+    df = _df(spark, "tpch_q4")
+    rep = P.plan_report(df)
+    assert "SemiJoin" in P.physical_plan(df) or "LeftSemi" in P.physical_plan(df), rep
+    assert not rep["cartesian"]
+    assert P.forced_broadcast_hints(df) == 0
+
+
+def test_tpch_q19_derived_predicates_pushed(spark):
+    # Catalyst derives single-side implications of the OR-of-ANDs and
+    # pushes them to both scans (brand IN for part, quantity range for
+    # lineitem).
+    rep = P.plan_report(_df(spark, "tpch_q19"))
+    joined = " ".join(rep["pushed_filters"])
+    assert "p_brand" in joined, rep
+    assert "l_quantity" in joined, rep
+    assert not rep["cartesian"]
+
+
+def test_tpch_q3_topk_not_global_sort(spark):
+    # LIMIT 10 over an ordered agg must plan as TakeOrderedAndProject
+    # (per-partition heaps), not a full global sort.
+    assert "TakeOrderedAndProject" in P.physical_plan(_df(spark, "tpch_q3"))
+
+
+def test_tpch_q17_single_lineitem_scan(spark):
+    # The correlated avg is a window over the join, so lineitem appears in
+    # exactly one scan node.
+    plan = P.physical_plan(_df(spark, "tpch_q17"))
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_no_pinned_broadcasts_on_facts(spark):
+    # Only fixed-size nation/region may carry mandatory hints anywhere in
+    # the ten added queries.
+    for name in ["tpch_q3", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q14",
+                 "tpch_q15", "tpch_q18"]:
+        df = _df(spark, name)
+        assert P.forced_broadcast_hints(df) <= 3, name
+        assert not P.has_cartesian(df), name
+
+
+def test_mixture_sample_thresholds_broadcast(spark):
+    # The per-domain threshold table joins broadcast; the corpus is never
+    # shuffled for the join.
+    df = _df(spark, "sample_mixture")
+    rep = P.plan_report(df)
+    assert rep["broadcast_joins"] >= 1, rep
+    assert not rep["cartesian"]
