@@ -806,3 +806,68 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top_token_frac")
         .orderBy("doc_id")
     )
+
+
+OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(trim(text), ' ')) AS tok FROM documents)),
+cnt AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT src_a, src_b, inter, ca.n AS n_a, cb.n AS n_b,
+       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+FROM inter
+JOIN cnt ca ON src_a = ca.source
+JOIN cnt cb ON src_b = cb.source
+ORDER BY src_a, src_b
+"""
+
+
+@register("corpus_overlap", sql=OVERLAP_SQL)
+def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix: token-set Jaccard for every
+    source pair — the corpus-composition diagnostic run before mixing
+    training sources.  Plan: one distinct over (source, token) (the only
+    full-data shuffle), then a token equi-join whose posting lists are
+    bounded by the number of sources (≤20 here, always ≪ corpus), so the
+    pair expansion is O(vocab × sources²) regardless of document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .distinct()
+    )
+    cnt = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # Posting-list pair expansion instead of a token self-join: one pass
+    # builds the per-token source list, then ordered pairs expand inside
+    # the array (|sources|² max per token) — no second shuffle of the
+    # exploded frame, same shape as dedup._pairs_in_buckets.
+    posts = st.groupBy("tok").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    inter = (
+        posts.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "src_a")
+        .join(cb, "src_b")
+        .select(
+            "src_a", "src_b", "inter", "n_a", "n_b",
+            (F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
