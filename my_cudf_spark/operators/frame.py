@@ -170,3 +170,22 @@ def shift(
             expr = F.coalesce(expr, F.lit(fill_value))
         out = out.withColumn(f"{c}_shifted", expr)
     return out
+
+
+def value_counts(
+    df: DataFrame,
+    cols: Sequence[str],
+    normalize: bool = False,
+) -> DataFrame:
+    """Frequency table of value combinations (cudf
+    DataFrame.value_counts dataframe.py:8177; Series.value_counts
+    series.py:3117), ordered count-desc with the values as tiebreak.
+    The normalizing total rides a single-row broadcast over the already
+    aggregated frame — never a second scan of the input."""
+    counted = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count"))
+    if normalize:
+        total = counted.agg(F.sum("count").alias("__total"))
+        counted = counted.crossJoin(F.broadcast(total)).withColumn(
+            "fraction", F.col("count").cast("double") / F.col("__total")
+        ).drop("__total")
+    return counted.orderBy(F.desc("count"), *cols)

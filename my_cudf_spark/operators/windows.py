@@ -323,3 +323,43 @@ def interpolate_linear(
         .when(next_v.isNull(), prev_v)
         .otherwise(interp),
     )
+
+
+def diff(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+    periods: int = 1,
+    name: str | None = None,
+) -> DataFrame:
+    """Discrete difference along an explicit order (cudf
+    DataFrame.diff, dataframe.py:3531; Series.diff series.py:3435):
+    x_i - x_{i-periods}, NULL where the lag window is incomplete."""
+    w = _w(partition_by, order_by)
+    lagged = F.lag(F.col(col), periods).over(w) if periods >= 0 else F.lead(
+        F.col(col), -periods
+    ).over(w)
+    return df.withColumn(name or f"{col}_diff", F.col(col) - lagged)
+
+
+def pct_change(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+    periods: int = 1,
+    name: str | None = None,
+) -> DataFrame:
+    """Fractional change x_i/x_{i-periods} - 1 (cudf
+    DataFrame.pct_change, dataframe.py:7806). NULL where the lag window
+    is incomplete; division by zero follows SQL NULL semantics via
+    nullif."""
+    w = _w(partition_by, order_by)
+    lagged = F.lag(F.col(col), periods).over(w) if periods >= 0 else F.lead(
+        F.col(col), -periods
+    ).over(w)
+    return df.withColumn(
+        name or f"{col}_pct_change",
+        F.col(col) / F.nullif(lagged, F.lit(0)) - F.lit(1.0),
+    )

@@ -100,3 +100,98 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name ORDER BY n.n_name
         """
     )
+
+
+@register(
+    "frame_value_counts",
+    sql="""
+    WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS count
+               FROM orders GROUP BY o_orderpriority, o_orderstatus),
+    t AS (SELECT SUM(count) AS total FROM c)
+    SELECT o_orderpriority, o_orderstatus, count,
+           CAST(count AS DOUBLE) / total AS fraction
+    FROM c, t
+    ORDER BY count DESC, o_orderpriority, o_orderstatus
+    """,
+)
+def frame_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts with normalize (cudf dataframe.py:8177): frequency of
+    (priority, status) combinations; the normalizing total is a broadcast
+    scalar over the aggregated frame, not a second input scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return FR.value_counts(
+        orders, ["o_orderpriority", "o_orderstatus"], normalize=True
+    )
+
+
+DESCRIBE_SQL = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         {sql_dec2dbl('SUM(CAST(l_quantity AS DECIMAL(12,2)))')} AS sq,
+         {sql_dec2dbl('SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))')} AS sqq,
+         {sql_dec2dbl('SUM(CAST(l_extendedprice AS DECIMAL(12,2)))')} AS se,
+         {sql_dec2dbl('SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))')} AS see,
+         MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+         MIN(l_extendedprice) AS min_e, MAX(l_extendedprice) AS max_e,
+         ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25_q,
+         ROUND(QUANTILE_CONT(l_quantity, 0.50), 6) AS p50_q,
+         ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS p75_q,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25_e,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 6) AS p50_e,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS p75_e
+  FROM lineitem)
+SELECT statistic, l_quantity, l_extendedprice FROM (
+  SELECT 'count' AS statistic, CAST(n AS DOUBLE) AS l_quantity, CAST(n AS DOUBLE) AS l_extendedprice, 1 AS ord FROM s
+  UNION ALL SELECT 'mean', sq / n, se / n, 2 FROM s
+  UNION ALL SELECT 'std', SQRT((sqq - sq*sq/n) / (n-1)), SQRT((see - se*se/n) / (n-1)), 3 FROM s
+  UNION ALL SELECT 'min', min_q, min_e, 4 FROM s
+  UNION ALL SELECT '25%', p25_q, p25_e, 5 FROM s
+  UNION ALL SELECT '50%', p50_q, p50_e, 6 FROM s
+  UNION ALL SELECT '75%', p75_q, p75_e, 7 FROM s
+  UNION ALL SELECT 'max', max_q, max_e, 8 FROM s)
+ORDER BY ord
+"""
+
+
+@register("frame_describe", sql=DESCRIBE_SQL)
+def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() summary frame (cudf dataframe.py:5501): count/mean/std/
+    min/quartiles/max for two numeric columns in ONE aggregation pass —
+    exact decimal co-moments close the mean/std formulas bit-stably, and
+    both exact-percentile triples share a single array-percentile buffer
+    (see agg_quantiles).  The stack() unpivot to pandas-shaped rows runs
+    on the single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    e = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(e).cast("double").alias("se"),
+        F.sum(e * e).cast("double").alias("see"),
+        F.min("l_quantity").alias("min_q"),
+        F.max("l_quantity").alias("max_q"),
+        F.min("l_extendedprice").alias("min_e"),
+        F.max("l_extendedprice").alias("max_e"),
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("pq"),
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("pe"),
+    )
+    return (
+        s.select(
+            F.expr(
+                """stack(8,
+              'count', CAST(n AS DOUBLE), CAST(n AS DOUBLE), 1,
+              'mean', sq / n, se / n, 2,
+              'std', SQRT((sqq - sq*sq/n) / (n-1)), SQRT((see - se*se/n) / (n-1)), 3,
+              'min', min_q, min_e, 4,
+              '25%', ROUND(pq[0], 6), ROUND(pe[0], 6), 5,
+              '50%', ROUND(pq[1], 6), ROUND(pe[1], 6), 6,
+              '75%', ROUND(pq[2], 6), ROUND(pe[2], 6), 7,
+              'max', max_q, max_e, 8)
+              AS (statistic, l_quantity, l_extendedprice, ord)"""
+            )
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )

@@ -329,3 +329,28 @@ def agg_var_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("std_qty"),
         ((n * sqe - sq * se) / F.sqrt((n * sqq - sq * sq) * (n * see - se * se))).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "window_diff_pct",
+    sql="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER w AS value_diff,
+           value / NULLIF(LAG(value) OVER w, 0) - 1.0 AS value_pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ORDER BY event_id
+    """,
+)
+def window_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff + pct_change (cudf dataframe.py:3531/:7806) per user along
+    event time: one (user_id)-partitioned window shuffle computes both;
+    same-double subtraction/division is bit-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.diff(ev, "value", ["ts", "event_id"], ["user_id"], name="value_diff")
+    out = W.pct_change(
+        out, "value", ["ts", "event_id"], ["user_id"], name="value_pct_change"
+    )
+    return out.select(
+        "event_id", "user_id", "value", "value_diff", "value_pct_change"
+    ).orderBy("event_id")
