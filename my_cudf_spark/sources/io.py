@@ -48,6 +48,7 @@ __all__ = [
     "to_arrow",
     "from_arrow",
     "write_sized",
+    "write_clustered",
     "compact",
 ]
 
@@ -229,6 +230,40 @@ def write_sized(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return n
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    format: str = "parquet",
+    target_file_bytes: int = 128 << 20,
+    **options: Any,
+) -> int:
+    """Write range-clustered, sorted-within-file output so downstream
+    scans prune at BOTH granularities: ``repartitionByRange`` gives each
+    file a disjoint key range (file-level skipping from parquet
+    min/max footer stats), and ``sortWithinPartitions`` orders rows
+    inside each file (row-group-level skipping; also the layout
+    MergeSorted/as-of consumers want).  This is the data-layout lever a
+    100 TB curation pipeline applies to its hottest filter column —
+    a point/range predicate then reads 1/n of the files instead of all
+    of them (demonstrated in tests/test_io.py).  File count comes from
+    the same plan-statistics sizing as ``write_sized``; returns it.
+    """
+    if not cluster_by:
+        raise ValueError("cluster_by must be non-empty")
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(1 << 16, -(-est // target_file_bytes)))
+    cols = [F.col(c) for c in cluster_by]
+    out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    writer = out.write.format(format).mode("overwrite")
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)

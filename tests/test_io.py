@@ -97,3 +97,39 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     files = [p for p in os.listdir(dst) if p.endswith(".parquet")]
     assert n == len(files) and len(files) < 64
     assert spark.read.parquet(dst).count() == 50_000
+
+
+def test_write_clustered_prunes_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from my_cudf_spark.sources.io import write_clustered
+
+    df = spark.range(200_000).selectExpr("id", "repeat('y', 64) AS pad")
+    out = str(tmp_path / "clustered")
+    n = write_clustered(df, out, ["id"], target_file_bytes=1 << 20)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert n > 2 and len(files) == n
+    # range clustering ⇒ per-file id ranges are disjoint, so footer
+    # min/max stats let a point predicate skip every other file
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, "file key ranges overlap — clustering broken"
+    # rows are sorted within each file (row-group-level skipping layout)
+    first = pq.read_table(files[0], columns=["id"]).column("id").to_pylist()
+    assert first == sorted(first)
+    back = spark.read.parquet(out)
+    assert back.count() == 200_000
+
+
+def test_write_clustered_validates(spark, tmp_path):
+    from my_cudf_spark.sources.io import write_clustered
+
+    with pytest.raises(ValueError, match="non-empty"):
+        write_clustered(spark.range(5), str(tmp_path / "x"), [])
