@@ -33,6 +33,7 @@ REGISTRY: dict[str, Query] = {}
 # Modules that register queries on import. Order = SURVEY.md §2 walk.
 _QUERY_MODULES = (
     "my_cudf_spark.queries.tpch_extra",
+    "my_cudf_spark.queries.pipeline_queries",
     "my_cudf_spark.queries.ndsh",
     "my_cudf_spark.queries.relational",
     "my_cudf_spark.queries.window_queries",

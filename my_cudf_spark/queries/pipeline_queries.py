@@ -1,0 +1,114 @@
+"""End-to-end LLM-corpus curation pipeline as ONE declarative Spark plan.
+
+The flagship composition query: quality filter → exact dedup (keep-first)
+→ source-balancing mixture resample → train/val/test split → per-cell
+corpus accounting.  Every stage is the operator the standalone queries
+test in isolation (text.quality_score, frame-style keep-first dedup,
+sampling.mixture_sample, sampling.assign_splits); the value demonstrated
+here is that they compose into a single lazy DAG Catalyst optimizes
+end-to-end — one documents scan, no materialization between stages —
+with a bit-exact DuckDB oracle for the whole pipeline.
+
+Scale: the only full-data shuffles are the dedup hash-partition and the
+final (source, split) aggregation; mixture thresholds and split
+assignment are narrow (broadcast/scalar).  Mixture and split hashing use
+DIFFERENT salts — with a shared salt the mixture's survivors all have
+small hash buckets and would land entirely in 'train'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_cudf_spark.functions import text as T
+from my_cudf_spark.functions.stable import sql_dec2dbl
+from my_cudf_spark.operators import sampling as S
+from my_cudf_spark.operators.sampling import _threshold_hex
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+_SOURCES = [f"src{i}" for i in range(20)]
+QUALITY_MIN = 0.88
+
+# DuckDB twins of the per-stage expressions (kept adjacent to the Spark
+# code path; same fragments the standalone queries use).
+SQL_NORM = "trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g'))"
+SQL_QUALITY = """ROUND(CASE WHEN n > 0 THEN (CAST(alpha AS DOUBLE)/n)*0.6
+  + (CASE WHEN (CAST(n - spaces AS DOUBLE)/(spaces+1)) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)*0.3
+  + LEAST(CAST(n AS DOUBLE)/100.0, 1.0)*0.1 ELSE 0.0 END, 6)"""
+
+PIPELINE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         {SQL_QUALITY} AS quality,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM (SELECT doc_id, source, text, length(text) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+        FROM documents)
+  WHERE {SQL_QUALITY} >= {QUALITY_MIN}),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM})
+                                 ORDER BY doc_id) AS rk
+    FROM scored) WHERE rk = 1),
+counts AS (SELECT source AS dom, COUNT(*) AS cnt FROM deduped GROUP BY source),
+c AS (SELECT MIN(cnt / CAST(0.05 AS DOUBLE)) AS c FROM counts),
+thr AS (SELECT dom,
+               lpad(printf('%x', CAST(floor(least(CAST(1.0 AS DOUBLE),
+                    c * CAST(0.05 AS DOUBLE) / cnt) * 4294967296.0) AS BIGINT)),
+                    9, '0') AS thr
+        FROM counts, c),
+mixed AS (
+  SELECT d.* FROM deduped d JOIN thr ON d.source = thr.dom
+  WHERE '0' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) < thr),
+labeled AS (
+  SELECT *, CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{_threshold_hex(0.9)}' THEN 'train'
+                 WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      < '{_threshold_hex(0.95)}' THEN 'val'
+                 ELSE 'test' END AS split
+  FROM mixed)
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       {sql_dec2dbl('SUM(CAST(quality AS DECIMAL(10,6)))')} / COUNT(*) AS avg_quality
+FROM labeled GROUP BY source, split ORDER BY source, split
+"""
+
+
+@register("pipeline_curation", sql=PIPELINE_SQL)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline in one plan; see module docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+    w = Window.partitionBy(F.md5(T.normalize_text("text"))).orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    mixed = S.mixture_sample(
+        deduped, "source", ["doc_id"], {s: 1.0 for s in _SOURCES}, salt="mix"
+    )
+    labeled = S.assign_splits(
+        mixed, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split"
+    )
+    return (
+        labeled.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("source", "split")
+    )
