@@ -354,3 +354,30 @@ def window_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "value", "value_diff", "value_pct_change"
     ).orderBy("event_id")
+
+
+@register(
+    "window_ntile_qcut",
+    sql="""
+    SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           NTILE(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS decile_in_priority
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def window_ntile_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE — the qcut/equal-frequency binning member of the rank family
+    (aggregation.hpp rank kinds; pandas/cudf qcut equivalent).  The
+    global quartile runs as a single-pass window over a total order
+    (value, key) so bucket assignment is deterministic; the grouped
+    decile shuffles once on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    wg = Window.orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(wg).cast("long").alias("price_quartile"),
+        F.ntile(10).over(wp).cast("long").alias("decile_in_priority"),
+    ).orderBy("o_orderkey")
