@@ -234,3 +234,41 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = SK.distinct_sketch(ev, ["week", "day"], "user_id")
     weekly = SK.merge_sketches(daily, ["week"])
     return weekly.select("week", SK.estimate().alias("users")).orderBy("week")
+
+
+RETENTION_SQL = """
+WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+           FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+SELECT cohort_wk,
+       CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM e JOIN cohort ON e.user_id = cohort.user_id
+GROUP BY cohort_wk, week_offset
+ORDER BY cohort_wk, week_offset
+"""
+
+
+@register("events_retention", sql=RETENTION_SQL)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, activity
+    counted per week offset — the standard product-analytics rollup.
+    Two hash aggregations plus one equi-join on user_id; the cohort
+    frame is |users|-sized and co-partitioned with the join key, so the
+    join reuses the aggregation's shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )

@@ -195,3 +195,36 @@ def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
     )
+
+
+@register(
+    "frame_factorize",
+    sql="""
+    WITH u AS (SELECT DISTINCT c_mktsegment FROM customer),
+    codes AS (SELECT c_mktsegment,
+                     CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS code
+              FROM u)
+    SELECT c.c_custkey, c.c_mktsegment, codes.code
+    FROM customer c JOIN codes USING (c_mktsegment)
+    ORDER BY c.c_custkey
+    """,
+)
+def frame_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """factorize/categorical dense codes (cudf Series.factorize,
+    core/algorithms.py): stable value→code mapping via dense_rank over
+    the DISTINCT values (|categories| rows — tiny), broadcast-joined
+    back.  Ranking the distinct frame instead of the full table keeps
+    the window single-pass over categories, not rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    u = customer.select("c_mktsegment").distinct()
+    codes = u.withColumn(
+        "code",
+        (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).cast("long"),
+    )
+    return (
+        customer.join(F.broadcast(codes), "c_mktsegment")
+        .select("c_custkey", "c_mktsegment", "code")
+        .orderBy("c_custkey")
+    )
