@@ -228,3 +228,33 @@ def frame_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", "code")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "frame_duplicated_cumcount",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS cumcount,
+           (ROW_NUMBER() OVER w > 1) AS duplicated
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey, o_orderpriority ORDER BY o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def frame_duplicated_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicated(keep='first') + groupby.cumcount (cudf
+    dataframe.py/indexed_frame duplicated; groupby cumcount): one
+    (key)-partitioned window yields both — occurrence index and the
+    duplicate flag for every later occurrence."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderpriority").orderBy("o_orderkey")
+    rn = F.row_number().over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        (rn - 1).cast("long").alias("cumcount"),
+        (rn > 1).alias("duplicated"),
+    ).orderBy("o_orderkey")
