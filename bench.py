@@ -37,6 +37,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(registry):
         q = registry[name]
+        # Per-query untimed warmup: the first execution of a plan pays
+        # whole-stage-codegen compilation (~0.3-3 s), which is noise at
+        # sub-second query scale and not representative of steady-state
+        # cluster execution. Timed runs measure the compiled plan.
+        execute(q.fn(spark, SF_DIR))
         runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
