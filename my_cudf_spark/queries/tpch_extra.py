@@ -1,12 +1,14 @@
 """Additional TPC-H-style relational queries beyond the reference's NDS-H five.
 
 The reference benchmarks exactly Q1/Q5/Q6/Q9/Q10
-(``/root/reference/cpp/benchmarks/ndsh/README.md:1-10``); these ten extend the
-relational surface to the classic shapes the reference *library* supports but
-never benchmarks — correlated aggregates (Q17), HAVING + join-back (Q18),
-EXISTS semi-joins (Q4), left-join histograms (Q13), OR-of-ANDs scan predicates
-(Q19), nation-pair volume (Q7), market-share ratios (Q8), top-1-with-ties
-(Q15), conditional ratio aggregation (Q14) and top-k order revenue (Q3).
+(``/root/reference/cpp/benchmarks/ndsh/README.md:1-10``); these twelve extend
+the relational surface to the classic shapes the reference *library* supports
+but never benchmarks — correlated aggregates (Q17), HAVING + join-back (Q18),
+EXISTS semi-joins (Q4), exists/not-exists composition (Q21), scalar-subquery
+threshold + anti-join (Q22), left-join histograms (Q13), OR-of-ANDs scan
+predicates (Q19), nation-pair volume (Q7), market-share ratios (Q8),
+top-1-with-ties (Q15), conditional ratio aggregation (Q14) and top-k order
+revenue (Q3).
 
 Adaptations for the driver fixtures (FIXTURES.md): no partsupp / shipmode /
 commitdate / receiptdate / shippriority columns, dates live in 1995-2001, part
@@ -492,4 +494,139 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             | leg("Brand#3", 50, 20, 40)
         )
         .agg(F.sum(DISC_PRICE()).cast("double").alias("revenue"))
+    )
+
+
+# --- Q21: suppliers who kept orders waiting ----------------------------------
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, late l1
+WHERE s_suppkey = l1.l_suppkey AND l1.is_late
+  AND EXISTS (SELECT 1 FROM late l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("tpch_q21", sql=Q21_SQL)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (receipt/commit-date lateness adapted to shipdate >
+    orderdate + 30 days; no nation filter — fixture suppliers are
+    uniform).  The exists/not-exists pair over the same derived 'late'
+    frame compiles to one left-semi and one left-anti hash join against
+    per-order aggregates — the lateness frame is aggregated to
+    (orderkey → supplier count, late-supplier set size) ONCE instead of
+    two correlated self-joins, so lineitem is scanned a single time."""
+    orders, lineitem, supplier = _t(spark, sf_dir, "orders", "lineitem", "supplier")
+    late = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .alias("is_late"),
+        )
+    )
+    # per-(order, supplier): any late line; then per-order supplier stats
+    per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+    )
+    waiting = (
+        late.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        # another supplier exists in the order; no OTHER supplier is late
+        # (this supplier is late, so the order's late-supplier count is 1)
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        supplier.join(waiting, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --- Q22: global sales opportunity (anti-join + scalar subquery) -------------
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+    AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7))
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+  AND c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@register("tpch_q22", sql=Q22_SQL)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (phone-prefix country codes → c_nationkey; fixture
+    customer has no phone column).  The scalar above-average threshold is
+    a crossJoin of a 1-row aggregate; customers-without-orders is a
+    left-anti hash join.  AVG over doubles is order-dependent, so both
+    engines compute it as exact-decimal sum / count."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    nations = [1, 2, 3, 4, 5, 6, 7]
+    cust = customer.filter(F.col("c_nationkey").isin(nations))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
