@@ -544,16 +544,17 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_late"),
         )
     )
-    # per-(order, supplier): any late line; then per-order supplier stats
+    # per-(order, supplier) late-line counts: the only shuffle grain both
+    # downstream consumers need.
     per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+        F.sum(F.col("is_late").cast("int")).alias("n_late_lines")
     )
     per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).alias("n_late_supp"),
     )
     waiting = (
-        late.filter(F.col("is_late"))
+        per_supp.filter(F.col("n_late_lines") > 0)
         .join(per_order, F.col("l_orderkey") == F.col("ok"))
         # another supplier exists in the order; no OTHER supplier is late
         # (this supplier is late, so the order's late-supplier count is 1)
@@ -562,7 +563,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supplier.join(waiting, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

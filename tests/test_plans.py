@@ -208,3 +208,20 @@ def test_mixture_sample_thresholds_broadcast(spark):
     rep = P.plan_report(df)
     assert rep["broadcast_joins"] >= 1, rep
     assert not rep["cartesian"]
+
+
+def test_tpch_q21_bounded_lineitem_scans(spark):
+    # exists/not-exists both derive from the aggregated lateness frame:
+    # at most 2 lineitem scans (a correlated-self-join translation costs
+    # 3 scans plus two shuffled self-joins).
+    df = _df(spark, "tpch_q21")
+    plan = P.physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert not P.has_cartesian(df)
+
+
+def test_tpch_q22_anti_join_shape(spark):
+    df = _df(spark, "tpch_q22")
+    plan = P.physical_plan(df)
+    assert "LeftAnti" in plan or "AntiJoin" in plan, plan
+    assert not P.has_cartesian(df)
