@@ -211,18 +211,23 @@ def agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_distinct_users",
     sql="""
     SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
-           COUNT(DISTINCT user_id) AS users
+           COUNT(DISTINCT user_id) AS users,
+           TRUE AS est_within_2pct
     FROM events GROUP BY 1 ORDER BY week
     """,
 )
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-cardinality rollup (operators/sketches.py): daily HLL
     user sketches unioned to weekly estimates — the shape that answers
-    re-grouped distinct questions from kilobyte summaries at 100 TB.  The
-    oracle is exact COUNT(DISTINCT): at the gate's cardinalities (≤150
-    users/bucket) the DataSketches HLL is in its sparse, exact regime, so
-    estimate == exact; the general ±1.6% contract and merge≡direct
-    property are pinned in tests/test_sketches.py."""
+    re-grouped distinct questions from kilobyte summaries at 100 TB.
+
+    The hash-compared columns are the EXACT weekly distinct counts plus
+    an est_within_2pct flag asserting the merged-sketch estimate lands
+    inside the HLL error contract — checking accidental estimate==exact
+    equality instead would only hold while the sketch stays in its
+    sparse regime (it broke the first time the gate ran at sf0.1, where
+    1500-user weeks estimate as ~1488).  The merge≡direct property and
+    the tighter ±1.6% bound are pinned in tests/test_sketches.py."""
     from my_cudf_spark.operators import sketches as SK
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -233,7 +238,20 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = SK.distinct_sketch(ev, ["week", "day"], "user_id")
     weekly = SK.merge_sketches(daily, ["week"])
-    return weekly.select("week", SK.estimate().alias("users")).orderBy("week")
+    est = weekly.select("week", SK.estimate().alias("est"))
+    exact = ev.groupBy("week").agg(F.countDistinct("user_id").alias("users"))
+    return (
+        exact.join(est, "week")
+        .select(
+            "week",
+            "users",
+            (
+                F.abs(F.col("est") - F.col("users"))
+                <= 0.02 * F.col("users")
+            ).alias("est_within_2pct"),
+        )
+        .orderBy("week")
+    )
 
 
 RETENTION_SQL = """
