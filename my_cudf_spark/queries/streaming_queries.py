@@ -171,3 +171,55 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_sketch_replay",
+    sql="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           COUNT(DISTINCT user_id) AS users,
+           TRUE AS est_within_2pct
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
+def stream_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches built ON A STREAM: per-day user sketches
+    accumulate across micro-batches inside a watermarked tumbling window
+    (the shuffle carries kilobyte sketches, never raw ids — the pattern
+    that gives streaming distinct counts bounded state at 100 TB).  The
+    drained result is compared as exact daily distincts plus the
+    estimate-within-contract flag (same check shape as
+    sketch_distinct_users — exactness of an HLL estimate is regime-
+    dependent, the ±2% bound is not)."""
+    from my_cudf_spark.operators import sketches as SK
+    from my_cudf_spark.sources import load_table
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    # exact COUNT(DISTINCT) is not allowed in a streaming aggregation —
+    # the sketch IS the streaming-legal distinct; the exact side of the
+    # contract check comes from the batch table after draining.
+    agg = S.tumbling_agg(
+        stream,
+        "ts",
+        "1 day",
+        keys=[],
+        aggs=[F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch")],
+        watermark="40 days",
+    )
+    out = _drain(agg, "sketch", work_dir)
+    est = out.select(F.col("win_start").alias("day"), SK.estimate().alias("est"))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "users",
+            (F.abs(F.col("est") - F.col("users")) <= 0.02 * F.col("users"))
+            .alias("est_within_2pct"),
+        )
+        .orderBy("day")
+    )
