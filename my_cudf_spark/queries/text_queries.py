@@ -839,12 +839,20 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
         .distinct()
     )
-    cnt = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # Posting-list pair expansion instead of a token self-join: one pass
     # builds the per-token source list, then ordered pairs expand inside
     # the array (|sources|² max per token) — no second shuffle of the
-    # exploded frame, same shape as dedup._pairs_in_buckets.
-    posts = st.groupBy("tok").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    # exploded frame, same shape as dedup._pairs_in_buckets.  The posting
+    # frame is vocab-sized (bounded at any corpus scale), so it is LRU-
+    # persisted and BOTH consumers (pair counts and per-source counts)
+    # read it — documents is scanned exactly once (guarded in
+    # tests/test_plans.py).
+    posts = D._persist(
+        st.groupBy("tok").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    )
+    cnt = posts.select("tok", F.explode("ss").alias("source")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     pair_arr = F.flatten(
         F.transform(
             F.col("ss"),

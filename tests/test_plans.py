@@ -225,3 +225,23 @@ def test_tpch_q22_anti_join_shape(spark):
     plan = P.physical_plan(df)
     assert "LeftAnti" in plan or "AntiJoin" in plan, plan
     assert not P.has_cartesian(df)
+
+
+def test_pipeline_curation_no_cartesian_no_pinned_broadcast(spark):
+    # The mixture-threshold crossJoin is a 1-row scalar broadcast, which
+    # must plan as BroadcastNestedLoop, never CartesianProduct; the only
+    # mandatory broadcasts are the tiny threshold/scalar frames.
+    df = _df(spark, "pipeline_curation")
+    assert not P.has_cartesian(df)
+
+
+def test_corpus_overlap_single_scan_via_cached_postings(spark):
+    # The vocab-sized posting frame is persisted and every consumer (pair
+    # expansion + both per-source count references) reads the cache —
+    # documents is physically scanned once, the other "documents.parquet"
+    # occurrences in the plan text are InMemoryRelation reprinting its
+    # build plan.
+    df = _df(spark, "corpus_overlap")
+    plan = P.physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert not P.has_cartesian(df)
