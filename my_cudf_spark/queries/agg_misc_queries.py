@@ -281,3 +281,47 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_event"), "cnt")
         .orderBy("user_id")
     )
+
+
+@register(
+    "agg_product",
+    sql="""
+    WITH per_order AS (
+      SELECT o_orderkey, PRODUCT(CAST(l_linenumber AS DOUBLE)) AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linenumber BETWEEN 1 AND 3
+      GROUP BY o_orderkey)
+    SELECT o_orderkey % 10 AS bucket,
+           CAST(CAST(SUM(CAST(p AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_products,
+           COUNT(*) AS n
+    FROM per_order GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregation kind (aggregation.hpp:87 Kind::PRODUCT).
+    Products of doubles are order-dependent once they exceed 2^53, so the
+    PRODUCT itself runs per order (≤13 factors of ≤3 → ≤3^13, integral
+    and exact in double regardless of order) and the cross-bucket rollup
+    of those exact products goes through the decimal-stable SUM."""
+    from my_cudf_spark.sources import load_table as _lt
+
+    lineitem, orders = (
+        _lt(spark, sf_dir, "lineitem"),
+        _lt(spark, sf_dir, "orders"),
+    )
+    li = lineitem.filter(F.col("l_linenumber").between(1, 3))
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.product(F.col("l_linenumber").cast("double")).alias("p"))
+    )
+    return (
+        per_order.groupBy((F.col("o_orderkey") % 10).alias("bucket"))
+        .agg(
+            F.sum(F.col("p").cast("decimal(27,6)")).cast("double")
+            .alias("sum_products"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )

@@ -360,3 +360,42 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_salted_skew",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/joins.py:salted_join): the left side
+    gets a random salt bucket and the right side is exploded salt ways,
+    spreading any hot key over ``salt`` reducers — the manual fallback
+    for skew AQE can't split.  Salting only re-routes rows, so the
+    result set is identical to the plain equi-join and the plain-SQL
+    oracle applies verbatim."""
+    lineitem, orders = (
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    joined = j.salted_join(
+        lineitem.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k").select("k", "o_orderpriority"),
+        on=["k"],
+        how="inner",
+        salt=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
