@@ -231,3 +231,51 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return R.transpose(base, "r_name").orderBy("variable")
+
+
+@register(
+    "reshape_explode_outer",
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey,
+             COALESCE(ARRAY_AGG(l_linenumber ORDER BY l_linenumber)
+                        FILTER (WHERE l_quantity > 45), []) AS arr
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey % 7 = 0
+      GROUP BY o_orderkey),
+    padded AS (
+      SELECT o_orderkey, arr,
+             CASE WHEN len(arr) = 0 THEN [CAST(NULL AS INTEGER)] ELSE arr END AS arr2
+      FROM a)
+    SELECT o_orderkey,
+           CASE WHEN len(arr) = 0 THEN NULL
+                ELSE CAST(generate_subscripts(arr2, 1) - 1 AS INT) END AS pos,
+           unnest(arr2) AS linenumber
+    FROM padded ORDER BY o_orderkey, pos
+    """,
+)
+def reshape_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer — the null-preserving explode mode (cudf
+    lists/explode.hpp:142 explode_outer / explode_outer_position):
+    groups whose array is empty survive as a single (NULL pos, NULL
+    value) row instead of disappearing, which is what left-join-shaped
+    pipelines need after a filtered collect."""
+    orders, lineitem = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    arrs = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("l_quantity") > 45, F.col("l_linenumber")))
+            ).alias("arr")
+        )
+    )
+    return (
+        arrs.select("o_orderkey", F.posexplode_outer("arr").alias("pos", "linenumber"))
+        .select("o_orderkey", F.col("pos").cast("int").alias("pos"), "linenumber")
+        .orderBy("o_orderkey", "pos")
+    )
