@@ -325,3 +325,79 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+SKEW_KURT_SQL = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+  FROM lineitem GROUP BY l_returnflag),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM s)
+SELECT l_returnflag,
+       SQRT(CAST(n AS DOUBLE) * (n - 1)) / (n - 2) * (m3 / SQRT(m2 * m2 * m2)) AS skew_adj,
+       ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+         AS kurt_excess
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register("agg_skew_kurt", sql=SKEW_KURT_SQL)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis with pandas/cudf bias adjustment
+    (indexed_frame.py:1685 skew, :1630 kurtosis).  Engine-builtin
+    skewness()/kurtosis() stream running moments whose low bits depend
+    on visit order; instead both sides aggregate EXACT integer power
+    sums (l_quantity is integral ≤50, so x⁴ sums stay far inside int64)
+    and close the identical textual formula in double — bit-stable
+    (m2^1.5 is sqrt(m2³): IEEE sqrt/multiply are exactly rounded where
+    libm pow() differs between engines in the last bit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mean * mean
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mean * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * mean * (F.col("s3").cast("double") / n)
+        + F.lit(6.0) * mean * mean * (F.col("s2").cast("double") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        (F.sqrt(n.cast("double") * (n - 1)) / (n - 2) * (m3 / F.sqrt(m2 * m2 * m2)))
+        .alias("skew_adj"),
+        (
+            ((n + F.lit(1.0)) * (m4 / (m2 * m2) - F.lit(3.0)) + F.lit(6.0))
+            * (n - F.lit(1.0))
+            / ((n - F.lit(2.0)) * (n - F.lit(3.0)))
+        ).alias("kurt_excess"),
+    ).orderBy("l_returnflag")
