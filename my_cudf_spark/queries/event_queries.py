@@ -290,3 +290,51 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+MAD_SQL = """
+WITH m AS (SELECT user_id, ROUND(MEDIAN(value), 6) AS med FROM events GROUP BY user_id),
+d AS (SELECT e.user_id, ROUND(ABS(value - med), 6) AS dev, med
+      FROM events e JOIN m USING (user_id)),
+md AS (SELECT user_id, ROUND(MEDIAN(dev), 6) AS mad FROM d GROUP BY user_id)
+SELECT d.user_id, MAX(d.med) AS med, MAX(md.mad) AS mad,
+       CAST(SUM(CASE WHEN dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events
+FROM d JOIN md USING (user_id)
+GROUP BY d.user_id ORDER BY d.user_id
+"""
+
+
+@register("events_outliers_mad", sql=MAD_SQL)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per user: median / median-absolute-
+    deviation with a 3-MAD cut — the standard value filter that, unlike
+    z-scores, is not dragged by the outliers it hunts.  Two grouped
+    exact-percentile aggregations plus two co-partitioned joins on
+    user_id (the join reuses each aggregation's shuffle).  Medians and
+    deviations are rounded to 6 places BEFORE comparison on both
+    engines: median interpolation is a+(b-a)f in DuckDB but (a+b)/2-
+    style in Spark, so raw low bits differ and an unrounded 3-MAD
+    boundary would flip flags between engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    m = ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    d = ev.join(m, "user_id").select(
+        "user_id", "med", F.round(F.abs(F.col("value") - F.col("med")), 6).alias("dev")
+    )
+    md = d.groupBy("user_id").agg(
+        F.round(F.expr("percentile(dev, 0.5D)"), 6).alias("mad")
+    )
+    return (
+        d.join(md, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
