@@ -99,11 +99,23 @@ def top_k(df: DataFrame, k: int, order_by: Sequence[str | Column]) -> DataFrame:
 
 
 def unique_consecutive(
-    df: DataFrame, subset: Sequence[str], order_by: Sequence[str | Column]
+    df: DataFrame,
+    subset: Sequence[str],
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Keep the first row of each run of equal ``subset`` values along
-    ``order_by`` (stream_compaction.hpp:258 ``unique``)."""
-    w = Window.orderBy(*_cols(order_by))
+    ``order_by`` (stream_compaction.hpp:258 ``unique``).
+
+    Pass ``partition_by`` whenever runs cannot cross a partition key (e.g.
+    per-user event streams): the lag window then distributes.  Without it
+    the window is global — a single task sees every row, acceptable only
+    for bounded frames (prefer a partition key on scale-growing input).
+    """
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*_cols(order_by))
+    else:
+        w = Window.orderBy(*_cols(order_by))
     changed = F.lit(False)
     for c in subset:
         prev = F.lag(F.col(c)).over(w)
@@ -120,14 +132,23 @@ def with_row_index(df: DataFrame, name: str = "row_index", order_by: Sequence[st
     """Row-index column (MapFunction row_index, ir.py:1797-1823).
 
     Without ``order_by``: partition-stable but non-contiguous ids
-    (monotonically_increasing_id) — O(1), no shuffle, the 100TB-safe option.
-    With ``order_by``: contiguous 0..n-1 following the order — requires a
-    global sort window (single-partition bottleneck; only for small frames).
+    (monotonically_increasing_id) — O(1), no shuffle.
+    With ``order_by``: contiguous 0..n-1 following the order, computed as an
+    exclusive global cumsum of 1 via ``packing.global_cumsum`` — two narrow
+    range-partitioned passes plus a broadcast of per-partition offsets, so no
+    single-partition window anywhere; safe on scale-growing frames.
+    ``order_by`` must be a total order (ties → nondeterministic indices).
     """
     if order_by is None:
         return df.withColumn(name, F.monotonically_increasing_id())
-    w = Window.orderBy(*_cols(order_by))
-    return df.withColumn(name, F.row_number().over(w) - 1)
+    from my_cudf_spark.operators.packing import global_cumsum
+
+    return (
+        global_cumsum(
+            df.withColumn("__one", F.lit(1)), _cols(order_by), "__one", out_col=name
+        )
+        .drop("__one")
+    )
 
 
 def hconcat(left: DataFrame, right: DataFrame, order_left: Sequence[str | Column], order_right: Sequence[str | Column]) -> DataFrame:
@@ -159,7 +180,12 @@ def shift(
     fill_value=None,
 ) -> DataFrame:
     """Column shift along an explicit order (copying.hpp:423; grouped
-    variant = groupby.shift, cudf groupby.py)."""
+    variant = groupby.shift, cudf groupby.py).
+
+    Without ``partition_by`` the lag/lead window is GLOBAL (one task holds
+    the whole frame) — pass a partition key on any scale-growing input;
+    the grouped form distributes on it.
+    """
     w = Window.orderBy(*_cols(order_by))
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*_cols(order_by))

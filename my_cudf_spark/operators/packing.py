@@ -25,7 +25,9 @@ than one partition's rows in one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -34,7 +36,7 @@ __all__ = ["global_cumsum", "pack_sequences"]
 
 def global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str | Column],
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
@@ -43,18 +45,29 @@ def global_cumsum(
     (row i gets the sum of all strictly-earlier rows), without a
     single-partition window.
 
-    ``order_col`` must be a total order (ties would make the prefix sum
-    nondeterministic across runs)."""
+    ``order_col`` (one column or a list) must be a total order (ties would
+    make the prefix sum nondeterministic across runs)."""
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     d = (
-        df.repartitionByRange(num_partitions, order_col)
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # Pin the range exchange to ONE concrete RDD.  The totals branch and the
+    # final join both read `d`; left as two plan branches, each instantiates
+    # its own range exchange whose sampled boundaries can differ between
+    # executions — __pid then disagrees across branches and the offsets
+    # misalign (observed as duplicate/gapped indices).  localCheckpoint
+    # (lazy) materializes the shuffle once so every consumer shares the same
+    # partitioner; lineage truncation is the same device clustering.py uses
+    # per CC round.
+    d = d.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # One row per partition; the prefix window below runs on that tiny

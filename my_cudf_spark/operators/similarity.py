@@ -23,6 +23,7 @@ from pyspark.sql.functions import broadcast
 __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
     "ivf_topk", "cosine_pairs_exact", "cosine_neardup_lsh",
+    "md5_rademacher_planes",
 ]
 
 
@@ -87,6 +88,29 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def md5_rademacher_planes(dim: int, bits: int, tables: int):
+    """(tables*bits, dim) ±1 hyperplanes derived from md5 digests.
+
+    Sign-random-projection LSH is valid for any symmetric sub-gaussian
+    entry distribution; Rademacher (±1) entries drawn from md5 bits keep
+    the same collision-probability guarantees as gaussians AND are
+    re-computable in ANY engine with an md5 function — which is what lets
+    the driver's DuckDB oracle regenerate the exact buckets
+    (``substr(md5(t||'|'||b||'|'||d),1,1) >= '8'`` ⇒ +1).  Entry (t,b,d)
+    uses the top bit of the first hex nibble of ``md5(f"{t}|{b}|{d}")``."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((tables * bits, dim))
+    for t in range(tables):
+        for b in range(bits):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}|{b}|{d}".encode()).hexdigest()
+                out[t * bits + b, d] = 1.0 if int(h[0], 16) >= 8 else -1.0
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,10 +121,15 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 16,
     query_id: str = "query_id",
+    plane_source: str = "gauss",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures; rows meet only
     inside a (table, signature) bucket. Shuffle ∝ corpus×tables, scoring ∝
-    bucket collisions — sublinear vs brute force at high selectivity."""
+    bucket collisions — sublinear vs brute force at high selectivity.
+
+    ``plane_source``: 'gauss' (default, seeded Mersenne gaussians) or
+    'md5' (:func:`md5_rademacher_planes` — same guarantees, and the
+    buckets become recomputable in SQL for the driver oracle)."""
 
     # Signature computation is a (rows × dim) @ (dim × tables·bits) matrix
     # multiply — a per-element Column expression evaluates interpreted at
@@ -111,9 +140,12 @@ def lsh_topk(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(
-        [p for t in range(tables) for p in _hyperplanes(dim, bits, seed=t + 1)]
-    )  # (tables*bits, dim)
+    if plane_source == "md5":
+        planes = md5_rademacher_planes(dim, bits, tables)  # (tables*bits, dim)
+    else:
+        planes = np.array(
+            [p for t in range(tables) for p in _hyperplanes(dim, bits, seed=t + 1)]
+        )  # (tables*bits, dim)
     powers = 1 << np.arange(bits)
 
     def _buckets(vecs):
@@ -304,15 +336,17 @@ def ivf_topk(
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
+    # Seeding: n_centroids smallest ids via orderBy().limit() — plans as
+    # TakeOrderedAndProject (per-partition k-row heaps, driver merges k rows),
+    # so the full corpus never funnels through one window task.  The
+    # row_number window that assigns cid then runs over the <= n_centroids-row
+    # result only.
+    seed = c.orderBy("neighbor_id").limit(n_centroids)
     w_seed = Window.orderBy("neighbor_id")
-    cents = (
-        c.withColumn("__rn", F.row_number().over(w_seed))
-        .filter(F.col("__rn") <= n_centroids)
-        .select(
-            (F.col("__rn") - 1).alias("cid"),
-            F.col("__v").alias("__cv"),
-            F.col("__n").alias("__cn"),
-        )
+    cents = seed.withColumn("__rn", F.row_number().over(w_seed)).select(
+        (F.col("__rn") - 1).alias("cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
     )
 
     for _ in range(lloyd_iterations):

@@ -6,6 +6,7 @@ from my_cudf_spark.plans.inspect import (
     count_broadcasts,
     count_shuffles,
     forced_broadcast_hints,
+    global_window_subtrees,
     has_cartesian,
     physical_plan,
     plan_report,
@@ -17,6 +18,7 @@ __all__ = [
     "count_broadcasts",
     "count_shuffles",
     "forced_broadcast_hints",
+    "global_window_subtrees",
     "has_cartesian",
     "physical_plan",
     "plan_report",

@@ -30,6 +30,7 @@ __all__ = [
     "count_shuffles",
     "count_broadcasts",
     "has_cartesian",
+    "global_window_subtrees",
     "plan_report",
 ]
 
@@ -88,6 +89,52 @@ def forced_broadcast_hints(df: DataFrame) -> int:
     """
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     return len(re.findall(r"broadcast(?![A-Za-z])", plan)) + plan.count("ResolvedHint")
+
+
+def _bracket_groups(s: str) -> int:
+    """Count top-level ``[...]`` groups in a plan-node argument string."""
+    depth, groups = 0, 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def global_window_subtrees(df: DataFrame) -> list[str]:
+    """Subtree text of every *unpartitioned* Window node in the plan.
+
+    An unpartitioned window (``Window.orderBy`` with no ``partitionBy``)
+    funnels its entire input through one task — the single-node shape the
+    reference can afford on a GPU but a cluster cannot.  It is only
+    acceptable when its input is provably bounded (e.g. below a
+    ``TakeOrderedAndProject`` / ``GlobalLimit``).  Spark prints partitioned
+    windows as ``Window [exprs], [partSpec], [orderSpec]`` (3 bracket
+    groups) and unpartitioned ones with 2, so the arity distinguishes them.
+    Tests assert every returned subtree contains a limit operator.
+    """
+    lines = physical_plan(df).splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else 0
+
+    out = []
+    for i, line in enumerate(lines):
+        m = re.search(r"(?:[+:]- |^)Window (.*)$", line)
+        if not m or _bracket_groups(m.group(1)) != 2:
+            continue
+        d = depth(line)
+        j = i + 1
+        sub = []
+        while j < len(lines) and depth(lines[j]) > d:
+            sub.append(lines[j])
+            j += 1
+        out.append("\n".join(sub))
+    return out
 
 
 def plan_report(df: DataFrame) -> dict:

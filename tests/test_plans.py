@@ -157,6 +157,35 @@ def test_ivf_centroid_join_is_broadcast(spark):
     assert rep["broadcast_joins"] >= 1, rep
 
 
+def test_ivf_centroid_seeding_bounded_not_global_window(spark):
+    # Centroid seeding takes the n_centroids smallest ids.  The scale
+    # contract: that is a TakeOrderedAndProject (per-partition k-row heaps)
+    # feeding a window over <= n_centroids rows — NEVER an unpartitioned
+    # window over the full corpus (one task scanning 100 TB).  Every
+    # unpartitioned window in the plan must sit above a limit.
+    df = _df(spark, "vec_topk_ivf")
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    subs = P.global_window_subtrees(df)
+    assert subs, "expected the tiny seeding window to remain"
+    for sub in subs:
+        assert "TakeOrderedAndProject" in sub or "GlobalLimit" in sub, sub
+
+
+def test_row_index_hconcat_no_corpus_global_window(spark):
+    # with_row_index(order_by) must route through global_cumsum: the ONLY
+    # single-partition windows allowed are the per-partition-totals prefix
+    # sums (input = one row per partition, keyed on __pid) — never a window
+    # holding the full orders table in one task.
+    import re
+
+    df = _df(spark, "frame_hconcat_rowindex")
+    subs = P.global_window_subtrees(df)
+    assert subs, "expected the tiny __pid-prefix windows"
+    for sub in subs:
+        assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
+
+
 def test_tpch_q4_semi_join_no_duplication(spark):
     # EXISTS compiles to a left-semi join: no cartesian, no distinct stage,
     # and no mandatory broadcast (lineitem grows with SF).
@@ -225,6 +254,25 @@ def test_tpch_q22_anti_join_shape(spark):
     plan = P.physical_plan(df)
     assert "LeftAnti" in plan or "AntiJoin" in plan, plan
     assert not P.has_cartesian(df)
+
+
+def test_pipeline_curation_single_documents_scan(spark):
+    # mixture_sample embeds its input subplan twice (per-domain counts +
+    # the final membership join); the pipeline persists the deduped
+    # survivors so both embeddings read the cache and documents is scanned
+    # and quality-scored exactly once.
+    from my_cudf_spark.operators.dedup import release_cached
+
+    try:
+        df = _df(spark, "pipeline_curation")
+        plan = P.physical_plan(df)
+        # Both embeddings must read the cache; every FileScan of documents
+        # in the text is the InMemoryRelation reprinting its (run-once)
+        # materialization plan — none may appear outside it.
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert plan.count("documents.parquet") == plan.count("InMemoryRelation"), plan
+    finally:
+        release_cached()
 
 
 def test_pipeline_curation_no_cartesian_no_pinned_broadcast(spark):
