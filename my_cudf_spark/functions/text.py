@@ -80,13 +80,17 @@ def word_ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
 
     Guarded for |tokens| < n: Spark's ``sequence(1, 0)`` counts DOWN
     ([1, 0]), which would feed slice() a zero start — short arrays yield
-    an empty gram list instead."""
+    an empty gram list instead.  NULL input stays NULL (cudf
+    generate_ngrams null semantics): a missing doc must remain
+    distinguishable from a short one."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.array_join(F.slice(tokens, i, n), sep),
     )
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    return (
+        F.when(F.size(tokens) >= n, grams)
+        .when(tokens.isNotNull(), F.array().cast("array<string>"))
+        .otherwise(F.lit(None).cast("array<string>"))
     )
 
 
@@ -95,14 +99,17 @@ def char_ngrams(col: Column | str, n: int) -> Column:
 
     Same short-input guard as ``word_ngrams``: without it,
     ``sequence(1, 0)`` counts down and a too-short string yields two
-    bogus partial grams instead of none."""
+    bogus partial grams instead of none.  NULL input stays NULL (cudf
+    null semantics)."""
     c = _c(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.length(c) - (n - 1)),
         lambda i: F.substring(c, i, n),
     )
-    return F.when(F.length(c) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    return (
+        F.when(F.length(c) >= n, grams)
+        .when(c.isNotNull(), F.array().cast("array<string>"))
+        .otherwise(F.lit(None).cast("array<string>"))
     )
 
 

@@ -307,14 +307,34 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sets, threshold)
 
 
-def simhash_signatures(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
+def md5_hash60(col: Column) -> Column:
+    """60-bit hash from the md5 hex prefix — the cross-engine token hash.
+
+    xxhash64 has no DuckDB twin, so SimHash built on it can only get a
+    rows-only driver check.  The first 15 hex chars of md5 give 60
+    uniform bits both engines compute identically (DuckDB:
+    ``('0x' || substr(md5(t),1,15))::BIGINT``), making the full signature
+    SQL-expressible.  The top 4 signature bits become constant zero —
+    harmless: they cancel in every XOR/hamming comparison."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, tokens: Column, hash_expr=None
+) -> DataFrame:
     """(id, sh) 64-bit SimHash per document via explode + groupBy: one
     xxhash64 per token, then 64 conditional-sum aggs (one per bit) and a
     bitwise reassembly.  Documents with zero tokens get signature 0 (the
-    empty-vote fixpoint), restored via left join."""
+    empty-vote fixpoint), restored via left join.
+
+    ``hash_expr``: Column-expression factory for the per-token hash;
+    defaults to xxhash64 (fastest), :func:`md5_hash60` when the caller
+    needs cross-engine (DuckDB-oracle) reproducibility."""
+    if hash_expr is None:
+        hash_expr = F.xxhash64
     ids = df.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     hashed = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("t")).select(
-        "id", F.xxhash64("t").alias("h")
+        "id", hash_expr(F.col("t")).alias("h")
     )
     votes = hashed.groupBy("id").agg(
         *[
@@ -340,16 +360,20 @@ def simhash_pairs(
     id_col: str,
     tokens: Column,
     max_hamming: int = 3,
+    hash_expr=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Candidate generation: split the 64-bit signature into max_hamming+1
     bands — any pair within distance max_hamming shares at least one exact
     band (pigeonhole) → equi-join per band, then exact popcount filter.
+    Pigeonhole is complete: the output is EVERY pair at distance ≤
+    max_hamming, not a sample — which is why the md5-backed variant
+    (``hash_expr=md5_hash60``) admits an exact SQL oracle.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = simhash_signatures(df, id_col, tokens)
+    sig = simhash_signatures(df, id_col, tokens, hash_expr=hash_expr)
     banded = sig.select(
         "id",
         "sh",

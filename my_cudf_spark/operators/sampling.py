@@ -154,11 +154,16 @@ def mixture_sample(
         .withColumn("__w", weight[F.col("__dom")])
         .filter(F.col("__w").isNotNull())
     )
-    # c = min_d n_d/w_d, as exact int/double division; the cross join is a
-    # single scalar row.
-    c = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__c"))
+    # c = min_d n_d/w_d, folded as a global window over the tiny counts
+    # frame (<= |domains| rows) rather than a separate aggregate +
+    # crossJoin: a second aggregate would embed the full input subplan a
+    # third time, and on composed inputs (pipeline_curation's scored+dedup
+    # chain) that is another corpus-wide recompute unless AQE happens to
+    # reuse the exchange.  Two embeddings (counts + final join) is the
+    # minimum, and AQE dedups those into one scan + one shuffle.
+    w_all = Window.partitionBy()
     thresholds = (
-        counts.crossJoin(c)
+        counts.withColumn("__c", F.min(F.col("__n") / F.col("__w")).over(w_all))
         .withColumn("__p", F.least(F.lit(1.0), F.col("__c") * F.col("__w") / F.col("__n")))
         .withColumn(
             "__thr",

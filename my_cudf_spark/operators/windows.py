@@ -353,13 +353,20 @@ def pct_change(
 ) -> DataFrame:
     """Fractional change x_i/x_{i-periods} - 1 (cudf
     DataFrame.pct_change, dataframe.py:7806). NULL where the lag window
-    is incomplete; division by zero follows SQL NULL semantics via
-    nullif."""
+    is incomplete; a zero base follows cudf/pandas IEEE semantics —
+    x/0 → ±infinity by the sign of x, 0/0 → NaN (Spark's builtin double
+    division would return NULL instead, a parity gap flaged in round 2)."""
     w = _w(partition_by, order_by)
     lagged = F.lag(F.col(col), periods).over(w) if periods >= 0 else F.lead(
         F.col(col), -periods
     ).over(w)
+    x = F.col(col)
+    zero_base = (
+        F.when(x > 0, F.lit(float("inf")))
+        .when(x < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
     return df.withColumn(
         name or f"{col}_pct_change",
-        F.col(col) / F.nullif(lagged, F.lit(0)) - F.lit(1.0),
+        F.when(lagged == 0, zero_base).otherwise(x / lagged - F.lit(1.0)),
     )

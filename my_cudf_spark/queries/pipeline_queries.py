@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from my_cudf_spark.functions import text as T
 from my_cudf_spark.functions.stable import sql_dec2dbl
 from my_cudf_spark.operators import sampling as S
+from my_cudf_spark.operators.dedup import _persist
 from my_cudf_spark.operators.sampling import _threshold_hex
 from my_cudf_spark.queries import register
 from my_cudf_spark.sources import load_table
@@ -53,7 +54,9 @@ deduped AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM})
                                  ORDER BY doc_id) AS rk
     FROM scored) WHERE rk = 1),
-counts AS (SELECT source AS dom, COUNT(*) AS cnt FROM deduped GROUP BY source),
+counts AS (SELECT source AS dom, COUNT(*) AS cnt FROM deduped
+           WHERE source IN ({", ".join(f"'{s}'" for s in _SOURCES)})
+           GROUP BY source),
 c AS (SELECT MIN(cnt / CAST(0.05 AS DOUBLE)) AS c FROM counts),
 thr AS (SELECT dom,
                lpad(printf('%x', CAST(floor(least(CAST(1.0 AS DOUBLE),
@@ -94,6 +97,13 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+    # mixture_sample reads its input twice (per-domain counts + membership
+    # join).  The two embeddings prune different columns, so Catalyst/AQE
+    # cannot canonicalize the scored+dedup subplans into one exchange —
+    # persist the survivors (post-filter, far smaller than the corpus) so
+    # documents is scanned and quality-scored exactly once; the LRU in
+    # operators.dedup evicts it once the pipeline is done.
+    deduped = _persist(deduped)
     mixed = S.mixture_sample(
         deduped, "source", ["doc_id"], {s: 1.0 for s in _SOURCES}, salt="mix"
     )

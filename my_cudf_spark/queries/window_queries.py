@@ -336,7 +336,10 @@ def agg_var_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id, user_id, value,
            value - LAG(value) OVER w AS value_diff,
-           value / NULLIF(LAG(value) OVER w, 0) - 1.0 AS value_pct_change
+           CASE WHEN LAG(value) OVER w = 0 AND value > 0 THEN 'infinity'::DOUBLE
+                WHEN LAG(value) OVER w = 0 AND value < 0 THEN '-infinity'::DOUBLE
+                WHEN LAG(value) OVER w = 0 THEN 'nan'::DOUBLE
+                ELSE value / (LAG(value) OVER w) - 1.0 END AS value_pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     ORDER BY event_id
