@@ -20,6 +20,11 @@ from my_cudf_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# Streaming replays carry state-store open/commit + micro-batch scheduling
+# jitter (observed cross-run spreads up to 4x on stream_join_replay); a
+# median of 5 instead of 3 keeps one outlier batch from moving the
+# recorded number.
+STREAM_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_REPEATS", "5"))
 
 
 def execute(df) -> None:
@@ -43,7 +48,8 @@ def main() -> None:
         # cluster execution. Timed runs measure the compiled plan.
         execute(q.fn(spark, SF_DIR))
         runs = []
-        for _ in range(REPEATS):
+        repeats = STREAM_REPEATS if name.startswith("stream_") else REPEATS
+        for _ in range(repeats):
             t0 = time.perf_counter()
             execute(q.fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)

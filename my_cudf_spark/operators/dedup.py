@@ -39,7 +39,9 @@ __all__ = [
     "exact_dedup",
     "neardup_pairs_exact",
     "minhash_lsh_pairs",
+    "minhash_ngrams_signatures",
     "simhash_pairs",
+    "md5_hash60",
     "release_cached",
 ]
 
@@ -317,6 +319,47 @@ def md5_hash60(col: Column) -> Column:
     SQL-expressible.  The top 4 signature bits become constant zero —
     harmless: they cancel in every XOR/hamming comparison."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MERSENNE_PRIME61 = (1 << 61) - 1
+
+
+def minhash_ngrams_signatures(
+    sets: DataFrame,
+    parameter_a: list[int],
+    parameter_b: list[int],
+    hash_expr=None,
+) -> DataFrame:
+    """Affine-permuted minhash — exact formula parity with the reference's
+    ``minhash64_ngrams`` (nvtext/minhash.hpp:180-213): each gram hash hv is
+    permuted per lane as ``pv[i] = (hv*a[i] + b[i]) % (2^61 - 1)`` and the
+    signature is the per-lane minimum.  (The main LSH pipeline's
+    ``minhash_pairs_signatures`` re-hashes with the lane index instead —
+    equivalent sketch quality, cheaper; this variant exists for API/formula
+    parity and uses the same explode + k-min-aggs shape.)
+
+    The 2^61-1 modular product needs a 122-bit intermediate, out of range
+    for BIGINT — both engines run it exactly in wide arithmetic: Spark in
+    decimal(38,0) (values < 2^125 ≈ 4.3e37 fit), DuckDB in HUGEINT.
+    ``hash_expr`` defaults to :func:`md5_hash60` so hv < 2^60 needs no
+    pre-reduction and the oracle can recompute it."""
+    import decimal
+
+    if len(parameter_a) != len(parameter_b):
+        raise ValueError("parameter_a and parameter_b must have equal length")
+    if hash_expr is None:
+        hash_expr = md5_hash60
+    dec = lambda v: F.lit(decimal.Decimal(v)).cast("decimal(38,0)")
+    hashed = sets.select("id", F.explode("grams").alias("g")).select(
+        "id", hash_expr(F.col("g")).cast("decimal(38,0)").alias("hv")
+    )
+    lanes = [
+        F.min(
+            ((F.col("hv") * dec(a) + dec(b)) % dec(MERSENNE_PRIME61)).cast("long")
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(parameter_a, parameter_b))
+    ]
+    return hashed.groupBy("id").agg(*lanes)
 
 
 def simhash_signatures(

@@ -41,11 +41,17 @@ def _drain(stream_df: DataFrame, tag: str, work_dir: str, output_mode: str | Non
     on a real cluster this is sized to state volume, not core count."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Bounded replay never restarts from checkpoint mid-run — retaining the
+    # default 100 delta files per store only adds maintenance-thread disk
+    # work that shows up as cross-run timing jitter.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try:
         return S.run_to_memory(stream_df, f"{tag}_{next(_run_id)}", output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
@@ -170,6 +176,30 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pts").alias("first_purchase"),
         )
         .orderBy("user_id")
+    )
+
+
+def stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` (typed MapState) — per-user
+    per-event-type running counts carried across micro-batches; the final
+    update per (user, type) equals the batch groupBy count.  Counting is
+    order-insensitive, which the replay harness requires (chunks are
+    event_id ranges, so per-user arrival order is not time-monotonic).
+
+    NOT registered for the driver: the transformWithState Python runner
+    speaks protobuf to its state server and ``google.protobuf`` is absent
+    from this environment (no installs) — the operator is package-gated
+    exactly like Avro/Kafka and covered by an env-guarded test
+    (tests/test_streaming.py) plus the batch-fallback oracle check."""
+    from my_cudf_spark.streaming.stateful2 import type_counts
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    counts = type_counts(stream, ["user_id"], "event_type")
+    updates = _drain(counts, "typecounts", work_dir, output_mode="update")
+    return (
+        updates.groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy("user_id", "event_type")
     )
 
 

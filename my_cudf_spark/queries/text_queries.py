@@ -259,6 +259,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# minhash64_ngrams permutation parameters (a, b) — fixed Mersenne draws
+# shared verbatim by the Spark expressions and the SQL oracle below.
+import random as _random
+
+_MNG_RNG = _random.Random(42)
+_MNG_A = [_MNG_RNG.randrange(1, (1 << 61) - 1) for _ in range(6)]
+_MNG_B = [_MNG_RNG.randrange(0, (1 << 61) - 1) for _ in range(6)]
+_MNG_LANES_SQL = ",\n           ".join(
+    f"MIN(((hv * {a}::HUGEINT + {b}::HUGEINT) % 2305843009213693951::HUGEINT)::BIGINT) AS m{i}"
+    for i, (a, b) in enumerate(zip(_MNG_A, _MNG_B))
+)
+
+
+@register(
+    "text_minhash_ngrams",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
+    e AS (SELECT doc_id, unnest(g) AS gram FROM s WHERE len(g) > 0),
+    h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT::HUGEINT AS hv FROM e)
+    SELECT doc_id,
+           {_MNG_LANES_SQL}
+    FROM h GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_minhash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash64_ngrams formula parity (nvtext/minhash.hpp:180-213): per
+    word-trigram hash hv, lane i takes min((hv*a[i]+b[i]) % (2^61-1)).
+    Spark runs the modular product exactly in decimal(38,0), DuckDB in
+    HUGEINT; the md5-derived gram hash makes hv itself cross-engine.
+    Documents with fewer than 3 tokens have no grams and are omitted
+    (both sides)."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    trigrams = T.word_ngrams(F.col("toks"), 3)
+    sets = D._gram_sets(docs, "doc_id", trigrams).filter(F.size("grams") > 0)
+    out = D.minhash_ngrams_signatures(sets, _MNG_A, _MNG_B)
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
 @register(
     "text_stemmer",
     sql="""

@@ -71,6 +71,54 @@ def test_sliding_window_stream_equals_batch(spark):
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
+def test_transform_with_state_contract(spark):
+    """transformWithStateInPandas gate: batch fallback must equal the
+    groupBy oracle everywhere; the streaming path needs google.protobuf
+    (absent here — no installs) and must fail fast with the install hint,
+    not crash downstream in the state-server runner.  With protobuf
+    present the streamed final counts equal the batch answer (covered by
+    the stream_type_counts query + oracle, runnable wherever protobuf
+    exists)."""
+    from my_cudf_spark.streaming.sources import replay_events
+    from my_cudf_spark.streaming.stateful2 import type_counts
+
+    batch = _batch_events(spark)
+    got = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in type_counts(batch, ["user_id"], "event_type").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): r["count"]
+        for r in batch.groupBy("user_id", "event_type").count().collect()
+    }
+    assert got == want
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=2)
+    try:
+        if has_protobuf:
+            out = S.run_to_memory(
+                type_counts(stream, ["user_id"], "event_type"), "twscontract", "update"
+            )
+            final = {
+                (r["user_id"], r["event_type"]): r["n"]
+                for r in out.groupBy("user_id", "event_type")
+                .agg(F.max("n").alias("n"))
+                .collect()
+            }
+            assert final == want
+        else:
+            with pytest.raises(NotImplementedError, match="protobuf"):
+                type_counts(stream, ["user_id"], "event_type")
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def test_kafka_stream_contract(spark):
     """The Kafka reader is configuration-only plumbing; without the
     spark-sql-kafka connector jar (not shipped in this environment) it must
