@@ -3,6 +3,7 @@ rewrites are Catalyst builtins — this package verifies Catalyst actually
 applied them per query)."""
 
 from my_cudf_spark.plans.inspect import (
+    cache_substitution,
     count_broadcasts,
     count_shuffles,
     forced_broadcast_hints,
@@ -15,6 +16,7 @@ from my_cudf_spark.plans.inspect import (
 )
 
 __all__ = [
+    "cache_substitution",
     "count_broadcasts",
     "count_shuffles",
     "forced_broadcast_hints",

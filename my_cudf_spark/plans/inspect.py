@@ -31,6 +31,7 @@ __all__ = [
     "count_broadcasts",
     "has_cartesian",
     "global_window_subtrees",
+    "cache_substitution",
     "plan_report",
 ]
 
@@ -39,6 +40,36 @@ def physical_plan(df: DataFrame) -> str:
     """Executed-plan text (post-AQE initial plan; string form of
     ``df.explain()``)."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def cache_substitution(df: DataFrame, source_substr: str) -> dict:
+    """Structural cache-substitution report over the logical plan AFTER the
+    cache manager ran (``QueryExecution.withCachedData``).
+
+    String-counting ``<file>.parquet`` in the physical-plan text is brittle:
+    a *materialized* InMemoryRelation reprints its build plan (innerChildren)
+    in a different shape than an unmaterialized one, so the same query
+    flips counts depending on whether an earlier consumer already ran.  In
+    the logical tree, InMemoryRelation is a LEAF (its build plan hangs off
+    innerChildren, which ``children()`` never yields), so walking children
+    counts exactly the scans OUTSIDE cached subtrees — the property that
+    actually matters ("every consumer reads the cache").
+    """
+    node = df._jdf.queryExecution().withCachedData()
+    in_memory = 0
+    naked_scans = 0
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        name = n.nodeName()
+        if name == "InMemoryRelation":
+            in_memory += 1
+        elif name == "LogicalRelation" and source_substr in n.toString():
+            naked_scans += 1
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return {"in_memory_relations": in_memory, "naked_scans": naked_scans}
 
 
 def _scan_lines(df: DataFrame) -> str:

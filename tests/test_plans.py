@@ -265,12 +265,14 @@ def test_pipeline_curation_single_documents_scan(spark):
 
     try:
         df = _df(spark, "pipeline_curation")
-        plan = P.physical_plan(df)
-        # Both embeddings must read the cache; every FileScan of documents
-        # in the text is the InMemoryRelation reprinting its (run-once)
-        # materialization plan — none may appear outside it.
-        assert plan.count("InMemoryTableScan") >= 2, plan
-        assert plan.count("documents.parquet") == plan.count("InMemoryRelation"), plan
+        # Structural check on the post-cache-manager logical tree: both
+        # embeddings of the deduped subplan must be InMemoryRelation and no
+        # documents FileScan may survive outside the cached subtree.
+        # (String-counting the physical plan text is order-dependent: a
+        # materialized cache reprints its build plan differently.)
+        rep = P.cache_substitution(df, "documents.parquet")
+        assert rep["in_memory_relations"] >= 2, rep
+        assert rep["naked_scans"] == 0, rep
     finally:
         release_cached()
 
