@@ -151,12 +151,24 @@ def with_row_index(df: DataFrame, name: str = "row_index", order_by: Sequence[st
     )
 
 
-def hconcat(left: DataFrame, right: DataFrame, order_left: Sequence[str | Column], order_right: Sequence[str | Column]) -> DataFrame:
+def hconcat(
+    left: DataFrame,
+    right: DataFrame,
+    order_left: Sequence[str | Column],
+    order_right: Sequence[str | Column],
+    index_col: str | None = None,
+) -> DataFrame:
     """Positional horizontal concat (HConcat, ir.py:1968) via row-index
-    equi-join on the two explicit orderings."""
+    equi-join on the two explicit orderings.  ``index_col`` keeps the
+    positional index in the output (cudf's hconcat result carries its
+    RangeIndex) — the join key IS that index, so exposing it is free and
+    saves callers a third row-index pass."""
     l = with_row_index(left, "__ri", order_left)
     r = with_row_index(right, "__ri", order_right)
-    return l.join(r, "__ri", "inner").drop("__ri")
+    out = l.join(r, "__ri", "inner")
+    if index_col is None:
+        return out.drop("__ri")
+    return out.withColumnRenamed("__ri", index_col)
 
 
 def merge_sorted(frames: Sequence[DataFrame], order_by: Sequence[str | Column]) -> DataFrame:

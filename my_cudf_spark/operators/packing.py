@@ -51,19 +51,111 @@ def global_cumsum(
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    key_num = _numeric_view(df, order_cols[0])
+    if key_num is not None:
+        return _cumsum_deterministic_buckets(
+            df, order_cols, key_num, value_col, out_col, num_partitions
+        )
+    return _cumsum_range_checkpoint(df, order_cols, value_col, out_col, num_partitions)
+
+
+def _numeric_view(df: DataFrame, expr: Column) -> Column | None:
+    """A numeric Column mirroring ``expr``'s sort order, or None when the
+    first order key is not binnable (string/complex, or a SortOrder like
+    ``col.desc()`` that fails analysis)."""
+    try:
+        dtype = df.select(expr.alias("__k")).schema[0].dataType.typeName()
+    except Exception:
+        return None
+    if dtype in ("integer", "long", "short", "byte", "float", "double") or dtype.startswith(
+        "decimal"
+    ):
+        return expr.cast("double")
+    if dtype.startswith("timestamp"):
+        # session tz is UTC, so the ntz→ts cast is a wall-clock identity
+        return F.unix_micros(expr.cast("timestamp")).cast("double")
+    if dtype == "date":
+        return F.datediff(expr, F.lit("1970-01-01")).cast("double")
+    return None
+
+
+def _cumsum_deterministic_buckets(
+    df: DataFrame,
+    order_cols: list[Column],
+    key_num: Column,
+    value_col: str,
+    out_col: str,
+    num_partitions: int,
+) -> DataFrame:
+    """Scale path: partition id is a PURE FUNCTION of row values (uniform
+    min/max binning of the first order key), so the totals branch and the
+    main branch can evaluate independently and still agree — no exchange
+    pinning, no localCheckpoint materialization, no range-boundary sampling
+    job.  min/max are merge-order-insensitive aggregates (unlike
+    approx_percentile, whose summary merges could differ between the two
+    branch evaluations and misalign the offsets).
+
+    Value-skewed keys make buckets uneven (performance, never correctness);
+    callers with pathological first-key skew can extend the order key or
+    fall back to the range path by passing a non-numeric leading key."""
+    mm = df.agg(
+        F.min(key_num).alias("__lo"),
+        F.max(key_num).alias("__hi"),
+        # count only to guard the all-equal / empty edge (width 0)
+    )
+    span = F.col("__hi") - F.col("__lo")
+    pid = F.when(
+        key_num.isNull() | (span <= F.lit(0.0)), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(num_partitions - 1),
+            F.floor((key_num - F.col("__lo")) / span * num_partitions).cast("int"),
+        )
+    )
+    d = df.crossJoin(broadcast(mm)).withColumn("__pid", pid).drop("__lo", "__hi")
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Totals re-derive __pid from scratch (deterministic), so Catalyst is
+    # free to plan this branch as scan → partial agg → tiny shuffle; the
+    # full-width data only crosses the wire once, for the window below.
+    totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0)).alias("__ofs")
+    )
+    return (
+        d.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+        .join(broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__ofs")).cast("long"))
+        .drop("__pid", "__local")
+    )
+
+
+def _cumsum_range_checkpoint(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int,
+) -> DataFrame:
+    """General path (string / SortOrder / complex first keys): range
+    exchange pinned with a lazy localCheckpoint.  The totals branch and the
+    final join both read ``d``; left as two plan branches, each instantiates
+    its own range exchange whose sampled boundaries can differ between
+    executions — __pid then disagrees across branches and the offsets
+    misalign (observed as duplicate/gapped indices).  localCheckpoint (lazy)
+    materializes the shuffle once so every consumer shares the same
+    partitioner.  No sortWithinPartitions before the checkpoint: the window
+    below re-sorts anyway (ordering metadata does not survive the
+    checkpoint), so pre-sorting is pure waste."""
     d = (
         df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    # Pin the range exchange to ONE concrete RDD.  The totals branch and the
-    # final join both read `d`; left as two plan branches, each instantiates
-    # its own range exchange whose sampled boundaries can differ between
-    # executions — __pid then disagrees across branches and the offsets
-    # misalign (observed as duplicate/gapped indices).  localCheckpoint
-    # (lazy) materializes the shuffle once so every consumer shares the same
-    # partitioner; lineage truncation is the same device clustering.py uses
-    # per CC round.
     d = d.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("__pid")

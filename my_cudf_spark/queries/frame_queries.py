@@ -38,15 +38,18 @@ def frame_hconcat_rowindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = orders.select("o_totalprice", "o_orderkey").withColumnRenamed(
         "o_orderkey", "__tie"
     )
+    # DESC expressed as ascending order on the negated key: a plain numeric
+    # leading key keeps both sides on global_cumsum's deterministic-bucket
+    # path (no checkpoint, no range-sampling).  The positional index is the
+    # hconcat join key itself (index_col), so no third row-index pass.
     out = FR.hconcat(
         left,
         right,
         order_left=["o_orderkey"],
-        order_right=[F.col("o_totalprice").desc(), F.col("__tie")],
+        order_right=[-F.col("o_totalprice"), F.col("__tie")],
+        index_col="row_index",
     )
-    withidx = FR.with_row_index(out.select("o_orderkey", "o_totalprice"),
-                                "row_index", order_by=["o_orderkey"])
-    return withidx.select(
+    return out.select(
         "o_orderkey", "o_totalprice", F.col("row_index").cast("long").alias("row_index")
     ).orderBy("row_index")
 
