@@ -102,29 +102,39 @@ def asof_join(
     by: Sequence[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right.on <= left.on`` (backward; 'forward' = next ``>=``), optionally
-    within ``by`` groups.
+    ``right.on <= left.on`` (backward; 'forward' = next ``>=``; 'nearest' =
+    whichever side is closer, exact cudf/pandas ``merge_asof`` directions —
+    python/cudf/cudf/core/reshape.py merge_asof surface), optionally within
+    ``by`` groups and within ``tolerance`` of the key (seconds for
+    timestamps, days for dates, raw units for numerics; a left row whose
+    best match is farther keeps NULL payload, pandas semantics).
 
     Implementation (scales: one shuffle per side, no range cross-product):
-    union both sides tagged, single window pass carrying the last (backward)
-    or next (forward) right-side row along ``on``, then keep left rows.
+    union both sides tagged, window passes carrying the previous/next
+    right-side row along ``on``, then keep left rows.  'nearest' runs one
+    backward and one forward pass over the SAME partition exchange (two
+    sorts, one shuffle) and picks per-row by distance, ties to backward.
     Matches DuckDB ``ASOF JOIN`` semantics (the oracle for this operator).
 
-    All right-side payload columns ride in ONE struct carried by a single
-    ``last(ignorenulls=True)`` window, so every output row's payload comes
-    from the single matched right row — a right row with NULL in one payload
-    column never gets that column back-filled from an older right row (and
-    one window pass replaces len(rcols) passes).
+    All right-side payload columns (plus the matched key, for tolerance /
+    nearest arithmetic) ride in ONE struct carried by a single
+    ``last/first(ignorenulls=True)`` window, so every output row's payload
+    comes from the single matched right row — a right row with NULL in one
+    payload column never gets that column back-filled from an older right
+    row (and one window pass replaces len(rcols) passes).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
     by = list(by) if by else []
     rcols = [c for c in right.columns if c != on and c not in by]
     from pyspark.sql import types as T
 
-    r_struct_type = T.StructType([right.schema[c] for c in rcols])
+    r_struct_type = T.StructType(
+        [right.schema[c] for c in rcols] + [T.StructField("__on", right.schema[on].dataType)]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
@@ -135,18 +145,65 @@ def asof_join(
           if c in (by + [on])],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (by + [on])],
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__r"),
+        F.struct(*[F.col(c).alias(c) for c in rcols], F.col(on).alias("__on")).alias("__r"),
     ).select(*[c for c in l_tag.columns])  # align column order
 
     unioned = l_tag.unionByName(r_tag)
-    # Right rows sort before left rows at equal `on` so an exact tie matches.
-    order = [F.col(on).asc(), F.col("__is_left").asc()] if direction == "backward" else [
-        F.col(on).desc(), F.col("__is_left").asc()
-    ]
-    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+
+    dtype = right.schema[on].dataType.typeName()
+
+    def dist(a: Column, b: Column) -> Column:
+        # |a - b|, exact: integer µs for timestamps (unix_timestamp would
+        # TRUNCATE sub-second parts and mis-rank near-ties), days for dates,
+        # raw units otherwise.  Session tz is UTC so the ntz→ts cast is a
+        # wall-clock identity.
+        if dtype.startswith("timestamp"):
+            return F.abs(
+                F.unix_micros(a.cast("timestamp")) - F.unix_micros(b.cast("timestamp"))
+            )
+        if dtype == "date":
+            return F.abs(F.datediff(a, b)).cast("long")
+        return F.abs(a - b)
+
+    def tol_units(t: int | float) -> Column:
+        # public tolerance API: seconds for timestamps, days for dates.
+        if dtype.startswith("timestamp"):
+            return F.lit(int(t * 1_000_000)).cast("long")
+        return F.lit(t)
+
+    # Backward: right rows sort before left rows at equal `on` so an exact
+    # tie matches; carry the last right struct seen so far.
+    w_back = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Forward: left rows sort before right rows at equal `on` (ties still
+    # match); carry the first right struct at-or-after the current row.
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        matched = F.last("__r", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        matched = F.first("__r", ignorenulls=True).over(w_fwd)
+    else:
+        b = F.last("__r", ignorenulls=True).over(w_back)
+        f = F.first("__r", ignorenulls=True).over(w_fwd)
+        matched = F.when(f.isNull(), b).when(b.isNull(), f).otherwise(
+            # tie → backward (pandas picks the prior row on equal distance)
+            F.when(
+                dist(F.col(on), b.getField("__on")) <= dist(F.col(on), f.getField("__on")),
+                b,
+            ).otherwise(f)
+        )
+    if tolerance is not None:
+        matched = F.when(dist(F.col(on), matched.getField("__on")) <= tol_units(tolerance), matched)
     out = (
         unioned
-        .withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
+        .withColumn("__r", matched)
         .filter(F.col("__is_left") == 1)
         .drop("__is_left")
     )

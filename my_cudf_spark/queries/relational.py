@@ -168,6 +168,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_nearest",
+    sql="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+                FROM events),
+         p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         s AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+         best AS (
+           SELECT p.event_id,
+                  s.event_id AS near_event_id, s.value AS near_value,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY abs(epoch_us(p.ts) - epoch_us(s.ts)),
+                             CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END) AS rn
+           FROM p JOIN s USING (user_id)
+           WHERE abs(epoch_us(p.ts) - epoch_us(s.ts)) <= CAST(3600 AS BIGINT) * 1000000
+         )
+    SELECT p.event_id, b.near_event_id, b.near_value
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+    ORDER BY p.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join direction='nearest' with tolerance (cudf/pandas
+    ``merge_asof`` surface, python/cudf/cudf/core/reshape.py): for each
+    purchase, the CLOSEST non-purchase event of the same user within one
+    hour, ties to the earlier side; purchases with no event inside the
+    window keep NULL payload.  Distances compare in exact integer µs —
+    fixtures carry sub-second timestamps, so second-truncated arithmetic
+    would mis-rank near-ties (the oracle's epoch_us agrees bit-for-bit).
+
+    Scale: same shape as join_asof — one hash-partition exchange on
+    user_id; 'nearest' adds a second sort (forward pass) over that same
+    exchange, never a second shuffle.  The oracle's all-pairs join is
+    oracle-only (per-user pair expansion; fine at fixture scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    s = ev.filter(F.col("event_type") != "purchase").select(
+        "ts", "user_id", F.col("event_id").alias("near_event_id"), F.col("value").alias("near_value")
+    )
+    out = j.asof_join(p, s, on="ts", by=["user_id"], direction="nearest", tolerance=3600)
+    return out.select("event_id", "near_event_id", "near_value").orderBy("event_id")
+
+
+@register(
     "distinct_keep_first",
     sql="""
     SELECT o_custkey, o_orderkey, o_orderdate FROM (

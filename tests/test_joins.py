@@ -45,3 +45,45 @@ def test_asof_forward_direction(spark):
     }
     assert out[10] == 1.5  # next right row at t=15
     assert out[26] is None  # nothing after 26
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 7)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 24, "b"), (1, 26, "c"), (2, 100, "d")],
+        "k int, t int, v string",
+    )
+    out = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(left, right, on="t", by=["k"], direction="nearest").collect()
+    }
+    assert out[(1, 10)] == "a"  # d=2 backward beats d=14 forward
+    assert out[(1, 25)] == "b"  # equidistant (1 vs 1) → backward wins
+    assert out[(2, 7)] == "d"  # only a forward candidate exists
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame([(1, 10), (2, 7)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (2, 100, "d")], "k int, t int, v string"
+    )
+    out = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction="nearest", tolerance=50
+        ).collect()
+    }
+    assert out[(1, 10)] == "a"  # within tolerance
+    assert out[(2, 7)] is None  # d=93 > 50 → dropped, row kept
+
+def test_asof_tolerance_backward_direction(spark):
+    left = spark.createDataFrame([(1, 10), (1, 200)], "k int, t int")
+    right = spark.createDataFrame([(1, 8, "a")], "k int, t int, v string")
+    out = {
+        r["t"]: r["v"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction="backward", tolerance=50
+        ).collect()
+    }
+    assert out[10] == "a"
+    assert out[200] is None  # t=8 match is 192 away, over tolerance
