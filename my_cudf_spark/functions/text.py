@@ -288,3 +288,33 @@ def tokens_to_vocab_ids(tokens: Column, vocab: list[str], oov_id: int = -1) -> C
         pairs.extend([F.lit(w), F.lit(i)])
     vmap = F.create_map(*pairs)
     return F.transform(tokens, lambda t: F.coalesce(vmap[t], F.lit(oov_id)))
+
+
+# PII scrubbing patterns, ordered: specific before general (SSN's 3-2-4
+# grouping would otherwise be half-eaten by the phone pattern).  Patterns
+# stay inside the Java-regex ∩ RE2 common subset (no lookaround) so the
+# DuckDB oracle applies them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / SSNs / phone numbers / IPv4 addresses to typed
+    placeholder tokens (north-star curation op; no reference equivalent —
+    nvtext stops at replace_tokens, nvtext/replace.hpp:71, which can only
+    swap whole whitespace tokens, not patterns).  Pure Column exprs:
+    chained JVM regexp_replace, no UDF."""
+    out = _c(col)
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern kind in the raw text."""
+    (pat,) = [p for k, p, _ in PII_PATTERNS if k == kind]
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0))

@@ -31,7 +31,7 @@ one shuffle to bucket, one broadcast-size join to verify.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -105,6 +105,39 @@ def exact_dedup(df: DataFrame, id_col: str, content: Column) -> DataFrame:
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    content_new: Column,
+    content_corpus: Column,
+) -> DataFrame:
+    """Incremental exact dedup: the rows of ``new_batch`` whose content is
+    (a) absent from the already-ingested ``corpus`` and (b) the first
+    occurrence (min ``id_col``) within the batch — the per-drop ingestion
+    step of a continuously-growing training corpus, where re-deduplicating
+    the full corpus on every delivery is the thing a 100 TB pipeline cannot
+    afford.
+
+    Scale: the corpus side reduces to DISTINCT hashes before the anti-join
+    (map-side partial distinct; the wire carries one 32-byte key per
+    distinct corpus content, never corpus payloads), the anti-join and the
+    within-batch keep-first shuffle hash on the same key, and everything is
+    proportional to |new batch| + |distinct corpus hashes| — the corpus
+    text itself is scanned once and never shuffled.  In a real deployment
+    the distinct-hash frame is the thing you persist between drops."""
+    key_new = F.sha2(content_new, 256).alias("__h")
+    corpus_keys = corpus.select(F.sha2(content_corpus, 256).alias("__h")).distinct()
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        new_batch.withColumn("__h", key_new)
+        .join(corpus_keys, "__h", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
     )
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "assign_splits",
     "stratified_sample",
     "mixture_sample",
+    "epoch_shuffle",
 ]
 
 _PREFIX_LEN = 8  # 32 bits of the digest: plenty for sampling resolution
@@ -186,4 +187,33 @@ def mixture_sample(
         )
         .filter(bucket < F.col("__thr"))
         .drop("__dom", "__thr")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str | Column],
+    epoch: int,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training order: position =
+    rank of md5('epoch<e>|' || key) — a pure function of (key, epoch), so
+    every epoch is a different but REPRODUCIBLE permutation on any cluster
+    size, resumable mid-epoch (no RNG state to restore).
+
+    The rank is a contiguous 0..n-1 index computed via
+    ``packing.global_cumsum`` on the NUMERIC value of the digest prefix
+    (15 hex chars = 60 bits: lexicographic hex order == numeric order),
+    which keeps it on the deterministic-bucket path — one hash exchange,
+    no single-task global window, no checkpoint.  Digest ties (≈2^-60) are
+    broken by the key itself."""
+    from my_cudf_spark.operators.packing import global_cumsum
+
+    keys = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    digest = F.md5(F.concat_ws("|", F.lit(f"epoch{epoch}"), *keys))
+    knum = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    d = df.withColumn("__ek", knum)
+    return (
+        global_cumsum(d.withColumn("__one", F.lit(1)), ["__ek", *key_cols], "__one", out_col=out_col)
+        .drop("__one", "__ek")
     )

@@ -108,3 +108,30 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", ["doc_id"], {"src1": 0.5, "src2": 0.3, "src3": 0.2}
     )
     return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 15),
+                  doc_id) - 1 AS BIGINT) AS pos
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("sample_epoch_shuffle", sql=EPOCH_SHUFFLE_SQL)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle
+    (sampling.epoch_shuffle): pos = rank of md5('epoch1|'||doc_id) — the
+    same permutation on any cluster size / partitioning, a different one
+    per epoch, resumable mid-epoch.  Rank rides global_cumsum's
+    deterministic-bucket path (digest prefix as numeric key): one hash
+    exchange, no single-task window, no RNG."""
+    from my_cudf_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        epoch_shuffle(docs.select("doc_id"), ["doc_id"], epoch=1)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+        .orderBy("doc_id")
+    )

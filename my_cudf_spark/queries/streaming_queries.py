@@ -253,3 +253,47 @@ def stream_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stream_session_replay",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                         >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ), numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization computed ON A STREAM (``session_window``
+    state merging across micro-batches — sessions that straddle a
+    micro-batch boundary must merge in the state store, the hardest
+    streaming-window case; the reference has no event-time machinery at
+    all).  Equal to the batch gaps-and-islands answer by construction, so
+    the same oracle as events_session applies to the streaming path."""
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    agg = S.session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+        watermark="40 days",
+    )
+    out = _drain(agg, "session", work_dir)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events"
+    ).orderBy("user_id", "session_start")

@@ -168,6 +168,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEW_SOURCES = [f"src{i}" for i in range(15, 20)]
+_NEW_IN = ", ".join(f"'{s}'" for s in _NEW_SOURCES)
+
+
+@register(
+    "dedup_incremental",
+    sql=f"""
+    WITH n AS (SELECT doc_id, source,
+                      sha256(substring({SQL_NORM}, 1, 60)) AS h
+               FROM documents),
+         corpus AS (SELECT DISTINCT h FROM n WHERE source NOT IN ({_NEW_IN})),
+         newb AS (SELECT * FROM n WHERE source IN ({_NEW_IN}))
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM newb WHERE h NOT IN (SELECT h FROM corpus))
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.incremental_dedup): treat
+    src15..src19 as a freshly-delivered batch and the other 15 sources as
+    the already-ingested corpus; keep the new docs whose (normalized-
+    prefix) content hash is unseen in the corpus AND first within the
+    batch.  The per-drop ingestion step of a growing corpus — the corpus
+    side travels as distinct 32-byte hashes, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.substring(T.normalize_text("text"), 1, 60)
+    new_b = docs.filter(F.col("source").isin(*_NEW_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(*_NEW_SOURCES))
+    return (
+        D.incremental_dedup(new_b, corpus, "doc_id", content, content)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "dedup_neardup_pairs",
     sql=f"""
@@ -963,3 +1000,59 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199;"
+    " host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "text_pii_redact",
+    sql=f"""
+    WITH g AS (SELECT doc_id, {_PII_TEXT_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw,
+             '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(raw,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4
+    FROM g ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.redact_pii): scrub emails / SSNs /
+    phones / IPv4s to typed placeholders + per-kind match counts.  The
+    fixtures carry no PII, so the query grafts deterministic synthetic PII
+    (derived from doc_id) onto each document before scrubbing — the
+    scrubber does real work and the oracle checks actual replacements.
+    Pure JVM regexp chain (patterns in the Java∩RE2 subset), no UDF; one
+    scan, no shuffle before the final order."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199; host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    g = docs.select("doc_id", raw.alias("raw"))
+    return g.select(
+        "doc_id",
+        T.redact_pii("raw").alias("redacted"),
+        T.pii_count("raw", "email").cast("long").alias("n_email"),
+        T.pii_count("raw", "phone").cast("long").alias("n_phone"),
+        T.pii_count("raw", "ipv4").cast("long").alias("n_ipv4"),
+    ).orderBy("doc_id")

@@ -631,3 +631,55 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --- Q12: late-shipment priority mix (adapted) -------------------------------
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("tpch_q12", sql=Q12_SQL)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (spec: cpp-adjacent shape; fixtures ship no
+    l_shipmode/l_commitdate/l_receiptdate — FIXTURES.md): l_returnflag
+    stands in for the two ship modes and "late delivery" becomes
+    l_shipdate >= o_orderdate + 60 days, a cross-table date-arithmetic
+    residual on the equi-join. High/low priority split is the spec's
+    conditional count pair.
+
+    Scale: the only shuffle is the o_orderkey equi-join (both sides
+    pre-filtered at the scan; the date residual evaluates post-join inside
+    the same stage); the two-row result aggregates map-side."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    li = lineitem.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    jn = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        jn.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

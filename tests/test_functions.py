@@ -163,3 +163,22 @@ def test_ngrams_short_inputs(spark):
     # inputs shorter than n yield no grams (not descending-sequence junk)
     assert all(r["w"] == [] for r in got)
     assert all(r["c"] == [] for r in got)
+
+
+def test_redact_pii_pattern_order_and_counts(spark):
+    from my_cudf_spark.functions.text import pii_count, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-y.co, ssn 123-45-6789, ph 555-123-4567, ip 10.0.0.1, not-ip 1.2.3.4567",)],
+        "t string",
+    )
+    [row] = df.select(
+        redact_pii("t").alias("r"),
+        pii_count("t", "email").alias("ne"),
+        pii_count("t", "phone").alias("np"),
+        pii_count("t", "ipv4").alias("ni"),
+    ).collect()
+    assert row["r"] == "mail <EMAIL>, ssn <SSN>, ph <PHONE>, ip <IP>, not-ip 1.2.3.4567"
+    # SSN must NOT be half-eaten by the phone pattern (order: ssn first)
+    assert "<SSN>" in row["r"] and row["ne"] == 1 and row["np"] == 1 and row["ni"] == 1
