@@ -39,6 +39,7 @@ __all__ = [
     "load_wordpiece_vocabulary",
     "wordpiece_tokenize",
     "subword_tokenize",
+    "learn_bpe_merges",
 ]
 
 
@@ -276,3 +277,84 @@ def subword_tokenize(
             "stop_pos"
         ),
     )
+
+
+def learn_bpe_merges(
+    df,
+    text_col: Column | str,
+    num_merges: int,
+    sep: str = "@",
+):
+    """Distributed BPE merge LEARNING (tokenizer training) at word level:
+    ``num_merges`` rounds of corpus-wide adjacent-pair counting; each
+    round's winner (max count, ties to the lexicographically smallest
+    pair) becomes a merge rule applied before the next round — exactly how
+    production BPE trainers iterate, with the pair count as a distributed
+    map-side-combined aggregation instead of a single-machine heap.  The
+    reference only APPLIES a pretrained merges table
+    (nvtext/byte_pair_encoding.hpp:129 load_merge_pairs); learning it is
+    the upstream step a corpus-scale engine should own.
+
+    Returns (merges_df, final_rep_df): merges_df has one row per round
+    (merge_round, pair, n_occurrences); final_rep_df carries the
+    post-merge token representation per input row.
+
+    Mechanism — the whole loop stays LAZY (no driver collect): round r's
+    winner is a 1-row aggregate broadcast into round r+1's rewrite.  The
+    token sequence rides as a doubled-space string (' a  b  c '), so
+    applying a merge is a literal string replace of ' a  b ' with ' a@b '
+    — left-to-right non-overlapping replace IS greedy BPE application, and
+    the doubled interior spaces keep neighboring boundaries intact when a
+    match consumes one space from each side.  Each round's representation
+    is persisted (same device as clustering.py's per-round frames): round
+    r+1 references round r twice (pair counts + rewrite), which without
+    the cache would compound into 2^k evaluations.
+
+    Scale: per round, one map-side-combined pair-count shuffle (pair
+    cardinality ~ vocab², small) + a 1-row broadcast + a narrow rewrite.
+    num_merges is the model hyperparameter (e.g. 50k for GPT-2); rounds
+    are sequential by nature of the algorithm."""
+    from pyspark.sql import DataFrame  # local: avoid cycle at import time
+    from my_cudf_spark.operators.dedup import _persist
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    rep = df.select(
+        F.concat(F.lit(" "), F.replace(c, F.lit(" "), F.lit("  ")), F.lit(" ")).alias(
+            "rep"
+        )
+    )
+    merge_rows: list[DataFrame] = []
+    for r in range(1, num_merges + 1):
+        rep = _persist(rep)
+        toks = rep.select(F.split(F.trim(F.col("rep")), "  ").alias("tk"))
+        pairs = toks.select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("tk"), i + 2)),
+                )
+            ).alias("pair")
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
+        )
+        best = _persist(best)
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("merge_round"), "pair", "n_occurrences"
+            )
+        )
+        rep = rep.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("rep"),
+                F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
+                F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit(sep)), F.lit(" ")),
+            ).alias("rep")
+        )
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    return merges, rep

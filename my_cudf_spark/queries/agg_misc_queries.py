@@ -401,3 +401,47 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n - F.lit(2.0)) * (n - F.lit(3.0)))
         ).alias("kurt_excess"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_approx_quantile",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_rank_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TDIGEST-style approximate percentile (tdigest agg,
+    cpp/include/cudf/tdigest + quantiles.hpp): Spark's percentile_approx
+    (Greenwald-Khanna summaries — a mergeable quantile sketch, the same
+    role as the reference's tdigest) checked against its own CONTRACT
+    rather than hash-compared — approx answers differ by engine, so the
+    driver-checked columns are the exact median plus a flag that the
+    approx value lies within a rank window around p50.  The check window
+    (±0.01) is wider than the sketch's guaranteed rank error (1/accuracy =
+    0.001) because the two sides answer differently at the point level:
+    percentile_approx returns an ACTUAL data value while exact percentile
+    interpolates between points, so the window must span at least one
+    inter-point gap to be meaningful at small group sizes.  Sketches merge
+    map-side, so the shuffle carries one summary per group per partition,
+    never raw values — the property that makes this the 100 TB quantile
+    path while exact percentile buffers whole groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 1000
+    eps = 0.01
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("approx"),
+        F.expr(
+            f"percentile(l_extendedprice, array({0.5 - eps}D, 0.5D, {0.5 + eps}D))"
+        ).alias("q"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.element_at("q", 2), 6).alias("exact_p50"),
+        (
+            (F.col("approx") >= F.element_at("q", 1))
+            & (F.col("approx") <= F.element_at("q", 3))
+        ).alias("approx_within_rank_bound"),
+    ).orderBy("l_returnflag")

@@ -367,3 +367,77 @@ def fn_month_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("months"),
         F.array_join(F.array_repeat(F.col("o_orderpriority"), 3), "|").alias("tiled"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_regex_findall",
+    sql="""
+    SELECT c_custkey,
+           array_to_string(regexp_extract_all(c_name, '[0-9]{3}'), '|') AS triplets,
+           CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS n_zeros,
+           CAST(len(regexp_extract_all(c_name, '[1-9]')) AS INT) AS n_nonzero
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_regex_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findall / match counting (strings/findall.hpp:61, contains.hpp
+    count_re): all non-overlapping matches as an array plus per-pattern
+    match counts.  Non-overlapping left-to-right semantics agree between
+    Java regex and RE2; the match array is emitted joined (repo convention:
+    scalar output columns only — same as fn_lists)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.array_join(
+            F.regexp_extract_all("c_name", F.lit("[0-9]{3}"), 0), "|"
+        ).alias("triplets"),
+        F.size(F.regexp_extract_all("c_name", F.lit("0"), 0)).alias("n_zeros"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[1-9]"), 0)).alias("n_nonzero"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "fn_interval",
+    sql="""
+    WITH iv AS (SELECT o_orderkey,
+                       CAST(o_orderdate AS TIMESTAMP) AS lo,
+                       CAST(o_orderdate AS TIMESTAMP)
+                         + to_days(CAST(o_orderkey % 60 + 1 AS INT)) AS hi
+                FROM orders)
+    SELECT o_orderkey,
+           {'left': lo, 'right': hi}.left AS iv_left,
+           {'left': lo, 'right': hi}.right AS iv_right,
+           CAST(date_diff('day', lo, hi) AS INT) AS width_days,
+           (lo <= TIMESTAMP '1997-06-15 00:00:00'
+              AND TIMESTAMP '1997-06-15 00:00:00' < hi) AS contains_mid97,
+           (lo < TIMESTAMP '1997-07-01 00:00:00'
+              AND TIMESTAMP '1997-06-01 00:00:00' < hi) AS overlaps_jun97
+    FROM iv ORDER BY o_orderkey
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntervalDtype parity (cudf dtypes.py:949 — interval stored as a
+    struct of left/right bounds; the SURVEY §1.2 mapping): build
+    [orderdate, orderdate + 1..60d) intervals as struct columns and run
+    the interval algebra (width, point containment, half-open overlap) as
+    plain field expressions — no custom type needed, exactly the
+    reference's own struct encoding."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.col("o_orderdate")
+    hi = F.col("o_orderdate") + F.make_dt_interval(days=F.col("o_orderkey") % 60 + 1)
+    mid = F.lit("1997-06-15 00:00:00").cast("timestamp_ntz")
+    ja = F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
+    jb = F.lit("1997-07-01 00:00:00").cast("timestamp_ntz")
+    iv = orders.select(
+        "o_orderkey",
+        F.struct(lo.alias("left"), hi.alias("right")).alias("iv"),
+    )
+    l, r = F.col("iv").getField("left"), F.col("iv").getField("right")
+    return iv.select(
+        "o_orderkey",
+        l.alias("iv_left"),
+        r.alias("iv_right"),
+        F.datediff(r, l).cast("int").alias("width_days"),
+        ((l <= mid) & (mid < r)).alias("contains_mid97"),
+        ((l < jb) & (ja < r)).alias("overlaps_jun97"),
+    ).orderBy("o_orderkey")

@@ -14,6 +14,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from my_cudf_spark.queries import register
 from my_cudf_spark.sources import io as IO
@@ -59,3 +60,20 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage("orc", sf_dir)
     IO.write_orc(part, path)
     return IO.read_orc(spark, path).orderBy("p_partkey")
+
+
+@register("io_text_roundtrip", sql="SELECT text AS value FROM documents ORDER BY value")
+def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text write→read with a MULTIBYTE record separator (U+241E, 3
+    UTF-8 bytes) — the multibyte_split parity case (text/
+    multibyte_split.hpp:40-77): Spark's text source splits on arbitrary
+    lineSep byte sequences while parallelizing by byte ranges, exactly the
+    reference's delimiter scan.  Oracle reads the original parquet, so the
+    hash match certifies writer+reader fidelity for the text format."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _stage("text", sf_dir)
+    sep = "␞"
+    docs.select(F.col("text").alias("value")).write.mode("overwrite").option(
+        "lineSep", sep
+    ).text(path)
+    return IO.read_text(spark, path, line_sep=sep).orderBy("value")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from my_cudf_spark.functions import bpe as B
 from my_cudf_spark.functions import text as T
 from my_cudf_spark.operators import dedup as D
 from my_cudf_spark.queries import register
@@ -1056,3 +1057,56 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.pii_count("raw", "phone").cast("long").alias("n_phone"),
         T.pii_count("raw", "ipv4").cast("long").alias("n_ipv4"),
     ).orderBy("doc_id")
+
+
+def _bpe_learn_sql(num_merges: int) -> str:
+    """Generate the k-round chained-CTE oracle for learn_bpe_merges: each
+    round re-derives adjacent-pair counts from the previous round's
+    representation, picks (max count, lexicographically-min pair) and
+    applies the merge with a literal left-to-right replace — the exact
+    construction the Spark operator runs, one CTE pair per round."""
+    parts = [
+        f"WITH rep0 AS (SELECT doc_id,"
+        f" ' ' || replace({SQL_NORM}, ' ', '  ') || ' ' AS rep FROM documents)"
+    ]
+    for r in range(1, num_merges + 1):
+        prev = f"rep{r - 1}"
+        parts.append(
+            f"b{r} AS (SELECT pair, COUNT(*) AS n FROM ("
+            f"  SELECT unnest(list_transform(range(1, len(tk)),"
+            f"         i -> tk[i] || ' ' || tk[i+1])) AS pair"
+            f"  FROM (SELECT string_split(trim(rep), '  ') AS tk FROM {prev}))"
+            f" GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"
+        )
+        parts.append(
+            f"rep{r} AS (SELECT doc_id,"
+            f" replace(rep, ' ' || replace(b.pair, ' ', '  ') || ' ',"
+            f"              ' ' || replace(b.pair, ' ', '@') || ' ') AS rep"
+            f" FROM {prev}, b{r} b)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, n AS n_occurrences FROM b{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY merge_round"
+    )
+
+
+@register("text_bpe_learn", sql=_bpe_learn_sql(6))
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING (functions/bpe.learn_bpe_merges): six
+    rounds of corpus-wide adjacent-pair counting at word level, each
+    round's winner applied before the next — tokenizer TRAINING, the
+    upstream step the reference lacks (it only applies a pretrained table,
+    byte_pair_encoding.hpp:129).  Fully lazy: each winner is a 1-row
+    broadcast into the next round's rewrite, per-round representations
+    persisted.  Oracle replays the identical 6-round construction as a
+    chained CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
+    merges, _ = B.learn_bpe_merges(norm, "norm", num_merges=6)
+    return merges.select(
+        "merge_round", "pair", "n_occurrences"
+    ).orderBy("merge_round")

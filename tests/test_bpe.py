@@ -146,3 +146,27 @@ def test_subword_oracle_mapping_matches_algorithm():
             assert _wp_word(w, ids, 0) == (i,)
     assert _wp_word("window", ids, 0) == (30, 31)
     assert _wp_word("merge", ids, 0) == (0,)
+
+
+def test_learn_bpe_merges_tiny_corpus(spark):
+    """Hand-computed 2-round BPE at word level, including the greedy
+    left-to-right overlap case ('x x x' yields one merged pair + a bare x)."""
+    from my_cudf_spark.functions.bpe import learn_bpe_merges
+    from my_cudf_spark.operators.dedup import release_cached
+
+    df = spark.createDataFrame(
+        [("a b a b x x x",), ("a b c",)], "t string"
+    )
+    try:
+        merges, rep = learn_bpe_merges(df, "t", num_merges=2)
+        rows = [(r["merge_round"], r["pair"], r["n_occurrences"]) for r in merges.collect()]
+        # round 1: pairs = {a b:3, b a:1, b x:1, x x:2, b c:1} -> 'a b' wins with 3
+        assert rows[0] == (1, "a b", 3)
+        # round 2 on [a@b a@b x x x], [a@b c]:
+        # pairs = {a@b a@b:1, a@b x:1, x x:2, a@b c:1} -> 'x x' wins with 2
+        assert rows[1] == (2, "x x", 2)
+        reps = sorted(r["rep"] for r in rep.collect())
+        # greedy left-to-right: x x x -> (x x) x -> x@x x
+        assert reps == [" a@b  a@b  x@x  x ", " a@b  c "]
+    finally:
+        release_cached()
