@@ -443,3 +443,34 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_null_safe",
+    sql="""
+    WITH l AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+               FROM customer),
+         r AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+                      COUNT(*) AS seg_count
+               FROM customer GROUP BY 1)
+    SELECT l.c_custkey, COALESCE(l.seg, r.seg) AS seg, r.seg_count
+    FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+    ORDER BY c_custkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join IR option nulls_equal (cudf_polars ir.py:1230-1246 →
+    eqNullSafe; oracle: IS NOT DISTINCT FROM): NULL keys match each other
+    instead of dropping — here BUILDING is nulled out on both sides, so
+    its customers only survive via null-safe matching, and the coalesced
+    key column mirrors polars' coalesce=True output shape.
+
+    Scale: eqNullSafe keys stay hash-partitionable (null is one ordinary
+    bucket), so this plans the same single-shuffle equi-join as the plain
+    key — no BNLJ fallback."""
+    customer = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    l = customer.select("c_custkey", seg)
+    r = customer.select(seg).groupBy("seg").agg(F.count(F.lit(1)).alias("seg_count"))
+    out = j.equi_join(l, r, "seg", nulls_equal=True)
+    return out.select("c_custkey", "seg", "seg_count").orderBy("c_custkey")

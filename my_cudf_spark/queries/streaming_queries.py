@@ -297,3 +297,31 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", "session_end", "n_events"
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_sliding_replay",
+    sql="""
+    SELECT ws AS win_start, COUNT(*) AS n_events
+    FROM (SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - k.k * INTERVAL '30 minutes' AS ws
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+    GROUP BY 1 ORDER BY win_start
+    """,
+)
+def stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window ON A STREAM: every event updates two
+    overlapping window states across micro-batches — completes the
+    streaming window family (tumbling/session/sliding all replayed and
+    oracle-checked against their batch answers)."""
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    agg = S.sliding_agg(
+        stream,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+        watermark="40 days",
+    )
+    out = _drain(agg.drop("win_end"), "sliding", work_dir)
+    return out.orderBy("win_start")
