@@ -31,6 +31,7 @@ __all__ = [
     "with_row_index",
     "shift",
     "top_k",
+    "query_expr",
 ]
 
 
@@ -227,3 +228,47 @@ def value_counts(
             "fraction", F.col("count").cast("double") / F.col("__total")
         ).drop("__total")
     return counted.orderBy(F.desc("count"), *cols)
+
+
+def query_expr(df: DataFrame, expr: str) -> DataFrame:
+    """pandas/cudf ``DataFrame.query`` filter surface (cudf
+    dataframe.py:4586 query / :8029 eval — the mini-expression entry the
+    reference parses to its own AST): translate the pandas boolean-
+    expression dialect to Spark SQL and filter.
+
+    Translated tokens (outside string literals): ``&``→AND, ``|``→OR,
+    ``~``→NOT, ``==``/``!=``/comparisons and arithmetic pass through
+    (identical syntax), python keywords ``and/or/not/in`` already match
+    Spark SQL.  Backtick-quoted names pass through (both dialects use
+    backticks for odd identifiers).  Precedence agrees: pandas ``&``/``|``
+    bind looser than comparisons, as do AND/OR.
+    """
+    out: list[str] = []
+    i, n = 0, len(expr)
+    in_str: str | None = None
+    while i < n:
+        ch = expr[i]
+        if in_str is not None:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "&":
+            out.append(" AND ")
+            i += 1
+        elif ch == "|":
+            out.append(" OR ")
+            i += 1
+        elif ch == "~":
+            out.append(" NOT ")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return df.filter(F.expr("".join(out)))

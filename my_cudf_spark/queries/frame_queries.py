@@ -261,3 +261,28 @@ def frame_duplicated_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rn - 1).cast("long").alias("cumcount"),
         (rn > 1).alias("duplicated"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "frame_query_expr",
+    sql="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_totalprice > 150000 AND o_orderpriority != '5-LOW')
+       OR (NOT o_orderstatus = 'F' AND o_totalprice < 1000)
+    ORDER BY o_orderkey
+    """,
+)
+def frame_query_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-dialect DataFrame.query surface (cudf dataframe.py:4586 —
+    the mini-expression entry the reference parses to its own GPU AST;
+    §3.2): the &/|/~ boolean expression translates to a Spark SQL filter
+    and from there into the SAME Catalyst predicate any native filter
+    gets — pushdown included, no interpreter."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = FR.query_expr(
+        orders,
+        "(o_totalprice > 150000 & o_orderpriority != '5-LOW')"
+        " | (~(o_orderstatus == 'F') & o_totalprice < 1000)",
+    )
+    return out.select("o_orderkey", "o_totalprice", "o_orderpriority").orderBy("o_orderkey")

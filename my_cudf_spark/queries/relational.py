@@ -474,3 +474,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = customer.select(seg).groupBy("seg").agg(F.count(F.lit(1)).alias("seg_count"))
     out = j.equi_join(l, r, "seg", nulls_equal=True)
     return out.select("c_custkey", "seg", "seg_count").orderBy("c_custkey")
+
+
+@register(
+    "join_indicator",
+    sql="""
+    WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer
+               WHERE c_nationkey % 4 <> 1),
+         s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier
+               WHERE s_nationkey % 3 <> 0)
+    SELECT COALESCE(c.nk, s.nk) AS nk,
+           CASE WHEN c.nk IS NOT NULL AND s.nk IS NOT NULL THEN 'both'
+                WHEN c.nk IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS _merge
+    FROM c FULL JOIN s ON c.nk = s.nk
+    ORDER BY nk
+    """,
+)
+def join_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(indicator=True) parity (pandas/cudf merge surface — cudf
+    core/join): full join tagging each output row left_only / right_only /
+    both, the standard reconciliation shape.  The _merge tag derives from
+    pre-coalesce key nullness, so it costs nothing beyond the join."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.filter(F.col("c_nationkey") % 4 != 1)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    s = (
+        supplier.filter(F.col("s_nationkey") % 3 != 0)
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    joined = c.withColumn("__l", F.lit(1)).join(
+        s.withColumn("__r", F.lit(1)), "nk", "full"
+    )
+    return joined.select(
+        "nk",
+        F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), "both")
+        .when(F.col("__l").isNotNull(), "left_only")
+        .otherwise("right_only")
+        .alias("_merge"),
+    ).orderBy("nk")

@@ -330,7 +330,12 @@ def text_minhash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides)."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     trigrams = T.word_ngrams(F.col("toks"), 3)
-    sets = D._gram_sets(docs, "doc_id", trigrams).filter(F.size("grams") > 0)
+    # Persist our own gram frame: without this the query silently rode
+    # dedup_minhash_lsh's cached (identical) subplan and its cost flipped
+    # 6x whenever the LRU had evicted it in between.
+    sets = D._persist(
+        D._gram_sets(docs, "doc_id", trigrams).filter(F.size("grams") > 0)
+    )
     out = D.minhash_ngrams_signatures(sets, _MNG_A, _MNG_B)
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 

@@ -87,3 +87,14 @@ def test_asof_tolerance_backward_direction(spark):
     }
     assert out[10] == "a"
     assert out[200] is None  # t=8 match is 192 away, over tolerance
+
+
+def test_query_expr_preserves_string_literals(spark):
+    from my_cudf_spark.operators.frame import query_expr
+
+    df = spark.createDataFrame([("a&b", 1), ("c", 2)], "s string, v int")
+    # '&' inside the string literal must NOT be rewritten to AND
+    out = query_expr(df, "s == 'a&b' | v > 5").collect()
+    assert [r["s"] for r in out] == ["a&b"]
+    out2 = query_expr(df, "~(v == 1) & s != 'a&b'").collect()
+    assert [r["s"] for r in out2] == ["c"]

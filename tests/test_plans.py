@@ -295,3 +295,35 @@ def test_corpus_overlap_single_scan_via_cached_postings(spark):
     plan = P.physical_plan(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert not P.has_cartesian(df)
+
+
+def test_epoch_shuffle_no_corpus_global_window(spark):
+    # epoch_shuffle's rank rides the deterministic-bucket cumsum: the only
+    # single-partition windows allowed are the __pid-prefix sums over the
+    # one-row-per-partition totals frame; no checkpoint RDD scan either
+    # (the bucket id is a pure function of row values).
+    import re
+
+    df = _df(spark, "sample_epoch_shuffle")
+    plan = P.physical_plan(df)
+    assert "Scan ExistingRDD" not in plan, plan  # no localCheckpoint
+    for sub in P.global_window_subtrees(df):
+        assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
+
+
+def test_incremental_dedup_anti_join_shape(spark):
+    # The corpus side must reduce to DISTINCT hashes before the anti-join
+    # (an aggregate below the join) and the join must be left-anti — the
+    # shape where corpus text never crosses the wire.
+    df = _df(spark, "dedup_incremental")
+    plan = P.physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert not P.has_cartesian(df)
+
+
+def test_null_safe_join_stays_hash_partitioned(spark):
+    # eqNullSafe keys must plan as a hash-partitionable equi-join (null is
+    # one ordinary bucket) — never BroadcastNestedLoop/cartesian.
+    df = _df(spark, "join_null_safe")
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
