@@ -98,3 +98,26 @@ def test_query_expr_preserves_string_literals(spark):
     assert [r["s"] for r in out] == ["a&b"]
     out2 = query_expr(df, "~(v == 1) & s != 'a&b'").collect()
     assert [r["s"] for r in out2] == ["c"]
+
+
+def test_asof_nearest_matches_bruteforce_random(spark):
+    """Seeded random frames: nearest+tolerance must equal the per-row
+    brute-force argmin (ties to backward)."""
+    import random
+
+    rng = random.Random(7)
+    left = [(rng.randrange(4), rng.randrange(1000)) for _ in range(120)]
+    # unique (k, t) on the right — ties inside one side are undefined order
+    right = list({(rng.randrange(4), rng.randrange(1000)) for _ in range(150)})
+    right = [(k, t, f"v{k}_{t}") for k, t in right]
+    tol = 60
+    l = spark.createDataFrame(left, "k int, t int")
+    r = spark.createDataFrame(right, "k int, t int, v string")
+    got = {
+        (row["k"], row["t"]): row["v"]
+        for row in asof_join(l, r, on="t", by=["k"], direction="nearest", tolerance=tol).collect()
+    }
+    for k, t in set(left):
+        cands = [(abs(rt - t), 0 if rt <= t else 1, rv) for rk, rt, rv in right if rk == k and abs(rt - t) <= tol]
+        want = min(cands)[2] if cands else None
+        assert got[(k, t)] == want, ((k, t), got[(k, t)], want)

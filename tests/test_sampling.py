@@ -102,3 +102,36 @@ def test_mixture_sample_validates_weights(spark):
         mixture_sample(df, "dom", ["id"], {})
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(df, "dom", ["id"], {"a": -1.0})
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
+    from my_cudf_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long").repartition(7)
+    p1 = {r["id"]: r["pos"] for r in epoch_shuffle(df, ["id"], epoch=1).collect()}
+    # exact permutation of 0..n-1
+    assert sorted(p1.values()) == list(range(300))
+    # repartitioning must not change the permutation (content-keyed)
+    p1b = {r["id"]: r["pos"] for r in epoch_shuffle(df.repartition(3), ["id"], epoch=1).collect()}
+    assert p1 == p1b
+    # a different epoch yields a different permutation
+    p2 = {r["id"]: r["pos"] for r in epoch_shuffle(df, ["id"], epoch=2).collect()}
+    assert sorted(p2.values()) == list(range(300))
+    assert p1 != p2
+
+
+def test_incremental_dedup_semantics(spark):
+    from pyspark.sql import functions as F
+    from my_cudf_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "id long, t string")
+    new = spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc"), (12, "ccc"), (13, "ddd")], "id long, t string"
+    )
+    got = sorted(
+        r["id"]
+        for r in incremental_dedup(new, corpus, "id", F.col("t"), F.col("t")).collect()
+    )
+    # 10 dropped (in corpus), 11 kept (first ccc), 12 dropped (batch dup),
+    # 13 kept (novel)
+    assert got == [11, 13]
