@@ -77,3 +77,29 @@ def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineSep", sep
     ).text(path)
     return IO.read_text(spark, path, line_sep=sep).orderBy("value")
+
+
+@register(
+    "io_partitioned_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write → partition-PRUNED read (parquet.hpp
+    partitioned layout; Scan partition pruning, SURVEY §4.1): write orders
+    partitioned by priority, read back with a partition predicate — the
+    scan must touch only the matching directory (PartitionFilters, not a
+    post-scan filter; pinned in tests/test_plans.py), which is the layout
+    property that turns a 100 TB scan into a 20 TB one."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage("partitioned", sf_dir)
+    orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    out = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).orderBy("o_orderkey")

@@ -327,3 +327,11 @@ def test_null_safe_join_stays_hash_partitioned(spark):
     df = _df(spark, "join_null_safe")
     plan = P.physical_plan(df)
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    # the priority predicate must prune at the partition level
+    # (PartitionFilters on the scan), not filter rows post-scan
+    df = _df(spark, "io_partitioned_roundtrip")
+    plan = df._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split("PartitionFilters:")[1][:200], plan
