@@ -29,6 +29,7 @@ from pyspark.sql.functions import broadcast
 __all__ = [
     "equi_join", "theta_join", "mixed_join", "asof_join", "salted_join",
     "range_join",
+    "fuzzy_join",
 ]
 
 _HOW = {
@@ -301,3 +302,104 @@ def range_join(
     upper = pc <= hi if closed in ("both", "right") else pc < hi
     cond = (p["__bin"] == i["__bin"]) & lower & upper
     return p.join(i, cond, how).drop("__bin")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy string join: all (left, right) pairs with edit distance ≤
+    ``max_dist`` — the entity-resolution / record-linkage join an LLM-data
+    pipeline runs to reconcile near-identical names (no reference
+    equivalent; nvtext stops at pairwise edit_distance on ALIGNED columns,
+    edit_distance.hpp:57).
+
+    Scale shape (max_dist=1): pigeonhole blocking instead of the all-pairs
+    cross product.  One edit leaves either the first half untouched as a
+    PREFIX or the second half untouched (position measured from the END)
+    as a SUFFIX, so every true pair shares at least one of two
+    (kind, segment-length, segment) keys; the right side emits keys for
+    the three compatible lengths (|b|-1, |b|, |b|+1).  Candidates come
+    from a hash equi-join on those keys — volume is bounded by segment
+    collision counts, never |L|×|R| — then exact ``levenshtein`` verifies.
+    Empty segments (1-char strings' untouched half) are legal keys: they
+    only pair strings of length ≤ 2, so the degenerate block stays tiny.
+    max_dist>1 needs the (k+1)-segment PartEnum generalization and is
+    rejected rather than silently planned as a cross join."""
+    if max_dist != 1:
+        raise ValueError("fuzzy_join currently implements max_dist=1 (pigeonhole "
+                         "halves); k>1 needs PartEnum-style k+1 segments")
+    l = left.select(
+        F.col(left_col).alias("__a"),
+        F.length(left_col).alias("__la"),
+    )
+    # left emits its own two halves
+    half = F.col("__la") / 2
+    l_keys = l.select(
+        "__a",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("P").alias("kind"),
+                    F.ceil(half).cast("int").alias("n"),
+                    F.col("__a").substr(F.lit(1), F.ceil(half).cast("int")).alias("seg"),
+                ),
+                F.struct(
+                    F.lit("S").alias("kind"),
+                    (F.col("__la") - F.ceil(half).cast("int")).alias("n"),
+                    F.col("__a").substr(
+                        F.ceil(half).cast("int") + 1, F.col("__la")
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("k"),
+    ).select("__a", "k.kind", "k.n", "k.seg")
+    # right emits prefix/suffix keys for each compatible LEFT length
+    r = right.select(F.col(right_col).alias("__b"), F.length(right_col).alias("__lb"))
+    r_keys = (
+        r.select("__b", "__lb", F.explode(F.expr("sequence(__lb - 1, __lb + 1)")).alias("__lc"))
+        .filter(F.col("__lc") >= 0)
+        .select(
+            "__b",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("P").alias("kind"),
+                        F.ceil(F.col("__lc") / 2).cast("int").alias("n"),
+                        F.col("__b").substr(
+                            F.lit(1), F.ceil(F.col("__lc") / 2).cast("int")
+                        ).alias("seg"),
+                    ),
+                    F.struct(
+                        F.lit("S").alias("kind"),
+                        (F.col("__lc") - F.ceil(F.col("__lc") / 2).cast("int")).alias("n"),
+                        F.col("__b").substr(
+                            F.length("__b") - (F.col("__lc") - F.ceil(F.col("__lc") / 2).cast("int")) + 1,
+                            F.col("__lc"),
+                        ).alias("seg"),
+                    ),
+                )
+            ).alias("k"),
+        )
+        .select("__b", "k.kind", "k.n", "k.seg")
+    )
+    cands = (
+        l_keys.join(r_keys, ["kind", "n", "seg"])
+        .select("__a", "__b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__a", "__b"))
+        .filter(
+            (F.col("dist") <= max_dist)
+            & (F.abs(F.length("__a") - F.length("__b")) <= max_dist)
+        )
+        .select(
+            F.col("__a").alias("left_value"),
+            F.col("__b").alias("right_value"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

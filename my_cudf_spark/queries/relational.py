@@ -518,3 +518,39 @@ def join_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("right_only")
         .alias("_merge"),
     ).orderBy("nk")
+
+
+@register(
+    "join_fuzzy",
+    sql="""
+    WITH l AS (SELECT DISTINCT lower(p_name) AS a FROM part),
+         r AS (SELECT DISTINCT substr(lower(p_name), 1, length(p_name) - 1) || 'x' AS b
+               FROM part)
+    SELECT a AS left_value, b AS right_value,
+           CAST(levenshtein(a, b) AS INT) AS dist
+    FROM l, r
+    WHERE levenshtein(a, b) <= 1
+    ORDER BY left_value, right_value
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (joins.fuzzy_join): all cross-side name pairs
+    within edit distance 1 — the entity-resolution join of a curation
+    pipeline (reconcile near-identical titles/names across sources).  The
+    right side is the part vocabulary with its last character perturbed,
+    so every name has a planted distance-1 partner plus whatever organic
+    near-collisions exist.  The operator's pigeonhole prefix/suffix
+    blocking turns the oracle's |L|x|R| scan into a hash equi-join on
+    segment keys with exact levenshtein verification on candidates only —
+    completeness proven against brute force in tests/test_joins.py."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.lower("p_name").alias("a")).distinct()
+    perturbed = part.select(
+        F.concat(
+            F.expr("substr(lower(p_name), 1, length(p_name) - 1)"), F.lit("x")
+        ).alias("b")
+    ).distinct()
+    out = j.fuzzy_join(names, perturbed, "a", "b")
+    return out.select(
+        "left_value", "right_value", F.col("dist").cast("int").alias("dist")
+    ).orderBy("left_value", "right_value")

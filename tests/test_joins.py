@@ -121,3 +121,34 @@ def test_asof_nearest_matches_bruteforce_random(spark):
         cands = [(abs(rt - t), 0 if rt <= t else 1, rv) for rk, rt, rv in right if rk == k and abs(rt - t) <= tol]
         want = min(cands)[2] if cands else None
         assert got[(k, t)] == want, ((k, t), got[(k, t)], want)
+
+
+def test_fuzzy_join_matches_bruteforce_random(spark):
+    """Pigeonhole blocking must be COMPLETE: every edit-distance<=1 pair
+    of random short strings appears; verify stage keeps it exact."""
+    import random
+
+    from my_cudf_spark.operators.joins import fuzzy_join
+
+    rng = random.Random(11)
+    alphabet = "abc"
+    words = list({"".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 6))) for _ in range(80)})
+    import itertools
+
+    def ed(a, b):
+        if len(a) < len(b): a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(a, b) for a, b in itertools.product(words, words) if ed(a, b) <= 1}
+    l = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        (r["left_value"], r["right_value"])
+        for r in fuzzy_join(l, l, "s", "s").collect()
+    }
+    assert got == want

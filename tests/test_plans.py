@@ -335,3 +335,11 @@ def test_partitioned_roundtrip_prunes_partitions(spark):
     df = _df(spark, "io_partitioned_roundtrip")
     plan = df._jdf.queryExecution().executedPlan().treeString()
     assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split("PartitionFilters:")[1][:200], plan
+
+
+def test_fuzzy_join_blocked_not_crossed(spark):
+    # the fuzzy join must candidate via the segment-key hash equi-join —
+    # never a cartesian / BNLJ over the two name sets
+    df = _df(spark, "join_fuzzy")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
