@@ -325,3 +325,64 @@ def stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(agg.drop("win_end"), "sliding", work_dir)
     return out.orderBy("win_start")
+
+
+def _curation_sql() -> str:
+    from my_cudf_spark.functions.stable import sql_dec2dbl
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN, SQL_QUALITY
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {SQL_QUALITY} AS quality,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM (SELECT doc_id, source, text, length(text) AS n,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+            FROM documents)
+      WHERE {SQL_QUALITY} >= {QUALITY_MIN}),
+    d AS (SELECT DISTINCT source, text, quality, n_tokens FROM scored)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           {sql_dec2dbl('SUM(CAST(quality AS DECIMAL(10,6)))')} / COUNT(*) AS avg_quality
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@register("stream_curation_replay", sql=_curation_sql())
+def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation pipeline — the stream counterpart of
+    pipeline_curation's first stages: documents arrive as micro-batches,
+    quality-filter runs stateless, exact dedup carries (content-hash,
+    source) state across batches, and per-source corpus accounting
+    (docs / tokens / mean quality) aggregates on top — TWO chained
+    stateful operators on the real streaming engine.  Every aggregated
+    value is a pure function of the deduped (text, source) set, so the
+    result is independent of arrival order and micro-batch boundaries and
+    the batch oracle applies to the streaming execution path.  In
+    production the dedup state would carry an ingest-time watermark; the
+    bounded replay keeps it unbounded (all four chunks)."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
+    scored = stream.select(
+        "source",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+    deduped = scored.withColumn("h", F.sha2(F.col("text"), 256)).dropDuplicates(
+        ["h", "source"]
+    )
+    agg = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+    out = _drain(agg, "curation", work_dir)
+    return out.orderBy("source")

@@ -117,3 +117,28 @@ def kafka_stream(
             F.col("timestamp").alias("kafka_ts"),
         ).select("key", "v.*", "topic", "partition", "offset", "kafka_ts")
     return df
+
+
+def replay_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    num_chunks: int = 4,
+    max_files_per_trigger: int = 1,
+    work_dir: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Replay the ``documents`` fixture as a bounded file stream (same
+    harness shape as :func:`replay_events`): ``num_chunks`` doc_id-ranged
+    parquet files opened with ``readStream`` at one file per micro-batch —
+    the corpus-as-it-arrives view a streaming curation pipeline consumes."""
+    batch = load_table(spark, sf_dir, "documents")
+    out_dir = work_dir or tempfile.mkdtemp(prefix="documents_stream_")
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.exists(data_dir):
+        shutil.rmtree(data_dir)
+    batch.repartitionByRange(num_chunks, "doc_id").write.parquet(data_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(data_dir)
+    )
+    return stream, out_dir
