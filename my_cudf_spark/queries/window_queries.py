@@ -384,3 +384,76 @@ def window_ntile_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wg).cast("long").alias("price_quartile"),
         F.ntile(10).over(wp).cast("long").alias("decile_in_priority"),
     ).orderBy("o_orderkey")
+
+
+ROLL_DEC = "DECIMAL(27,6)"
+ROLLSTD_SQL = f"""
+WITH w AS (
+  SELECT l_orderkey, l_linenumber,
+         COUNT(*) OVER win AS n,
+         {sql_dec2dbl(f'SUM(CAST(l_quantity AS {ROLL_DEC})) OVER win')} AS sq,
+         {sql_dec2dbl(f'SUM(CAST(l_quantity AS {ROLL_DEC}) * CAST(l_quantity AS {ROLL_DEC})) OVER win')} AS sqq,
+         {sql_dec2dbl(f'SUM(CAST(l_extendedprice AS {ROLL_DEC})) OVER win')} AS se,
+         {sql_dec2dbl(f'SUM(CAST(l_extendedprice AS {ROLL_DEC}) * CAST(l_extendedprice AS {ROLL_DEC})) OVER win')} AS see,
+         {sql_dec2dbl(f'SUM(CAST(l_quantity AS {ROLL_DEC}) * CAST(l_extendedprice AS {ROLL_DEC})) OVER win')} AS sqe
+  FROM lineitem
+  WHERE l_orderkey <= 20000
+  WINDOW win AS (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN n >= 7 THEN ROUND(SQRT((sqq - sq*sq/n) / (n-1)), 6) END AS roll_std_qty,
+       CASE WHEN n >= 7 THEN ROUND((sqe - sq*se/n)
+              / SQRT((sqq - sq*sq/n) * (see - se*se/n)), 6) END AS roll_corr
+FROM w ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("window_rolling_std", sql=ROLLSTD_SQL)
+def window_rolling_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling std + rolling corr (pandas/cudf Rolling.std/.corr — the
+    co-moment members of the Rolling surface; rolling.hpp only ships
+    sum/min/max/count/mean, so this is the composed-builtin route per
+    SURVEY §7.3): one 7-row window carries SIX exact decimal co-moment
+    sums and the var/corr formulas close in double — bit-stable
+    cross-engine because every float op happens on exactly-represented
+    decimal sums in the same order as the oracle (the agg_var_corr
+    recipe, applied per window frame).  min_periods=7 → NULL before the
+    frame fills, pandas semantics.  The frame order extends (orderkey,
+    linenumber) — NOT unique in these fixtures — with the two value
+    columns: any remaining tie is between rows identical in every
+    window input, so frame multisets (and therefore every sum) are
+    order-invariant."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 20000)
+    dq = F.col("l_quantity").cast(ROLL_DEC.lower())
+    de = F.col("l_extendedprice").cast(ROLL_DEC.lower())
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .rowsBetween(-6, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sq = F.sum(dq).over(w).cast("double")
+    sqq = F.sum(dq * dq).over(w).cast("double")
+    se = F.sum(de).over(w).cast("double")
+    see = F.sum(de * de).over(w).cast("double")
+    sqe = F.sum(dq * de).over(w).cast("double")
+    nn = n.cast("double")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(
+                n >= 7, F.round(F.sqrt((sqq - sq * sq / nn) / (nn - 1)), 6)
+            ).alias("roll_std_qty"),
+            F.when(
+                n >= 7,
+                F.round(
+                    (sqe - sq * se / nn)
+                    / F.sqrt((sqq - sq * sq / nn) * (see - se * se / nn)),
+                    6,
+                ),
+            ).alias("roll_corr"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
