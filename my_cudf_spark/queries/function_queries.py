@@ -441,3 +441,47 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((l <= mid) & (mid < r)).alias("contains_mid97"),
         ((l < jb) & (ja < r)).alias("overlaps_jun97"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_parse",
+    sql="""
+    WITH s AS (SELECT o_orderkey,
+                      strftime(o_orderdate, '%Y-%m-%d') AS dstr,
+                      strftime(o_orderdate, '%d/%m/%Y') AS dstr_eu,
+                      CAST(o_totalprice AS VARCHAR) AS pstr,
+                      CASE WHEN o_orderkey % 7 = 0 THEN 'n/a'
+                           ELSE CAST(o_custkey AS VARCHAR) END AS maybe_num
+               FROM orders)
+    SELECT o_orderkey,
+           strptime(dstr, '%Y-%m-%d') AS parsed_iso,
+           strptime(dstr_eu, '%d/%m/%Y') AS parsed_eu,
+           CAST(TRY_CAST(pstr AS DOUBLE) AS DOUBLE) AS parsed_price,
+           TRY_CAST(maybe_num AS BIGINT) AS parsed_or_null
+    FROM s ORDER BY o_orderkey
+    """,
+)
+def fn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→typed parsing (cudf to_datetime / to_numeric,
+    python/cudf/cudf/core/tools/datetimes.py:70 and tools/numeric.py:28;
+    CSV-reader dtype inference is the same kernels): two datetime formats
+    via to_timestamp, numeric parsing via cast, and to_numeric's
+    errors='coerce' (invalid → NULL) via try_cast — all JVM expressions,
+    one scan, no shuffle before the final order."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dstr"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("dstr_eu"),
+        F.col("o_totalprice").cast("string").alias("pstr"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("n/a"))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("maybe_num"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.to_timestamp("dstr", "yyyy-MM-dd").cast("timestamp_ntz").alias("parsed_iso"),
+        F.to_timestamp("dstr_eu", "dd/MM/yyyy").cast("timestamp_ntz").alias("parsed_eu"),
+        F.col("pstr").cast("double").alias("parsed_price"),
+        F.expr("try_cast(maybe_num AS BIGINT)").alias("parsed_or_null"),
+    ).orderBy("o_orderkey")
