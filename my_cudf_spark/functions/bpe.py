@@ -279,11 +279,27 @@ def subword_tokenize(
     )
 
 
+def _apply_merge(rep: Column, pair: Column, sep: str) -> Column:
+    """Rewrite one doubled-space representation with one merge rule:
+    literal replace of ' a  b ' with ' a@b ' (left-to-right non-overlapping
+    replace IS greedy BPE application; the doubled interior spaces keep
+    neighboring boundaries intact when a match consumes one space from each
+    side).  NULL ``pair`` (an exhausted round — no adjacent pairs left in
+    the corpus) leaves the representation unchanged."""
+    rewritten = F.replace(
+        rep,
+        F.concat(F.lit(" "), F.replace(pair, F.lit(" "), F.lit("  ")), F.lit(" ")),
+        F.concat(F.lit(" "), F.replace(pair, F.lit(" "), F.lit(sep)), F.lit(" ")),
+    )
+    return F.when(pair.isNull(), rep).otherwise(rewritten)
+
+
 def learn_bpe_merges(
     df,
     text_col: Column | str,
     num_merges: int,
     sep: str = "@",
+    checkpoint_every: int = 8,
 ):
     """Distributed BPE merge LEARNING (tokenizer training) at word level:
     ``num_merges`` rounds of corpus-wide adjacent-pair counting; each
@@ -295,66 +311,122 @@ def learn_bpe_merges(
     (nvtext/byte_pair_encoding.hpp:129 load_merge_pairs); learning it is
     the upstream step a corpus-scale engine should own.
 
-    Returns (merges_df, final_rep_df): merges_df has one row per round
-    (merge_round, pair, n_occurrences); final_rep_df carries the
-    post-merge token representation per input row.
+    Returns (merges_df, final_rep_df): merges_df has one row per
+    non-exhausted round (merge_round, pair, n_occurrences) — fewer than
+    ``num_merges`` rows when the corpus runs out of adjacent pairs;
+    final_rep_df carries the post-merge token representation per input row.
 
-    Mechanism — the whole loop stays LAZY (no driver collect): round r's
-    winner is a 1-row aggregate broadcast into round r+1's rewrite.  The
-    token sequence rides as a doubled-space string (' a  b  c '), so
-    applying a merge is a literal string replace of ' a  b ' with ' a@b '
-    — left-to-right non-overlapping replace IS greedy BPE application, and
-    the doubled interior spaces keep neighboring boundaries intact when a
-    match consumes one space from each side.  Each round's representation
-    is persisted (same device as clustering.py's per-round frames): round
-    r+1 references round r twice (pair counts + rewrite), which without
-    the cache would compound into 2^k evaluations.
+    Precondition: token text must be single-space separated with no
+    leading/trailing/consecutive spaces and no occurrence of ``sep`` inside
+    a token (the registered query routes through ``text.normalize_text``,
+    which guarantees this); violations silently produce empty/ambiguous
+    token names.  ``num_merges`` must be >= 1.
+
+    Mechanism: the loop builds LAZILY (round r's winner is a 1-row
+    aggregate broadcast into round r+1's rewrite over a doubled-space
+    string representation — see ``_apply_merge``), with every per-round
+    frame held by a DEDICATED persist owned by this call (round r+1
+    references round r twice — pair counts + rewrite — which uncached
+    would compound into 2^k evaluations; a shared LRU is not a guard, an
+    eviction before first materialization re-enables the cascade).  One
+    controlled materialization closes the call: the winners accumulate into
+    a frame that is eagerly ``localCheckpoint``-ed, computing each round's
+    persisted frame exactly once; every ``checkpoint_every`` rounds the
+    accumulator and representation checkpoint mid-loop so real
+    ``num_merges`` (50k for GPT-2) never builds an unbounded lineage or
+    holds more than a window of corpus-sized frames in cache.  The
+    returned representation is REBUILT from the checkpointed merges table
+    (num_merges narrow rewrites over the source — linear recompute, no
+    cache dependence), so every intermediate persist is released before
+    returning: the call leaves nothing cached but its own checkpoints.
 
     Scale: per round, one map-side-combined pair-count shuffle (pair
-    cardinality ~ vocab², small) + a 1-row broadcast + a narrow rewrite.
-    num_merges is the model hyperparameter (e.g. 50k for GPT-2); rounds
-    are sequential by nature of the algorithm."""
+    cardinality ~ vocab², small) + a 1-row broadcast + a narrow rewrite;
+    peak cache is ``checkpoint_every`` corpus-sized frames.  Rounds are
+    sequential by nature of the algorithm."""
     from pyspark.sql import DataFrame  # local: avoid cycle at import time
-    from my_cudf_spark.operators.dedup import _persist
+    from pyspark.storagelevel import StorageLevel
+
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if sep == " " or not sep:
+        raise ValueError("sep must be a non-space, non-empty string")
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    rep = df.select(
+    rep0 = df.select(
         F.concat(F.lit(" "), F.replace(c, F.lit(" "), F.lit("  ")), F.lit(" ")).alias(
             "rep"
         )
     )
-    merge_rows: list[DataFrame] = []
-    for r in range(1, num_merges + 1):
-        rep = _persist(rep)
-        toks = rep.select(F.split(F.trim(F.col("rep")), "  ").alias("tk"))
-        pairs = toks.select(
-            F.explode(
-                F.transform(
-                    F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
-                    lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("tk"), i + 2)),
-                )
-            ).alias("pair")
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n_occurrences"))
-            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
-            .limit(1)
-        )
-        best = _persist(best)
-        merge_rows.append(
-            best.select(
-                F.lit(r).alias("merge_round"), "pair", "n_occurrences"
+    cached: list[DataFrame] = []  # this call's persists, released before return
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(frame)
+        return frame
+
+    def _release() -> None:
+        while cached:
+            try:
+                cached.pop().unpersist()
+            except Exception:  # session tearing down — nothing to release
+                pass
+
+    empty_acc = df.sparkSession.createDataFrame(
+        [], "merge_round int, pair string, n_occurrences bigint"
+    )
+    acc = empty_acc
+    rep = rep0
+    try:
+        for r in range(1, num_merges + 1):
+            rep = _pin(rep)
+            toks = rep.select(F.split(F.trim(F.col("rep")), "  ").alias("tk"))
+            pairs = toks.select(
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                        lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("tk"), i + 2)),
+                    )
+                ).alias("pair")
             )
-        )
-        rep = rep.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("rep"),
-                F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
-                F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit(sep)), F.lit(" ")),
-            ).alias("rep")
-        )
-    merges = merge_rows[0]
-    for m in merge_rows[1:]:
-        merges = merges.unionByName(m)
-    return merges, rep
+            best = _pin(
+                pairs.groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("n_occurrences"))
+                .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+                .limit(1)
+            )
+            acc = acc.unionByName(
+                best.select(F.lit(r).alias("merge_round"), "pair", "n_occurrences")
+            )
+            # Left join on TRUE (1-row-or-empty side): an exhausted round
+            # yields NULL pair and leaves rep unchanged, where a crossJoin
+            # would silently empty the corpus.
+            rep = rep.join(F.broadcast(best), F.lit(True), "left").select(
+                _apply_merge(F.col("rep"), F.col("pair"), sep).alias("rep")
+            )
+            if r % checkpoint_every == 0 and r < num_merges:
+                # Truncate lineage and release the window of per-round
+                # frames: both checkpoints materialize HERE (each pinned
+                # frame computed exactly once), after which nothing before
+                # this round is referenced.
+                acc = acc.localCheckpoint(eager=True)
+                rep = rep.localCheckpoint(eager=True)
+                _release()
+        merges = acc.localCheckpoint(eager=True)
+        # Rebuild the final representation from the CHECKPOINTED merges
+        # (each round's pair is a 1-row filter of a materialized frame):
+        # linear recompute — num_merges narrow rewrites — with no
+        # dependence on the persists released below.
+        final_rep = rep0
+        for r in range(1, num_merges + 1):
+            pair_r = F.broadcast(
+                merges.filter(F.col("merge_round") == r).select("pair")
+            )
+            final_rep = final_rep.join(pair_r, F.lit(True), "left").select(
+                _apply_merge(F.col("rep"), F.col("pair"), sep).alias("rep")
+            )
+    finally:
+        _release()
+    return merges, final_rep

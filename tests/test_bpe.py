@@ -170,3 +170,53 @@ def test_learn_bpe_merges_tiny_corpus(spark):
         assert reps == [" a@b  a@b  x@x  x ", " a@b  c "]
     finally:
         release_cached()
+
+
+def test_learn_bpe_merges_validates_args(spark):
+    from my_cudf_spark.functions.bpe import learn_bpe_merges
+    import pytest
+
+    df = spark.createDataFrame([("a b",)], "t string")
+    with pytest.raises(ValueError, match="num_merges"):
+        learn_bpe_merges(df, "t", num_merges=0)
+    with pytest.raises(ValueError, match="sep"):
+        learn_bpe_merges(df, "t", num_merges=1, sep=" ")
+
+
+def test_learn_bpe_merges_exhaustion_keeps_rep(spark):
+    """Rounds past pair exhaustion add no merge rows and leave the
+    representation unchanged (a crossJoin against the empty winner frame
+    would instead silently empty the corpus)."""
+    from my_cudf_spark.functions.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("a b",), ("a b",)], "t string")
+    merges, rep = learn_bpe_merges(df, "t", num_merges=4)
+    rows = [(r["merge_round"], r["pair"], r["n_occurrences"]) for r in merges.collect()]
+    assert rows == [(1, "a b", 2)]
+    assert sorted(r["rep"] for r in rep.collect()) == [" a@b ", " a@b "]
+
+
+def test_learn_bpe_merges_releases_its_persists(spark):
+    """Lifecycle contract: the call leaves nothing in the executor cache
+    but its own (tiny) localCheckpoint RDDs — per-round corpus-sized
+    frames are unpersisted before returning, and the shared gram-set LRU
+    in operators.dedup is untouched."""
+    from my_cudf_spark.functions.bpe import learn_bpe_merges
+    from my_cudf_spark.operators import dedup
+
+    sc = spark.sparkContext
+    before_lru = len(dedup._CACHE)
+    df = spark.createDataFrame([("a b a b c d c d",)] * 5, "t string")
+    merges, rep = learn_bpe_merges(df, "t", num_merges=3, checkpoint_every=2)
+    persisted = {
+        rid: r.name() or "" for rid, r in sc._jsc.getPersistentRDDs().items()
+    }
+    # Only checkpoint RDDs may remain cached (their names carry the
+    # "Local Checkpoint"/checkpoint marker or back a checkpointed plan);
+    # no per-round persist survives the call.
+    leaked = [n for n in persisted.values() if "heckpoint" not in (n or "LocalCheckpoint")]
+    assert leaked == [], persisted
+    assert len(dedup._CACHE) == before_lru
+    # results stay correct across the cadence checkpoint
+    assert merges.count() == 3
+    assert rep.count() == 5
