@@ -23,9 +23,72 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
-__all__ = ["kendall_tau_b", "grouped_kendall"]
+__all__ = ["kendall_tau_b", "grouped_kendall", "exact_quantiles"]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str | Column,
+    fracs: Sequence[float],
+    prefix: str = "q",
+) -> DataFrame:
+    """Exact linear-interpolated quantiles of one column as a 1-row frame
+    (columns ``{prefix}0..{prefix}k``, one per fraction) WITHOUT the
+    single-buffer shape of a keyless ``percentile(col, array(...))``
+    aggregate, which funnels every value of the column into one
+    ObjectHashAggregate buffer merged on a single final reducer — fine per
+    group (agg_quantiles), fatal for a whole-table quantile at scale
+    (cudf quantile, quantiles.hpp; pandas ``describe`` quartiles).
+
+    Distributed shape: (1) groupBy value → counts (map-side combine; the
+    shuffle carries one row per DISTINCT value, never raw rows), (2)
+    :func:`~my_cudf_spark.operators.packing.global_cumsum` turns counts
+    into exclusive global ranks — a value row covers sorted positions
+    ``[cum, cum+c)`` — via the deterministic-bucket two-phase pass, (3)
+    one keyless agg with a FIXED 2·k-cell buffer (plain max-of-when per
+    bracketing rank, map-side partial) picks the two values straddling
+    each target position ``h = (n-1)·frac``, closed with the standard
+    interpolation ``lo + (h-⌊h⌋)·(hi-lo)`` (identical formula to Spark's
+    ``percentile`` and DuckDB's ``QUANTILE_CONT``, bit-stable both ways).
+    NULLs are ignored (quantile semantics); an empty input yields one
+    all-NULL row."""
+    from my_cudf_spark.operators.packing import global_cumsum
+
+    v = F.col(col) if isinstance(col, str) else col
+    vc = (
+        df.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vc = global_cumsum(vc, "__v", "__c", out_col="__cum")
+    tot = vc.agg(F.sum("__c").alias("__n"))
+    d = vc.join(F.broadcast(tot), F.lit(True), "left")
+
+    def at_rank(r: Column) -> Column:
+        covers = (F.col("__cum") <= r) & (r < F.col("__cum") + F.col("__c"))
+        return F.max(F.when(covers, F.col("__v"))).cast("double")
+
+    aggs, finals = [], []
+    for i, frac in enumerate(fracs):
+        h = (F.col("__n") - 1).cast("double") * F.lit(float(frac))
+        lo = F.floor(h).cast("long")
+        hi = F.least(lo + 1, F.col("__n") - 1)
+        aggs.append(at_rank(lo).alias(f"__lo{i}"))
+        aggs.append(at_rank(hi).alias(f"__hi{i}"))
+    agged = d.agg(F.max("__n").alias("__n"), *aggs)
+    for i, frac in enumerate(fracs):
+        h = (F.col("__n") - 1).cast("double") * F.lit(float(frac))
+        part = h - F.floor(h)
+        finals.append(
+            (F.col(f"__lo{i}") + part * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))).alias(
+                f"{prefix}{i}"
+            )
+        )
+    return agged.select(*finals)
 
 
 def _count_inversions(y: np.ndarray) -> int:

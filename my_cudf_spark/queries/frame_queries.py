@@ -159,11 +159,20 @@ ORDER BY ord
 @register("frame_describe", sql=DESCRIBE_SQL)
 def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe() summary frame (cudf dataframe.py:5501): count/mean/std/
-    min/quartiles/max for two numeric columns in ONE aggregation pass —
-    exact decimal co-moments close the mean/std formulas bit-stably, and
-    both exact-percentile triples share a single array-percentile buffer
-    (see agg_quantiles).  The stack() unpivot to pandas-shaped rows runs
-    on the single-row aggregate."""
+    min/quartiles/max for two numeric columns — exact decimal co-moments
+    close the mean/std formulas bit-stably in one fixed-buffer aggregation
+    pass, and each quartile triple comes from
+    :func:`operators.stats.exact_quantiles` (distinct-value counts +
+    distributed rank cumsum + fixed-buffer bracketing agg).  A keyless
+    ``percentile(col, array(...))`` would instead funnel EVERY value of
+    both columns into one ObjectHashAggregate buffer merged on a single
+    final reducer — the one shape that cannot survive a whole-table
+    describe at 100 TB (flagged round 3; plan-guarded percentile-free in
+    test_plans).  The two 1-row quantile frames broadcast into the stats
+    row; the stack() unpivot to pandas-shaped rows runs on that single
+    row."""
+    from my_cudf_spark.operators.stats import exact_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(12,2)")
     e = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -177,8 +186,11 @@ def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("max_q"),
         F.min("l_extendedprice").alias("min_e"),
         F.max("l_extendedprice").alias("max_e"),
-        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("pq"),
-        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("pe"),
+    )
+    pq = exact_quantiles(li, "l_quantity", [0.25, 0.5, 0.75], prefix="pq")
+    pe = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75], prefix="pe")
+    s = s.join(F.broadcast(pq), F.lit(True), "left").join(
+        F.broadcast(pe), F.lit(True), "left"
     )
     return (
         s.select(
@@ -188,9 +200,9 @@ def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
               'mean', sq / n, se / n, 2,
               'std', SQRT((sqq - sq*sq/n) / (n-1)), SQRT((see - se*se/n) / (n-1)), 3,
               'min', min_q, min_e, 4,
-              '25%', ROUND(pq[0], 6), ROUND(pe[0], 6), 5,
-              '50%', ROUND(pq[1], 6), ROUND(pe[1], 6), 6,
-              '75%', ROUND(pq[2], 6), ROUND(pe[2], 6), 7,
+              '25%', ROUND(pq0, 6), ROUND(pe0, 6), 5,
+              '50%', ROUND(pq1, 6), ROUND(pe1, 6), 6,
+              '75%', ROUND(pq2, 6), ROUND(pe2, 6), 7,
               'max', max_q, max_e, 8)
               AS (statistic, l_quantity, l_extendedprice, ord)"""
             )

@@ -343,3 +343,14 @@ def test_fuzzy_join_blocked_not_crossed(spark):
     df = _df(spark, "join_fuzzy")
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_frame_describe_no_keyless_percentile_buffer(spark):
+    # describe's quartiles must ride the distributed rank-bracketing shape
+    # (operators.stats.exact_quantiles) — a keyless percentile(array(...))
+    # agg funnels the whole column into one final-reducer ObjectHashAggregate
+    # buffer (round-3 scale flag).
+    df = _df(spark, "frame_describe")
+    plan = P.physical_plan(df)
+    assert "percentile(" not in plan, plan
+    assert not P.has_cartesian(df)

@@ -50,3 +50,33 @@ def test_kendall_perfect_orders():
     assert abs(kendall_tau_b(x, -x) + 1.0) < 1e-15
     assert kendall_tau_b(np.ones(10), np.arange(10.0)) is None
     assert kendall_tau_b(np.array([1.0]), np.array([2.0])) is None
+
+
+def test_exact_quantiles_matches_builtin_percentile(spark):
+    """Distributed rank-bracketing quantiles must equal Spark's exact
+    percentile() (same interpolation formula) on ties, skew, and
+    non-integral positions."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators.stats import exact_quantiles
+
+    vals = [1.0, 1.0, 1.0, 2.5, 3.0, 7.25, 7.25, 9.0, 100.0, -4.5, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "x double")
+    fracs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_quantiles(df, "x", fracs).collect()[0]
+    want = df.agg(
+        F.expr(f"percentile(x, array({', '.join(f'{f}D' for f in fracs)}))").alias("p")
+    ).collect()[0]["p"]
+    for i, w in enumerate(want):
+        assert abs(got[f"q{i}"] - w) < 1e-12, (i, got[f"q{i}"], w)
+
+
+def test_exact_quantiles_empty_and_single(spark):
+    from my_cudf_spark.operators.stats import exact_quantiles
+
+    empty = spark.createDataFrame([], "x double")
+    row = exact_quantiles(empty, "x", [0.5]).collect()[0]
+    assert row["q0"] is None
+    one = spark.createDataFrame([(42.0,)], "x double")
+    row = exact_quantiles(one, "x", [0.25, 0.5, 1.0]).collect()[0]
+    assert [row["q0"], row["q1"], row["q2"]] == [42.0, 42.0, 42.0]
