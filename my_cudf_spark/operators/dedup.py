@@ -128,7 +128,17 @@ def incremental_dedup(
     within-batch keep-first shuffle hash on the same key, and everything is
     proportional to |new batch| + |distinct corpus hashes| — the corpus
     text itself is scanned once and never shuffled.  In a real deployment
-    the distinct-hash frame is the thing you persist between drops."""
+    the distinct-hash frame is the thing you persist between drops.
+
+    NULL contract (SQL join semantics, pinned by test_dedup): a NULL
+    content expression hashes to NULL, and a left-anti join never matches
+    NULL keys — so NULL-content rows are ALWAYS treated as novel relative
+    to the corpus, even when the corpus also holds NULL content.  Within
+    the batch they form one keep-first group (the row_number window
+    partitions NULLs together, per SQL grouping), so exactly one NULL-
+    content row survives per drop.  Callers wanting NOT-IN semantics
+    (NULL poisons membership) should filter ``content.isNotNull()``
+    upstream."""
     key_new = F.sha2(content_new, 256).alias("__h")
     corpus_keys = corpus.select(F.sha2(content_corpus, 256).alias("__h")).distinct()
     w = Window.partitionBy("__h").orderBy(id_col)

@@ -240,8 +240,16 @@ def query_expr(df: DataFrame, expr: str) -> DataFrame:
     ``~``→NOT, ``==``/``!=``/comparisons and arithmetic pass through
     (identical syntax), python keywords ``and/or/not/in`` already match
     Spark SQL.  Backtick-quoted names pass through (both dialects use
-    backticks for odd identifiers).  Precedence agrees: pandas ``&``/``|``
-    bind looser than comparisons, as do AND/OR.
+    backticks for odd identifiers); backslash-escaped quotes inside string
+    literals do not terminate the literal.
+
+    Precedence caveat: in pandas/Python, ``&``/``|`` bind TIGHTER than
+    comparisons (hence pandas' mandatory parentheses around each
+    comparison), while SQL AND/OR bind looser — so only the
+    pandas-recommended fully-parenthesized form (``(a == b) & (c > d)``)
+    keeps its meaning under translation; an unparenthesized ``a == b & c``
+    is rejected by pandas itself (TypeError on ambiguous Series truth
+    value) and is NOT supported here.
     """
     out: list[str] = []
     i, n = 0, len(expr)
@@ -249,6 +257,11 @@ def query_expr(df: DataFrame, expr: str) -> DataFrame:
     while i < n:
         ch = expr[i]
         if in_str is not None:
+            if ch == "\\" and i + 1 < n:
+                out.append(ch)
+                out.append(expr[i + 1])
+                i += 2
+                continue
             out.append(ch)
             if ch == in_str:
                 in_str = None

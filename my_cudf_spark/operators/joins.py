@@ -129,6 +129,28 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward|forward|nearest")
+
+    def _family(t: str) -> str:
+        if t.startswith("timestamp"):
+            return "timestamp"
+        if t == "date":
+            return "date"
+        if t in ("integer", "long", "short", "byte", "float", "double") or t.startswith(
+            "decimal"
+        ):
+            return "numeric"
+        return t
+
+    lf = _family(left.schema[on].dataType.typeName())
+    rf = _family(right.schema[on].dataType.typeName())
+    if lf != rf:
+        # distance/tolerance units below derive from the RIGHT side's type;
+        # mixed families (e.g. left timestamp vs right date) would silently
+        # scale by the wrong unit instead of erroring.
+        raise ValueError(
+            f"asof_join 'on' type families differ: left {lf} vs right {rf}; "
+            "cast one side so distance/tolerance units agree"
+        )
     by = list(by) if by else []
     rcols = [c for c in right.columns if c != on and c not in by]
     from pyspark.sql import types as T

@@ -51,3 +51,26 @@ def test_exact_dedup_partitions_docs(spark):
     assert sum(r["dup_count"] for r in out) == docs.count()
     # fixture texts are globally unique → every group is a singleton
     assert all(r["dup_count"] == 1 for r in out)
+
+
+def test_incremental_dedup_null_content_contract(spark):
+    """Pinned NULL semantics (documented in incremental_dedup): NULL
+    content never matches corpus keys (always novel), and forms ONE
+    keep-first group within the batch."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "y")], "id int, txt string"
+    )
+    corpus = spark.createDataFrame([(0, None), (9, "x")], "id int, txt string")
+    got = sorted(
+        r["id"]
+        for r in incremental_dedup(
+            batch, corpus, "id", F.col("txt"), F.col("txt")
+        ).collect()
+    )
+    # id=1: first NULL row (novel despite corpus NULL); id=2 deduped within
+    # batch; id=3 dropped (corpus has 'x'); id=4 novel.
+    assert got == [1, 4]

@@ -152,3 +152,28 @@ def test_fuzzy_join_matches_bruteforce_random(spark):
         for r in fuzzy_join(l, l, "s", "s").collect()
     }
     assert got == want
+
+
+def test_query_expr_backslash_escaped_quote(spark):
+    from my_cudf_spark.operators.frame import query_expr
+
+    df = spark.createDataFrame([("it's", 1), ("a|b", 2), ("c", 9)], "s string, v int")
+    # the escaped quote must not end the literal early: the '&' after it is
+    # still inside the translation scope, the '|' inside the second literal
+    # is not.
+    out = query_expr(df, "(s == 'it\\'s') & (v == 1) | (s == 'a|b')").collect()
+    assert sorted(r["s"] for r in out) == ["a|b", "it's"]
+
+
+def test_asof_join_rejects_mixed_on_type_families(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("2020-01-02 03:04:05",)], "s string").select(
+        F.to_timestamp("s").alias("t")
+    )
+    right = spark.createDataFrame([("2020-01-01",)], "d string").select(
+        F.to_date("d").alias("t")
+    )
+    with pytest.raises(ValueError, match="type families differ"):
+        asof_join(left, right, on="t")
