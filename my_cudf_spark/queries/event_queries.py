@@ -338,3 +338,28 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_type_counts",
+    sql="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def events_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch leg of ``streaming.stateful2.type_counts`` — the Spark-4
+    ``transformWithStateInPandas`` operator's degenerate mode (a batch
+    frame yields the groupBy count the MapState accumulates to on a
+    stream).  Registered so the module's batch contract carries driver
+    evidence; the streaming leg stays protobuf-gated
+    (stateful2.py env gate, same policy as Avro/Kafka)."""
+    from my_cudf_spark.streaming.stateful2 import type_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        type_counts(ev, ["user_id"], "event_type")
+        .withColumn("n", F.col("n").cast("long"))
+        .orderBy("user_id", "event_type")
+    )
