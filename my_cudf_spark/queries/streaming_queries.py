@@ -386,3 +386,44 @@ def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(agg, "curation", work_dir)
     return out.orderBy("source")
+
+
+@register(
+    "stream_topk_replay",
+    sql="""
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, COUNT(*) AS n_seen FROM events GROUP BY 1),
+    r AS (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY n DESC, event_type) AS rk
+          FROM c)
+    SELECT r.user_id, CAST(rk AS INTEGER) AS "rank", event_type,
+           CAST(n AS BIGINT) AS n, CAST(n_seen AS BIGINT) AS n_seen
+    FROM r JOIN t USING (user_id) WHERE rk <= 3
+    ORDER BY user_id, "rank"
+    """,
+)
+def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user top-3 event types via the Space-Saving summary
+    (streaming/stateful.heavy_hitters): bounded O(keys × capacity) sketch
+    state across micro-batches — the per-entity frequency shape an
+    unbounded stream cannot answer with exact per-item state.  capacity=16
+    covers the fixture's distinct event types, so the summary is exact and
+    the batch groupBy + rank twin is a bit-exact oracle (the suite's
+    convention for probabilistic operators: exact-by-construction on
+    fixtures, documented error bound at scale).  The final snapshot per
+    user is the emitted update carrying that user's maximal n_seen."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import heavy_hitters
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    tops = heavy_hitters(stream, ["user_id"], "event_type", k=3, capacity=16)
+    updates = _drain(tops, "topk", work_dir, output_mode="update")
+    w = Window.partitionBy("user_id")
+    return (
+        updates.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("user_id", "rank", "event_type", "n", "n_seen")
+        .orderBy("user_id", "rank")
+    )

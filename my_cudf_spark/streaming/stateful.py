@@ -10,7 +10,17 @@ emits the updated totals each batch — the streaming analogue of
 ``groupBy(keys).agg(count, sum)``, with O(distinct keys) state.  On batch
 frames it falls back to exactly that aggregation, so the same call works in
 both modes and the batch result is the oracle for the stream's final state.
-"""
+
+``heavy_hitters`` is a per-key streaming top-k frequency sketch
+(Space-Saving summary, Metwally et al. 2005): bounded state of
+``capacity`` (item, count, error) counters per key, merged batch-at-a-time
+— the ``count_min``/top-k shape a 100 TB event pipeline keeps per entity
+where exact per-item counts would be unbounded state.  When ``capacity``
+>= the key's distinct item count the summary is EXACT (error 0), which is
+how the fixture query earns a bit-exact SQL oracle; over capacity the
+classic guarantee holds (count overestimates true frequency by at most
+``error``, true top-k ⊆ summary for skewed streams).  Batch frames take
+the exact groupBy + rank twin."""
 
 from __future__ import annotations
 
@@ -53,6 +63,136 @@ def running_totals(
         state.update((n, s))
         yield pd.DataFrame(
             [dict(zip(keys, key)) | {"n_events": n, "sum_value": s}]
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _space_saving_merge(
+    summary: dict[str, list[int]], batch: dict[str, int], capacity: int
+) -> None:
+    """Merge one batch's item counts into a Space-Saving summary
+    ({item: [count, error]}), in place.  Known items add exactly; new
+    items fill free slots exactly; once full, each new item evicts the
+    current minimum-count entry (ties to the lexicographically smallest)
+    and inherits its count as the overestimate ``error``.  New items merge
+    largest-first (count desc, item asc) so eviction order — and the
+    summary — is deterministic."""
+    for it in [i for i in batch if i in summary]:
+        summary[it][0] += batch[it]
+    for it in sorted(
+        (i for i in batch if i not in summary), key=lambda i: (-batch[i], i)
+    ):
+        if len(summary) < capacity:
+            summary[it] = [batch[it], 0]
+        else:
+            victim = min(summary, key=lambda j: (summary[j][0], j))
+            floor_ = summary.pop(victim)[0]
+            summary[it] = [floor_ + batch[it], floor_]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    k: int,
+    capacity: int = 64,
+) -> DataFrame:
+    """Per-key top-``k`` most frequent ``item_col`` values.
+
+    Streaming: a Space-Saving summary of ``capacity`` counters per key in
+    applyInPandasWithState state (three parallel arrays + a seen counter —
+    GroupState rows are flat structs, so the summary rides as
+    array<string>/array<long> columns, Arrow-encoded per micro-batch).
+    Each batch merges that batch's per-item counts: known items add
+    exactly; new items fill free slots exactly; once full, a new item
+    evicts the current minimum (inheriting its count as ``error`` — the
+    classic overestimate bound).  New items merge in (count desc, item
+    asc) order so the summary — and therefore the emitted rows — are
+    deterministic for a deterministic replay.  Emits the current top-k
+    (rank 1..k by count desc, item asc) plus ``n_seen`` (total items the
+    key has seen), whose per-key maximum marks the final snapshot after a
+    bounded drain.
+
+    Batch: the exact groupBy count + row_number twin with the same output
+    schema — the oracle for the streamed final state whenever ``capacity``
+    covers the per-key distinct-item count.
+
+    Scale: state is O(keys × capacity) regardless of stream length; the
+    per-batch shuffle carries raw rows once (the groupBy), and emitted
+    rows are k per touched key per batch."""
+    keys = list(keys)
+    if k < 1 or capacity < k:
+        raise ValueError("require 1 <= k <= capacity")
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        # NULL items are not counted in either mode (the sketch drops them;
+        # value_counts() semantics), so n_seen is the non-null item count.
+        df = df.filter(F.col(item_col).isNotNull())
+        c = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("n"))
+        tot = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_seen"))
+        w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc(item_col))
+        return (
+            c.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .join(tot, keys)
+            .select(
+                *keys,
+                F.col("rank").cast("int"),
+                item_col,
+                F.col("n").cast("long"),
+                F.col("n_seen").cast("long"),
+            )
+        )
+
+    key_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keys)
+    out_schema = (
+        f"{key_fields}, rank int, {item_col} string, n bigint, n_seen bigint"
+    )
+    state_schema = (
+        "items array<string>, counts array<bigint>, errs array<bigint>, seen bigint"
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs, seen = state.get
+            summary = {
+                it: [int(c), int(e)] for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary, seen = {}, 0
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for it, n in pdf[item_col].dropna().value_counts().items():
+                batch[str(it)] = batch.get(str(it), 0) + int(n)
+                seen += int(n)
+        _space_saving_merge(summary, batch, capacity)
+        state.update(
+            (
+                list(summary.keys()),
+                [v[0] for v in summary.values()],
+                [v[1] for v in summary.values()],
+                seen,
+            )
+        )
+        top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        yield pd.DataFrame(
+            [
+                dict(zip(keys, key))
+                | {"rank": r, item_col: it, "n": cnt[0], "n_seen": seen}
+                for r, (it, cnt) in enumerate(top, start=1)
+            ]
         )
 
     return df.groupBy(*keys).applyInPandasWithState(

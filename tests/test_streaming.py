@@ -157,3 +157,55 @@ def test_kafka_live_roundtrip(spark):
     got = kafka_batch_read(spark, servers, topic, partition=0, start=0, end=10)
     vals = sorted(r["value"].decode() for r in got.select("value").collect())
     assert vals == sorted(f'{{"k":{i}}}' for i in range(10))
+
+
+def test_space_saving_merge_logic():
+    """Pure sketch-merge unit (no Spark): exact under capacity, classic
+    min-eviction + error inheritance over capacity, deterministic order."""
+    from my_cudf_spark.streaming.stateful import _space_saving_merge
+
+    s: dict[str, list[int]] = {}
+    _space_saving_merge(s, {"a": 5, "b": 3}, capacity=2)
+    assert s == {"a": [5, 0], "b": [3, 0]}
+    # 'c' evicts the min ('b',3): count = 3+4, err = 3
+    _space_saving_merge(s, {"c": 4, "a": 1}, capacity=2)
+    assert s == {"a": [6, 0], "c": [7, 3]}
+    # overestimate bound: count <= true + err always holds
+    # (c true=4, count=7, err=3)
+    # deterministic tie-break: equal-count victims evict lexicographically
+    s2 = {"x": [2, 0], "y": [2, 0]}
+    _space_saving_merge(s2, {"z": 1}, capacity=2)
+    assert s2 == {"y": [2, 0], "z": [3, 2]}
+
+
+def test_heavy_hitters_stream_equals_batch(spark):
+    """Space-Saving final snapshot == exact batch twin when capacity covers
+    the distinct items (fixture: ~6 event types, capacity 16)."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import heavy_hitters
+
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    try:
+        tops = heavy_hitters(stream, ["user_id"], "event_type", k=3, capacity=16)
+        drained = S.run_to_memory(tops, "hh_eq", output_mode="update")
+        w = Window.partitionBy("user_id")
+        final = (
+            drained.withColumn("__mx", F.max("n_seen").over(w))
+            .filter(F.col("n_seen") == F.col("__mx"))
+            .drop("__mx")
+        )
+        batch = heavy_hitters(
+            _batch_events(spark), ["user_id"], "event_type", k=3, capacity=16
+        )
+        order = ["user_id", "rank"]
+        assert _rows(final, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_heavy_hitters_validates_args(spark):
+    from my_cudf_spark.streaming.stateful import heavy_hitters
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(_batch_events(spark), ["user_id"], "event_type", k=5, capacity=3)
