@@ -318,3 +318,46 @@ def pii_count(col: Column | str, kind: str) -> Column:
     """Number of matches of one PII pattern kind in the raw text."""
     (pat,) = [p for k, p, _ in PII_PATTERNS if k == kind]
     return F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0))
+
+
+def chunk_documents(
+    df,
+    id_cols,
+    text_col,
+    max_tokens: int,
+    overlap: int = 0,
+    sep: str = " ",
+):
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-window packing prep a training/RAG pipeline runs over every
+    corpus (the reference stops at tokenize_with_vocabulary; chunking is
+    the step between raw docs and sequence packing).
+
+    One row per chunk: ``(*id_cols, chunk_seq, chunk, n_tokens)`` where
+    chunks start every ``max_tokens - overlap`` tokens and a trailing
+    window is emitted only if the previous one did not already reach the
+    end of the document (same window rule as ``bpe.subword_tokenize``'s
+    HF-style overflow).
+
+    Scale: whitespace split + sequence/filter/explode/slice are all narrow
+    JVM-side higher-order Column expressions — no UDF, no shuffle; the
+    explode fan-out is bounded by ceil(n_tokens/step) per doc."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    id_cols = list(id_cols)
+    c = _c(text_col)
+    t = df.select(*id_cols, F.split(c, " ").alias("__tk"))
+    n = F.size("__tk")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n),
+    )
+    t = t.select(*id_cols, "__tk", F.explode(starts).alias("__s"))
+    sl = F.slice("__tk", F.col("__s") + 1, max_tokens)
+    return t.select(
+        *id_cols,
+        (F.col("__s") / step).cast("int").alias("chunk_seq"),
+        F.array_join(sl, sep).alias("chunk"),
+        F.size(sl).cast("long").alias("n_tokens"),
+    )

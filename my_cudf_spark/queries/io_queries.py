@@ -103,3 +103,53 @@ def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     ).orderBy("o_orderkey")
+
+
+@register("io_arrow_roundtrip", sql="SELECT * FROM nation ORDER BY n_nationkey")
+def io_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow interop round-trip (interop.hpp:466-722 to_arrow_host /
+    from_arrow): DataFrame → pyarrow.Table → DataFrame must preserve
+    values and types bit-for-bit.  Arrow interop is driver-side by
+    definition (the Table is a host object), so the query runs it on a
+    dimension table — the realistic shape (exporting a result or dim to
+    another Arrow-speaking system), never a fact-table materialization."""
+    nation = load_table(spark, sf_dir, "nation")
+    return IO.from_arrow(spark, IO.to_arrow(nation)).orderBy("n_nationkey")
+
+
+_QUARTERS = [(m, f"Q{(m - 1) // 3 + 1}") for m in range(1, 13)]
+
+
+@register(
+    "io_dataframe_scan",
+    sql=f"""
+    SELECT q.quarter, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN (VALUES {", ".join(f"({m}, '{q}')" for m, q in _QUARTERS)}) AS q(m, quarter)
+      ON EXTRACT(month FROM o.o_orderdate) = q.m
+    GROUP BY q.quarter ORDER BY q.quarter
+    """,
+)
+def io_dataframe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameScan (cudf_polars ir.py DataFrameScan; SURVEY §2.1): a
+    LOCAL literal frame (driver-side rows → createDataFrame) joined
+    against a fixture fact — the in-memory-data-as-relation leaf.  The
+    12-row dim broadcasts; the month-bucketed aggregation is one
+    map-side-combined shuffle.  The decimal sum keeps the cross-engine
+    hash stable (float SUM visit order would not be)."""
+    quarters = spark.createDataFrame(_QUARTERS, "m int, quarter string")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(quarters), F.month("o_orderdate") == F.col("m")
+        )
+        .groupBy("quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("quarter")
+    )

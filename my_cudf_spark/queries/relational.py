@@ -554,3 +554,68 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "left_value", "right_value", F.col("dist").cast("int").alias("dist")
     ).orderBy("left_value", "right_value")
+
+
+@register(
+    "join_bucketed",
+    sql="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           SUM(l.l_quantity) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2 ORDER BY o.o_orderkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-to-fact join (SURVEY §2.3 / §7.0 scale
+    posture; the persistent form of the reference's hash_partition,
+    partitioning.hpp:106): both sides written ``bucketBy(8, key)`` into
+    managed tables, then joined with a merge hint — the bucketed scans
+    already provide hash clustering on the key, so the SortMergeJoin AND
+    the same-key aggregation run with ZERO hash Exchange (plan-guarded in
+    test_plans; the only exchange left is the final presentation sort).
+    This is the 100 TB recipe for repeated large-to-large joins that
+    broadcast/AQE cannot cover: partition once at write time, join
+    forever without shuffling.  SUM(l_quantity) is exact cross-engine
+    (integral values in double)."""
+    import os
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    ob, lb = f"orders_bq_{tag}", f"lineitem_bq_{tag}"
+    # The metastore is per-session but the warehouse dir persists: drop any
+    # catalog entry AND clear a stale location a previous session left, or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (ob, lb):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ob)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lb)
+    )
+    return (
+        spark.table(lb)
+        .join(
+            spark.table(ob).hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1115,3 +1115,32 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.select(
         "merge_round", "pair", "n_occurrences"
     ).orderBy("merge_round")
+
+
+@register(
+    "text_chunk_documents",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk
+                FROM documents),
+    st AS (SELECT doc_id, tk, len(tk) AS n,
+                  unnest(list_filter(range(0, greatest(n, 1), 24),
+                                     s -> s = 0 OR s + 8 < n)) AS s
+           FROM tk)
+    SELECT doc_id, CAST(s / 24 AS INTEGER) AS chunk_seq,
+           array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk,
+           CAST(len(list_slice(tk, s + 1, s + 32)) AS BIGINT) AS n_tokens
+    FROM st ORDER BY doc_id, chunk_seq
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token document chunking
+    (functions/text.chunk_documents): 32-token windows advancing by 24
+    (8-token overlap) over normalized text — the corpus → context-window
+    prep between raw documents and sequence packing.  Pure narrow
+    higher-order Column expressions; the oracle replays the identical
+    window rule with DuckDB list functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
+    return T.chunk_documents(
+        norm, ["doc_id"], "norm", max_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_seq")

@@ -182,3 +182,26 @@ def test_redact_pii_pattern_order_and_counts(spark):
     assert row["r"] == "mail <EMAIL>, ssn <SSN>, ph <PHONE>, ip <IP>, not-ip 1.2.3.4567"
     # SSN must NOT be half-eaten by the phone pattern (order: ssn first)
     assert "<SSN>" in row["r"] and row["ne"] == 1 and row["np"] == 1 and row["ni"] == 1
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.functions.text import chunk_documents
+    import pytest
+
+    toks = " ".join(str(i) for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, toks), (2, "solo"), (3, "a b c d")], "id int, t string")
+    out = chunk_documents(df, ["id"], "t", max_tokens=4, overlap=1).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append((r["chunk_seq"], r["chunk"], r["n_tokens"]))
+    # id=1: starts 0,3,6,9 -> but 9+1 >= 10 is false (9+1<10 fails) -> start 9
+    # kept only if previous window (6..9) missed the end: 6+4=10 covers -> drop
+    assert by_id[1] == [
+        (0, "0 1 2 3", 4), (1, "3 4 5 6", 4), (2, "6 7 8 9", 4)
+    ]
+    assert by_id[2] == [(0, "solo", 1)]
+    assert by_id[3] == [(0, "a b c d", 4)]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, ["id"], "t", max_tokens=4, overlap=4)

@@ -354,3 +354,14 @@ def test_frame_describe_no_keyless_percentile_buffer(spark):
     plan = P.physical_plan(df)
     assert "percentile(" not in plan, plan
     assert not P.has_cartesian(df)
+
+
+def test_bucketed_join_zero_hash_exchange(spark):
+    # bucketBy(8, key) on both sides must satisfy the SortMergeJoin's AND
+    # the same-key aggregation's clustering — zero hash Exchange anywhere;
+    # the only exchange allowed is the final presentation-sort range
+    # partitioning.
+    df = _df(spark, "join_bucketed")
+    plan = P.physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
