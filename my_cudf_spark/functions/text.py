@@ -361,3 +361,61 @@ def chunk_documents(
         F.array_join(sl, sep).alias("chunk"),
         F.size(sl).cast("long").alias("n_tokens"),
     )
+
+
+def ngram_lm_scores(
+    df,
+    id_cols,
+    text_col,
+    alpha: float = 0.5,
+):
+    """Per-document add-alpha bigram language-model score — the
+    perplexity-proxy quality signal of CCNet-style curation (docs whose
+    token transitions are improbable under the corpus LM are boilerplate/
+    garbled candidates; the reference has no LM machinery at all).
+
+    Trains ON the corpus itself (the in-domain score): unigram and bigram
+    counts are map-side-combined aggregations; each document's bigrams
+    hash-join those count tables and close
+    ``avg(ln((c(w1,w2)+a) / (c(w1)+a*V)))`` per doc.  Documents with fewer
+    than two tokens have no bigrams and drop out (standard LM convention).
+
+    Returns ``(*id_cols, n_bigrams, avg_logprob)`` with the score rounded
+    to 6dp (ln noise across engines lives ~1e-15, far below the
+    rounding).
+
+    Scale: two count shuffles bounded by vocab/vocab² cardinality, token-
+    key hash joins, one per-doc aggregation — no UDF, no broadcast of
+    anything corpus-sized (V rides a 1-row broadcast)."""
+    id_cols = list(id_cols)
+    t = df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk"))
+    uni = (
+        t.select(F.explode("__tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    pairs = F.transform(
+        F.slice(F.col("__tk"), 1, F.greatest(F.size("__tk") - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(F.col("__tk"), i + 2).alias("w2")
+        ),
+    )
+    bg = t.select(*id_cols, F.explode(pairs).alias("p")).select(
+        *id_cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    a = F.lit(float(alpha))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(vocab), F.lit(True), "left")
+        .withColumn(
+            "__lp",
+            F.log((F.col("cb") + a) / (F.col("cu") + a * F.col("__v"))),
+        )
+    )
+    return scored.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )

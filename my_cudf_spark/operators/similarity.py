@@ -16,6 +16,8 @@ Vectors are ``array<float>`` columns; norms are precomputed once per side.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -396,4 +398,51 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "cos", "rank")
+    )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    filter_cols: Sequence[str],
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Metadata-filtered exact cosine top-k — the RAG retrieval shape
+    (restrict candidates by metadata equality, then rank by similarity).
+
+    The filter keys become the JOIN keys: instead of broadcast-cross-
+    scoring the whole corpus and discarding mismatches, candidates arrive
+    via a hash equi-join on ``filter_cols`` — at 100 TB the corpus
+    shuffles once on the metadata key (or not at all if bucketed by it)
+    and each query scores only its own partition's candidates.  Returns
+    (query_id, *filter_cols, neighbor_id, cos, rank) with rank ≤ k,
+    self-matches excluded, ties to the smaller neighbor id."""
+    filter_cols = list(filter_cols)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        *filter_cols,
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *filter_cols,
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        c.join(broadcast(q), filter_cols)
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn(
+            "cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, *filter_cols, "neighbor_id", "cos", "rank")
     )

@@ -1144,3 +1144,30 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(
         norm, ["doc_id"], "norm", max_tokens=32, overlap=8
     ).orderBy("doc_id", "chunk_seq")
+
+
+@register(
+    "text_lm_score",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk
+                FROM documents),
+    uni AS (SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tk)),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((cb + 0.5) / (cu + 0.5 * v))), 6) AS avg_logprob
+    FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score (functions/text.ngram_lm_scores)
+    trained on the corpus itself: add-0.5 smoothed avg log-prob per
+    document — the perplexity-proxy filter signal between heuristic
+    quality scoring and model-based filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
+    return T.ngram_lm_scores(norm, ["doc_id"], "norm").orderBy("doc_id")

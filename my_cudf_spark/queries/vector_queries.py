@@ -188,3 +188,36 @@ def vec_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "vec_filtered_topk",
+    sql="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 8),
+         s AS (SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+                      list_dot_product(q.v, c.v)
+                        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+               FROM e c JOIN q ON c.label = q.label AND c.vec_id <> q.vec_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, label, neighbor_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (similarity.filtered_topk) — the RAG
+    retrieval shape: candidates restricted to the query's label via a
+    hash equi-join on the metadata key (the corpus shuffles once on the
+    key — or never, if bucketed by it — instead of broadcast-cross-scoring
+    everything), then exact cosine rank within the filtered set."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.filtered_topk(emb, queries, "vec_id", "embedding", k=3, filter_cols=["label"])
+    return out.select(
+        "query_id",
+        "label",
+        "neighbor_id",
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

@@ -205,3 +205,26 @@ def test_chunk_documents_windows_and_edges(spark):
     assert by_id[3] == [(0, "a b c d", 4)]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, ["id"], "t", max_tokens=4, overlap=4)
+
+
+def test_ngram_lm_scores_hand_computed(spark):
+    """Tiny corpus: uni/bigram counts and add-alpha formula checked by
+    hand; a 1-token doc yields no bigrams and drops out."""
+    import math
+
+    from my_cudf_spark.functions.text import ngram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "id int, t string"
+    )
+    out = {r["id"]: (r["n_bigrams"], r["avg_logprob"]) for r in ngram_lm_scores(df, ["id"], "t").collect()}
+    # vocab = {a, b, x} -> V=3; cu: a=3, b=3, x=1
+    # bigrams: doc1 [ab, ba, ab], doc2 [ab]; cb: ab=3, ba=1
+    v, a = 3, 0.5
+    p_ab = math.log((3 + a) / (3 + a * v))
+    p_ba = math.log((1 + a) / (3 + a * v))
+    exp1 = round((2 * p_ab + p_ba) / 3, 6)
+    exp2 = round(p_ab, 6)
+    assert out[1] == (3, exp1)
+    assert out[2] == (1, exp2)
+    assert 3 not in out

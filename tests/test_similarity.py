@@ -99,3 +99,22 @@ def test_ivf_lloyd_refinement_runs_and_keeps_contract(spark):
         assert len(rows) <= 4
         ranks = sorted(r["rank"] for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_filtered_topk_respects_metadata(spark):
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators.similarity import filtered_topk
+
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [0.9, 0.1]),
+        (2, "b", [1.0, 0.0]),  # perfect match but wrong label
+        (3, "a", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label string, embedding array<double>")
+    out = filtered_topk(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=2, filter_cols=["label"]
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (3, 2)]
+    assert all(r["label"] == "a" for r in out)
