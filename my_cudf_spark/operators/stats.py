@@ -192,3 +192,54 @@ def grouped_kendall(
 
     parts = df.repartition(*keys).sortWithinPartitions(*keys)
     return parts.mapInPandas(per_partition, schema=f"{key_fields}, {out_col} double")
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    dec: str = "decimal(12,2)",
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix in long form — pandas/cudf
+    ``DataFrame.corr()`` (cudf dataframe.py corr; reference computes it
+    column-pair-at-a-time) — from EXACT decimal co-moments in ONE
+    fixed-buffer aggregation pass: k + k·(k+1)/2 sums for k columns, all
+    map-side partial, then the closing formula runs in double on identical
+    operands on any engine (bit-stable, the agg_var_corr construction
+    generalized).  Returns (col_a, col_b, corr) for every unordered pair
+    col_a < col_b.  Engine-builtin corr() streams running moments whose
+    low bits depend on visit order — useless for a differential gate and
+    irreproducible across cluster sizes; exact integer/decimal sums are
+    both."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    d = {c: F.col(c).cast(dec) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(d[a]).cast("double").alias(f"s{i}"))
+        aggs.append(F.sum(d[a] * d[a]).cast("double").alias(f"s{i}{i}"))
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(d[a] * d[cols[j]]).cast("double").alias(f"s{i}{j}")
+            )
+    s = df.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            si, sj = F.col(f"s{i}"), F.col(f"s{j}")
+            sii, sjj, sij = F.col(f"s{i}{i}"), F.col(f"s{j}{j}"), F.col(f"s{i}{j}")
+            corr = (n * sij - si * sj) / F.sqrt(
+                (n * sii - si * si) * (n * sjj - sj * sj)
+            )
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    corr.alias("corr"),
+                )
+            )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.corr")
+    )

@@ -298,3 +298,47 @@ def frame_query_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | (~(o_orderstatus == 'F') & o_totalprice < 1000)",
     )
     return out.select("o_orderkey", "o_totalprice", "o_orderpriority").orderBy("o_orderkey")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    dec = "DECIMAL(12,2)"
+    sums, selects = ["COUNT(*) AS n"], []
+    for i, a in enumerate(_CORR_COLS):
+        sums.append(sql_dec2dbl(f"SUM(CAST({a} AS {dec}))") + f" AS s{i}")
+        sums.append(
+            sql_dec2dbl(f"SUM(CAST({a} AS {dec}) * CAST({a} AS {dec}))")
+            + f" AS s{i}{i}"
+        )
+        for j in range(i + 1, len(_CORR_COLS)):
+            b = _CORR_COLS[j]
+            sums.append(
+                sql_dec2dbl(f"SUM(CAST({a} AS {dec}) * CAST({b} AS {dec}))")
+                + f" AS s{i}{j}"
+            )
+    for i, a in enumerate(_CORR_COLS):
+        for j in range(i + 1, len(_CORR_COLS)):
+            b = _CORR_COLS[j]
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"(n*s{i}{j} - s{i}*s{j}) / SQRT((n*s{i}{i} - s{i}*s{i}) * (n*s{j}{j} - s{j}*s{j})) AS corr FROM s"
+            )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_a, col_b"
+    )
+
+
+@register("frame_corr_matrix", sql=_corr_matrix_sql())
+def frame_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (pandas/cudf DataFrame.corr)
+    over four lineitem measures — operators/stats.corr_matrix: one
+    fixed-buffer pass of exact decimal co-moments, closed in double
+    identically on both engines (see agg_var_corr)."""
+    from my_cudf_spark.operators.stats import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS).orderBy("col_a", "col_b")

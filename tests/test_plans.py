@@ -365,3 +365,30 @@ def test_bucketed_join_zero_hash_exchange(spark):
     plan = P.physical_plan(df)
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_filtered_topk_joins_on_metadata_key(spark):
+    # candidates must arrive via the label equi-join — no cartesian /
+    # cross-score-then-filter shape
+    df = _df(spark, "vec_filtered_topk")
+    plan = P.physical_plan(df)
+    assert not P.has_cartesian(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lm_score_no_cartesian_no_udf(spark):
+    # bigram LM: count-table hash joins + a 1-row vocab broadcast; no
+    # cartesian, no Python UDF anywhere in the plan
+    df = _df(spark, "text_lm_score")
+    plan = P.physical_plan(df)
+    assert not P.has_cartesian(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_corr_matrix_single_fixed_buffer_pass(spark):
+    # the whole matrix must come from ONE aggregation over lineitem
+    # (fixed k + k(k+1)/2 sums), not one pass per pair
+    df = _df(spark, "frame_corr_matrix")
+    plan = P.physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, plan  # scan + reuse reprint
+    assert "percentile(" not in plan

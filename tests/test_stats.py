@@ -80,3 +80,25 @@ def test_exact_quantiles_empty_and_single(spark):
     one = spark.createDataFrame([(42.0,)], "x double")
     row = exact_quantiles(one, "x", [0.25, 0.5, 1.0]).collect()[0]
     assert [row["q0"], row["q1"], row["q2"]] == [42.0, 42.0, 42.0]
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from my_cudf_spark.operators.stats import corr_matrix
+    import pytest
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(200).round(2)
+    y = (2 * x + rng.rand(200)).round(2)
+    z = rng.rand(200).round(2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    for a, b, va, vb in (("x", "y", x, y), ("x", "z", x, z), ("y", "z", y, z)):
+        want = float(np.corrcoef(va, vb)[0, 1])
+        assert abs(got[(a, b)] - want) < 1e-9, (a, b, got[(a, b)], want)
+    with pytest.raises(ValueError, match="two columns"):
+        corr_matrix(df, ["x"])
