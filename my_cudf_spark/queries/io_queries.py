@@ -153,3 +153,17 @@ def io_dataframe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quarter")
     )
+
+
+@register("io_sized_write_roundtrip", sql="SELECT * FROM supplier ORDER BY s_suppkey")
+def io_sized_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sized-output write→read (sources/io.write_sized): file count derived
+    from Catalyst's optimized-plan size estimate over a target file size —
+    the small-files / monster-files knob plain df.write lacks and a 100 TB
+    curation sink needs.  The roundtrip certifies the repartition +
+    maxRecordsPerFile path loses nothing; the footer-level sizing
+    contract itself is unit-proven (test_packing)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    path = _stage("sized", sf_dir)
+    IO.write_sized(sup, path, target_file_bytes=256 << 10, max_records_per_file=2000)
+    return spark.read.parquet(path).orderBy("s_suppkey")
