@@ -243,3 +243,42 @@ def corr_matrix(
         s.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.col_a", "r.col_b", "r.corr")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Percent-rank / quantile normalization of a column — the
+    feature-engineering transform (rank → uniform [0,1]) — WITHOUT the
+    single-task global window ``percent_rank() OVER (ORDER BY col)``
+    plans to.
+
+    Distributed shape: distinct-value counts + ``global_cumsum`` give each
+    value its exclusive rank (= count of strictly-smaller rows, which is
+    exactly ``rank-1`` under SQL's ties-share-min-rank rule), broadcast of
+    the total, then one hash join back on the value column:
+    ``pct_rank = cum / (n-1)`` — bit-identical to SQL PERCENT_RANK on any
+    engine, and every stage is a bounded shuffle or hash join.  Rows with
+    NULL get NULL (SQL window semantics order NULLs first; here they are
+    excluded from ranking and propagate NULL, the feature-pipeline
+    convention — documented deviation).  n==1 yields 0.0 (SQL
+    convention)."""
+    vc = (
+        df.select(F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from my_cudf_spark.operators.packing import global_cumsum
+
+    vc = global_cumsum(vc, "__v", "__c", out_col="__cum")
+    tot = vc.agg(F.sum("__c").alias("__n"))
+    ranks = vc.join(F.broadcast(tot), F.lit(True), "left").select(
+        "__v",
+        F.when(F.col("__n") > 1, F.col("__cum") / (F.col("__n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+    return df.join(ranks, df[col] == ranks["__v"], "left").drop("__v")

@@ -342,3 +342,27 @@ def frame_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return corr_matrix(li, _CORR_COLS).orderBy("col_a", "col_b")
+
+
+@register(
+    "frame_quantile_normalize",
+    sql="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 9) AS pct_rank
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def frame_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/stats.quantile_normalize):
+    percent-rank of o_totalprice via distinct-value counts + distributed
+    rank cumsum + a value hash-join back — the scale-safe form of
+    ``percent_rank() OVER (ORDER BY col)``, which plans every row into ONE
+    task.  cum/(n-1) reproduces SQL's ties-share-min-rank semantics
+    bit-for-bit (rounded at 9dp only to absorb division association)."""
+    from my_cudf_spark.operators.stats import quantile_normalize
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = quantile_normalize(orders, "o_totalprice")
+    return out.select(
+        "o_orderkey", "o_totalprice", F.round("pct_rank", 9).alias("pct_rank")
+    ).orderBy("o_orderkey")

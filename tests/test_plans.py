@@ -392,3 +392,14 @@ def test_corr_matrix_single_fixed_buffer_pass(spark):
     plan = P.physical_plan(df)
     assert plan.count("lineitem.parquet") <= 2, plan  # scan + reuse reprint
     assert "percentile(" not in plan
+
+
+def test_quantile_normalize_no_global_window(spark):
+    # percent-rank must ride the distributed rank shape: the only global
+    # (unpartitioned) window subtrees allowed are the __pid-prefix sums
+    # over the one-row-per-partition totals frame
+    import re
+
+    df = _df(spark, "frame_quantile_normalize")
+    for sub in P.global_window_subtrees(df):
+        assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
