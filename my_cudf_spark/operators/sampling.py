@@ -217,3 +217,43 @@ def epoch_shuffle(
         global_cumsum(d.withColumn("__one", F.lit(1)), ["__ek", *key_cols], "__one", out_col=out_col)
         .drop("__one", "__ek")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str | Column],
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample",
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets the order key ``-ln(u)/w`` from a
+    content-derived uniform u (md5 of the salted row key, 13 hex digits →
+    (0,1]); the k smallest keys ARE a weighted sample without replacement
+    — inclusion probability proportional to weight, reproducible across
+    runs and cluster sizes because u is content-keyed, never an RNG (the
+    same property every sampler in this module relies on).
+
+    Rows with weight <= 0 or NULL are excluded (zero mass).  Returns the
+    sampled rows with ``key_out`` attached.
+
+    Scale: one narrow pass + ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-partition partial top-k then a k-row merge
+    on the driver side of the exchange; nothing global materializes."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    parts: list[Column] = [F.lit(salt)]
+    for c in cols:
+        parts += [F.lit("|"), c.cast("string")]
+    # 13 hex digits = 52 bits: exact in double; +1 keeps u strictly > 0
+    u = (F.conv(F.substring(F.md5(F.concat(*parts)), 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        float(16**13 + 1)
+    )
+    key = -F.log(u) / w.cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn(key_out, key)
+        .orderBy(key_out, *cols)
+        .limit(k)
+    )

@@ -135,3 +135,31 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("long").alias("pos"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_weighted",
+    sql="""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice,
+             -ln((CAST(('0x' || substr(md5('wsample|' || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                 / CAST(4503599627370497 AS DOUBLE)) / o_totalprice AS sk
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+    SELECT o_orderkey, o_totalprice, ROUND(sk, 9) AS sample_key
+    FROM s ORDER BY sk, o_orderkey LIMIT 200
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample — Efraimidis–Spirakis A-ES):
+    200 orders drawn with probability ∝ o_totalprice via content-keyed
+    exponential order keys; TakeOrderedAndProject keeps the top-k
+    per-partition partial, so nothing global materializes.  Reproducible
+    across runs and cluster sizes — no RNG anywhere."""
+    from my_cudf_spark.operators.sampling import weighted_sample
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = weighted_sample(orders, ["o_orderkey"], "o_totalprice", k=200)
+    return out.select(
+        "o_orderkey", "o_totalprice", F.round("sample_key", 9).alias("sample_key")
+    ).orderBy("o_orderkey")

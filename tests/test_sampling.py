@@ -135,3 +135,29 @@ def test_incremental_dedup_semantics(spark):
     # 10 dropped (in corpus), 11 kept (first ccc), 12 dropped (batch dup),
     # 13 kept (novel)
     assert got == [11, 13]
+
+
+def test_weighted_sample_biases_by_weight(spark):
+    """A-ES sanity: with weights 10 vs 1 (500 rows each), the k=100 sample
+    must be dominated by heavy rows (deterministic given the fixture)."""
+    from my_cudf_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    got = weighted_sample(df, ["id"], "w", k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["id"] < 500)
+    # E[heavy] ≈ 91 under weight-proportional inclusion; uniform would be 50
+    assert heavy > 75, heavy
+    # keys must be attached, positive, and the max key bounds the sample
+    assert all(r["sample_key"] > 0 for r in got)
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from my_cudf_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "id int, w double"
+    )
+    got = weighted_sample(df, ["id"], "w", k=10).collect()
+    assert [r["id"] for r in got] == [1]

@@ -209,3 +209,45 @@ def test_heavy_hitters_validates_args(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters(_batch_events(spark), ["user_id"], "event_type", k=5, capacity=3)
+
+
+def test_type_count_processor_logic_with_fake_handle():
+    """Exercise the transformWithStateInPandas processor's own logic with
+    a dict-backed fake of the MapState handle — the state-server protocol
+    is protobuf-gated in this sandbox, the per-key accumulation logic is
+    not."""
+    import pandas as pd
+
+    from my_cudf_spark.streaming.stateful2 import _TypeCountProcessor
+
+    class FakeMap:
+        def __init__(self):
+            self.d = {}
+        def containsKey(self, k):
+            return k in self.d
+        def getValue(self, k):
+            return self.d[k]
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.m = FakeMap()
+        def getMapState(self, name, ks, vs):
+            return self.m
+
+    p = _TypeCountProcessor(["user_id"], "event_type")
+    h = FakeHandle()
+    p.init(h)
+    out1 = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"event_type": ["a", "a", "b"]})]), None
+    ))
+    got1 = {(r.user_id, r.event_type): r.n for r in out1[0].itertuples()}
+    assert got1 == {(7, "a"): 2, (7, "b"): 1}
+    # second micro-batch accumulates into MapState
+    out2 = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"event_type": ["b", "c"]})]), None
+    ))
+    got2 = {(r.user_id, r.event_type): r.n for r in out2[0].itertuples()}
+    assert got2 == {(7, "b"): 2, (7, "c"): 1}
+    assert h.m.d == {("a",): (2,), ("b",): (2,), ("c",): (1,)}
