@@ -167,3 +167,19 @@ def io_sized_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage("sized", sf_dir)
     IO.write_sized(sup, path, target_file_bytes=256 << 10, max_records_per_file=2000)
     return spark.read.parquet(path).orderBy("s_suppkey")
+
+
+@register("io_zorder_roundtrip", sql="SELECT * FROM orders ORDER BY o_orderkey")
+def io_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write→read (sources/io.write_zordered — the
+    Delta/Iceberg OPTIMIZE ZORDER BY layout lever): Morton-interleaved
+    (o_custkey, o_totalprice) key, range-clustered files sorted within —
+    footer stats stay tight on BOTH columns so predicates on either prune
+    files (quantified in tests/test_io.py); the roundtrip certifies the
+    layout loses nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage("zorder", sf_dir)
+    IO.write_zordered(
+        orders, path, ["o_custkey", "o_totalprice"], target_file_bytes=512 << 10
+    )
+    return spark.read.parquet(path).orderBy("o_orderkey")

@@ -284,3 +284,85 @@ def compact(
     delete the source mid-read (Spark reads lazily)."""
     df = spark.read.format(format).options(**options).load(path)
     return write_sized(df, path + ".compact", format, target_file_bytes)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    out_col: str = "__z",
+) -> DataFrame:
+    """Attach a Z-order (Morton) key interleaving the bits of the given
+    numeric columns — the MULTI-dimensional data-layout lever
+    (Delta/Iceberg OPTIMIZE ZORDER BY): range-clustering on the Morton
+    key makes every file's footer stats tight on EVERY participating
+    column at once, so predicates on any of them prune files, where 1-D
+    range clustering helps only its own column.
+
+    Each column is min-max normalized to a ``bits``-bit integer via one
+    tiny aggregate broadcast (merge-order-insensitive min/max — the same
+    determinism argument as global_cumsum's bucket path), then bits
+    interleave column-major: bit i of column j lands at position
+    ``i*len(cols)+j``.  Pure Column arithmetic — shifts and ORs unrolled
+    ``bits × len(cols)`` times, all inside whole-stage codegen.  NULLs
+    normalize to slot 0.  ``bits × len(cols)`` must fit a long (≤ 62)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+    mm = df.agg(*aggs)
+    d = df.join(F.broadcast(mm), F.lit(True), "left")
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = hi - lo
+        q = F.when(
+            F.col(c).isNull() | (span <= 0), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - lo) / span * (top + 1)).cast("long"),
+            )
+        ).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
+            )
+    return d.withColumn(out_col, z).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    format: str = "parquet",
+    target_file_bytes: int = 128 << 20,
+    bits: int = 16,
+    **options: Any,
+) -> int:
+    """Z-order clustered write: Morton key from :func:`zorder_key`, then
+    the :func:`write_clustered` range + in-file sort layout on that key
+    (key dropped from the output).  Point/range predicates on ANY of the
+    ``zorder_by`` columns prune files via footer stats — the 2-D+
+    generalization demonstrated quantitatively in tests/test_io.py."""
+    keyed = zorder_key(df, list(zorder_by), bits=bits)
+    est = int(keyed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(1 << 16, -(-est // target_file_bytes)))
+    out = (
+        keyed.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.format(format).mode("overwrite")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return n

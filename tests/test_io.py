@@ -133,3 +133,59 @@ def test_write_clustered_validates(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         write_clustered(spark.range(5), str(tmp_path / "x"), [])
+
+
+def test_zorder_key_locality_and_bounds(spark):
+    from my_cudf_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    rows = {(r["x"], r["y"]): r["__z"] for r in zorder_key(df, ["x", "y"], bits=4).collect()}
+    # canonical Morton order on a 16x16 grid: interleave bits exactly
+    def morton(x, y):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+    # values are min-max normalized; with x,y in 0..15 and bits=4 the
+    # quantized value equals the input, so keys must match canonical Morton
+    for (x, y), z in rows.items():
+        assert z == morton(x, y), (x, y, z)
+    assert len(set(rows.values())) == 256  # bijective on the grid
+    import pytest
+    with pytest.raises(ValueError, match="<= 62"):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_write_zordered_tightens_both_dims(spark, tmp_path):
+    """Z-order layout: per-file spans must be tight on BOTH columns —
+    1-D range clustering would leave the second column's per-file span at
+    ~100% of the global span."""
+    import pyarrow.parquet as pq
+    from my_cudf_spark.sources.io import write_zordered
+
+    # two independent uniform dims (deterministic hash-derived)
+    df = spark.range(200_000).selectExpr(
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 10000 AS a",
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 7, 6), 16, 10) AS BIGINT) % 10000 AS b",
+        "repeat('y', 32) AS pad",
+    )
+    out = str(tmp_path / "zorder")
+    n = write_zordered(df, out, ["a", "b"], target_file_bytes=1 << 20)
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n and n >= 4
+    spans = {"a": [], "b": []}
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in ("a", "b"):
+            mins = [md.row_group(g).column(idx[col]).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx[col]).statistics.max for g in range(md.num_row_groups)]
+            spans[col].append((max(maxs) - min(mins)) / 10000.0)
+    # average per-file span must be clearly tighter than the full range on
+    # BOTH dims (sqrt(n) tiles of a 2-D grid → span ~ 1/sqrt(tiles) per dim)
+    for col in ("a", "b"):
+        avg = sum(spans[col]) / len(spans[col])
+        assert avg < 0.75, (col, avg, n)
+    assert spark.read.parquet(out).count() == 200_000
