@@ -419,3 +419,64 @@ def ngram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
     )
+
+
+def bm25_scores(
+    df,
+    id_cols,
+    text_col,
+    query_terms,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every document against a fixed term set — the
+    classic lexical-retrieval scorer (the sparse half of a RAG stack next
+    to :mod:`..operators.similarity`'s dense top-k; the reference stops at
+    raw tf via token counting).
+
+    Standard Robertson/Sparck-Jones form: ``score(d) = Σ_t idf(t) ·
+    tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))`` with
+    ``idf = ln((N-df+0.5)/(df+0.5) + 1)`` (the non-negative variant).
+
+    Returns ``(*id_cols, n_terms, score)`` for documents matching ≥1 term.
+
+    Scale: the term filter lands BEFORE the explode aggregation, so the
+    (doc, term) tf shuffle carries only query-term hits (|terms| ≈ query
+    size, not vocab); document length and corpus stats (N, avgdl) are one
+    narrow pass + a 1-row broadcast; df-per-term is |terms| rows broadcast
+    back.  All hash joins on doc/term keys — no UDF, no cross product."""
+    id_cols = list(id_cols)
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tk = df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk"))
+    lens = tk.select(*id_cols, F.size("__tk").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        tk.select(*id_cols, F.explode("__tk").alias("__w"))
+        .filter(F.col("__w").isin(terms))
+        .groupBy(*id_cols, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__w")
+        .join(lens, id_cols)
+        .join(F.broadcast(stats), F.lit(True), "left")
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    norm = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    term_score = idf * F.col("__tf") * (k1 + 1.0) / norm
+    return (
+        scored.withColumn("__s", term_score)
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+    )

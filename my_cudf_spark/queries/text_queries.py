@@ -1171,3 +1171,36 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
     return T.ngram_lm_scores(norm, ["doc_id"], "norm").orderBy("doc_id")
+
+
+_BM25_TERMS = ["join", "vector", "slow", "customer", "merge"]
+
+
+@register(
+    "text_bm25",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk
+                FROM documents),
+    lens AS (SELECT doc_id, len(tk) AS dl FROM tk),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS w FROM tk)
+           WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+           GROUP BY doc_id, w),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+    SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+    FROM tf JOIN dfreq USING (w) JOIN lens USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scoring (functions/text.bm25_scores) of every
+    document against a five-term query — the sparse-retrieval half of a
+    RAG stack beside vec_filtered_topk's dense half; term filtering lands
+    before the tf shuffle so the aggregate carries only query-term hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
+    return T.bm25_scores(norm, ["doc_id"], "norm", _BM25_TERMS).orderBy("doc_id")

@@ -228,3 +228,23 @@ def test_ngram_lm_scores_hand_computed(spark):
     assert out[1] == (3, exp1)
     assert out[2] == (1, exp2)
     assert 3 not in out
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus, one query term: idf/tf/length-norm closed by hand."""
+    import math
+
+    from my_cudf_spark.functions.text import bm25_scores
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog bird")], "id int, t string"
+    )
+    out = {r["id"]: (r["n_terms"], r["score"]) for r in bm25_scores(df, ["id"], "t", ["cat"]).collect()}
+    # N=2, df(cat)=1, avgdl=2.5; doc1: tf=2, dl=3
+    idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    k1, b = 1.2, 0.75
+    s1 = idf * 2 * (k1 + 1) / (2 + k1 * (1 - b + b * 3 / 2.5))
+    assert out == {1: (1, round(s1, 6))}
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, ["id"], "t", [])
