@@ -131,7 +131,7 @@ def _cumsum_deterministic_buckets(
         d.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
         .join(broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__ofs")).cast("long"))
-        .drop("__pid", "__local")
+        .drop("__pid", "__local", "__ofs")
     )
 
 
@@ -173,7 +173,7 @@ def _cumsum_range_checkpoint(
         d.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
         .join(broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__ofs")).cast("long"))
-        .drop("__pid", "__local")
+        .drop("__pid", "__local", "__ofs")
     )
 
 

@@ -370,3 +370,25 @@ def pct_change(
         name or f"{col}_pct_change",
         F.when(lagged == 0, zero_base).otherwise(x / lagged - F.lit(1.0)),
     )
+
+
+def ntile_from_index(r: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) bucket from a 0-indexed global row position ``r`` and
+    total count ``n`` — the closed form that lets qcut/equal-frequency
+    binning ride a DISTRIBUTED row index (``frame.with_row_index`` /
+    ``packing.global_cumsum``) instead of the single-task global window
+    ``ntile(k) OVER (ORDER BY ...)`` plans to.
+
+    SQL semantics: the first ``n % k`` buckets get ``n//k + 1`` rows, the
+    rest ``n//k``.  All arithmetic stays on exact-in-double integers
+    (< 2^52), so floor() reproduces integer division bit-for-bit."""
+    m = n % k
+    small = F.floor((n - m) / k).cast("long")
+    big = small + 1
+    cut = m * big
+    return (
+        F.when(r < cut, F.floor(r / big))
+        .otherwise(m + F.floor((r - cut) / small))
+        .cast("long")
+        + 1
+    )

@@ -371,19 +371,50 @@ def window_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE — the qcut/equal-frequency binning member of the rank family
-    (aggregation.hpp rank kinds; pandas/cudf qcut equivalent).  The
-    global quartile runs as a single-pass window over a total order
-    (value, key) so bucket assignment is deterministic; the grouped
-    decile shuffles once on the partition key."""
-    orders = load_table(spark, sf_dir, "orders")
-    wg = Window.orderBy("o_totalprice", "o_orderkey")
-    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(wg).cast("long").alias("price_quartile"),
-        F.ntile(10).over(wp).cast("long").alias("decile_in_priority"),
-    ).orderBy("o_orderkey")
+    (aggregation.hpp rank kinds; pandas/cudf qcut equivalent) — WITHOUT
+    the single-task global window ``ntile() OVER (ORDER BY ...)`` plans
+    to (the suite's last remaining global-window shape, retired round 4).
+    Both buckets ride the distributed row index
+    (``frame.with_row_index`` → deterministic-bucket global cumsum) plus
+    the closed-form ``windows.ntile_from_index`` arithmetic.  The grouped
+    decile encodes (priority, price) into one monotone numeric leading
+    key — priority digit × 10M + price, exact in double — so its index
+    ALSO stays on the bucketed cumsum path AND avoids the
+    5-giant-partition skew a ``PARTITION BY priority`` window has at
+    scale; per-group base/size broadcast back from a 5-row aggregate."""
+    from my_cudf_spark.operators import frame as FR
+    from my_cudf_spark.operators.windows import ntile_from_index
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    idx = FR.with_row_index(orders, "__r", order_by=["o_totalprice", "o_orderkey"])
+    combined = (
+        F.substring("o_orderpriority", 1, 1).cast("long") * 10_000_000
+        + F.col("o_totalprice")
+    ).alias("__pk")
+    idx = FR.with_row_index(
+        idx.withColumn("__pk", combined),
+        "__r2",
+        order_by=["__pk", "o_orderkey"],
+    )
+    tot = idx.agg(F.count(F.lit(1)).alias("__n"))
+    grp = idx.groupBy("o_orderpriority").agg(
+        F.min("__r2").alias("__base"), F.count(F.lit(1)).alias("__gn")
+    )
+    return (
+        idx.join(F.broadcast(tot), F.lit(True), "left")
+        .join(F.broadcast(grp), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            ntile_from_index(F.col("__r"), F.col("__n"), 4).alias("price_quartile"),
+            ntile_from_index(
+                F.col("__r2") - F.col("__base"), F.col("__gn"), 10
+            ).alias("decile_in_priority"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 ROLL_DEC = "DECIMAL(27,6)"

@@ -403,3 +403,14 @@ def test_quantile_normalize_no_global_window(spark):
     df = _df(spark, "frame_quantile_normalize")
     for sub in P.global_window_subtrees(df):
         assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
+
+
+def test_ntile_qcut_no_global_window(spark):
+    # both ntile buckets must ride the distributed row-index shape; the
+    # only global (unpartitioned) window subtrees allowed are the
+    # __pid-prefix sums over one-row-per-partition totals frames
+    import re
+
+    df = _df(spark, "window_ntile_qcut")
+    for sub in P.global_window_subtrees(df):
+        assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
