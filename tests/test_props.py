@@ -115,3 +115,33 @@ def test_space_saving_invariants(batches, capacity):
         for it, (cnt, err) in summary.items():
             assert (cnt, err) == (true[it], 0)
         assert set(summary) == set(true)
+
+
+@given(st.integers(min_value=1, max_value=500), st.integers(min_value=1, max_value=20))
+@settings(max_examples=300)
+def test_ntile_closed_form_matches_sql_semantics(n, k):
+    """windows.ntile_from_index's arithmetic (computed here in plain
+    Python — identical formula) must reproduce SQL NTILE bucket sizing:
+    first n%k buckets get n//k+1 rows, the rest n//k, buckets contiguous
+    and monotone in row position."""
+    import math
+
+    m = n % k
+    small = (n - m) // k
+    big = small + 1
+    cut = m * big
+
+    def bucket(r):
+        if r < cut:
+            return math.floor(r / big) + 1
+        return m + math.floor((r - cut) / small) + 1
+
+    buckets = [bucket(r) for r in range(n)]
+    assert buckets == sorted(buckets)
+    from collections import Counter
+    sizes = Counter(buckets)
+    n_buckets = min(n, k)
+    assert set(sizes) == set(range(1, n_buckets + 1))
+    for b in range(1, n_buckets + 1):
+        expected = (n // k) + (1 if b <= m else 0)
+        assert sizes[b] == max(expected, 1) if n < k else sizes[b] == expected
