@@ -418,7 +418,12 @@ def learn_bpe_merges(
         # Rebuild the final representation from the CHECKPOINTED merges
         # (each round's pair is a 1-row filter of a materialized frame):
         # linear recompute — num_merges narrow rewrites — with no
-        # dependence on the persists released below.
+        # dependence on the persists released below.  The rebuild truncates
+        # its OWN lineage on the same checkpoint_every cadence as the
+        # training loop, so the returned frame's plan depth is bounded by
+        # checkpoint_every rewrites regardless of num_merges (at GPT-2's
+        # 50k merges an untruncated chain would blow up driver-side
+        # Catalyst analysis long before any executor ran).
         final_rep = rep0
         for r in range(1, num_merges + 1):
             pair_r = F.broadcast(
@@ -427,6 +432,8 @@ def learn_bpe_merges(
             final_rep = final_rep.join(pair_r, F.lit(True), "left").select(
                 _apply_merge(F.col("rep"), F.col("pair"), sep).alias("rep")
             )
+            if r % checkpoint_every == 0 and r < num_merges:
+                final_rep = final_rep.localCheckpoint(eager=True)
     finally:
         _release()
     return merges, final_rep

@@ -386,9 +386,15 @@ def ngram_lm_scores(
 
     Scale: two count shuffles bounded by vocab/vocab² cardinality, token-
     key hash joins, one per-doc aggregation — no UDF, no broadcast of
-    anything corpus-sized (V rides a 1-row broadcast)."""
+    anything corpus-sized (V rides a 1-row broadcast).  The token
+    projection feeds three subtrees (unigram counts, bigram counts, the
+    per-doc scoring join), so it rides the shared :func:`plans.pin.
+    lru_persist` LRU: ONE linear corpus scan builds the cache, the other
+    subtrees read it — not three independent corpus scans."""
+    from my_cudf_spark.plans.pin import lru_persist
+
     id_cols = list(id_cols)
-    t = df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk"))
+    t = lru_persist(df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk")))
     uni = (
         t.select(F.explode("__tk").alias("w"))
         .groupBy("w")
@@ -444,12 +450,19 @@ def bm25_scores(
     (doc, term) tf shuffle carries only query-term hits (|terms| ≈ query
     size, not vocab); document length and corpus stats (N, avgdl) are one
     narrow pass + a 1-row broadcast; df-per-term is |terms| rows broadcast
-    back.  All hash joins on doc/term keys — no UDF, no cross product."""
+    back.  All hash joins on doc/term keys — no UDF, no cross product.
+    The token projection feeds lens/stats/tf as three subtrees, so it
+    rides the shared :func:`plans.pin.lru_persist` LRU: ONE linear corpus
+    scan builds the cache instead of three independent scans."""
+    from my_cudf_spark.plans.pin import lru_persist
+
     id_cols = list(id_cols)
     terms = [str(t) for t in query_terms]
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    tk = df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk"))
+    tk = lru_persist(
+        df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk"))
+    )
     lens = tk.select(*id_cols, F.size("__tk").alias("__dl"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 __all__ = [
     "exact_dedup",
@@ -46,53 +45,19 @@ __all__ = [
 ]
 
 # Gram-set frames persisted by the pair builders below.  The returned plans
-# reference them lazily, so they cannot be unpersisted inside the builder.
-# Instead: a semantic-hash-keyed LRU.  A repeated identical build (same
-# source, same gram expr — e.g. re-running a query) returns the SAME
-# persisted frame, so Spark's plan-based cache stays warm; distinct builds
-# beyond _CACHE_CAP evict the least-recent (unpersist is advisory — an
-# unconsumed older plan just recomputes — so eviction never affects
-# correctness, only caching).  Long-lived sessions stay bounded at
-# _CACHE_CAP gram frames; release_cached() drops them all eagerly.
-from collections import OrderedDict
-
-_CACHE: OrderedDict[int, DataFrame] = OrderedDict()
-_CACHE_CAP = 4
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    try:
-        key = df.semanticHash()
-    except Exception:  # pragma: no cover — defensive: hash failure disables reuse
-        key = id(df)
-    hit = _CACHE.get(key)
-    if hit is not None:
-        _CACHE.move_to_end(key)
-        return hit
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHE[key] = df
-    while len(_CACHE) > _CACHE_CAP:
-        _, old = _CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    return df
+# reference them lazily, so they cannot be unpersisted inside the builder;
+# they ride the shared semantic-hash-keyed LRU in plans.pin (also used by
+# the token projections in functions.text).
+from my_cudf_spark.plans.pin import lru_persist as _persist
+from my_cudf_spark.plans.pin import release_persisted
 
 
 def release_cached() -> int:
-    """Unpersist every gram-set frame cached by the builders (call once
-    consumers finish, e.g. at the end of a pipeline stage).  Returns the
-    number of frames released."""
-    n = 0
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
-    _CACHE.clear()
-    return n
+    """Unpersist every builder-cached frame (gram sets here, token
+    projections in functions.text — one shared LRU; call once consumers
+    finish, e.g. at the end of a pipeline stage).  Returns the number of
+    frames released."""
+    return release_persisted()
 
 
 def exact_dedup(df: DataFrame, id_col: str, content: Column) -> DataFrame:

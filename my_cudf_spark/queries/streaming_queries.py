@@ -420,10 +420,16 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
     tops = heavy_hitters(stream, ["user_id"], "event_type", k=3, capacity=16)
     updates = _drain(tops, "topk", work_dir, output_mode="update")
-    w = Window.partitionBy("user_id")
+    # Latest snapshot per (user, rank) via row_number, NOT n_seen == max:
+    # two updates can tie on n_seen (e.g. a later micro-batch whose rows
+    # for a user are all NULL event_type re-emits the unchanged summary),
+    # and an equality filter would keep both.
+    w = Window.partitionBy("user_id", "rank").orderBy(
+        F.desc("n_seen"), F.desc("n"), F.asc("event_type")
+    )
     return (
-        updates.withColumn("__mx", F.max("n_seen").over(w))
-        .filter(F.col("n_seen") == F.col("__mx"))
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select("user_id", "rank", "event_type", "n", "n_seen")
         .orderBy("user_id", "rank")
     )

@@ -389,9 +389,23 @@ def window_ntile_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     idx = FR.with_row_index(orders, "__r", order_by=["o_totalprice", "o_orderkey"])
+    # Spacing guard: the combined key is only monotone while every price
+    # fits strictly under the 10M spacing — a price at/over it would bleed
+    # into the next priority's range and silently mis-bucket.  Safe on
+    # TPC-H (max o_totalprice ≈ 530k), enforced per-row so a future
+    # fixture fails loudly instead of wrongly.
+    spacing = 10_000_000
     combined = (
-        F.substring("o_orderpriority", 1, 1).cast("long") * 10_000_000
-        + F.col("o_totalprice")
+        F.when(
+            F.col("o_totalprice") >= spacing,
+            F.raise_error(
+                f"window_ntile_qcut: o_totalprice >= {spacing} breaks the "
+                "combined priority+price decile key; raise the spacing"
+            ),
+        ).otherwise(
+            F.substring("o_orderpriority", 1, 1).cast("long") * spacing
+            + F.col("o_totalprice")
+        )
     ).alias("__pk")
     idx = FR.with_row_index(
         idx.withColumn("__pk", combined),

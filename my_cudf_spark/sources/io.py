@@ -188,6 +188,38 @@ def from_arrow(spark: SparkSession, table) -> DataFrame:
     return spark.createDataFrame(table)
 
 
+def _plan_size_bytes(df: DataFrame, target_file_bytes: int) -> int:
+    """Estimated byte size of ``df`` for sizing output file counts.
+
+    Primary: Catalyst's optimized-plan statistics
+    (``LogicalPlan.stats.sizeInBytes`` — driver-side, free, no job).  The
+    py4j handle (``_jdf``) is not public API; its shape has been stable
+    across Spark 3.x/4.x but this helper is the single pinned touchpoint,
+    with two public fallbacks when the handle shape changes: (a) sum of
+    the input files' on-disk sizes (``df.inputFiles()`` + ``pyarrow.fs``
+    — works for file/hdfs/s3 URIs, slightly UNDERstates post-scan width
+    but lands in the right decade), then (b) one target-size file per
+    default-parallelism slot."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        pass
+    try:
+        import pyarrow.fs as pafs
+
+        total = 0
+        for uri in df.inputFiles():
+            fs, fpath = pafs.FileSystem.from_uri(uri)
+            info = fs.get_file_info(fpath)
+            if info.size is not None:
+                total += int(info.size)
+        if total > 0:
+            return total
+    except Exception:
+        pass
+    return df.sparkSession.sparkContext.defaultParallelism * target_file_bytes
+
+
 def write_sized(
     df: DataFrame,
     path: str,
@@ -219,7 +251,7 @@ def write_sized(
     """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    est = _plan_size_bytes(df, target_file_bytes)
     n = max(1, min(1 << 16, -(-est // target_file_bytes)))
     if partition_by:
         out = df.repartition(n, *[F.col(c) for c in partition_by])
@@ -259,7 +291,7 @@ def write_clustered(
         raise ValueError("cluster_by must be non-empty")
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    est = _plan_size_bytes(df, target_file_bytes)
     n = max(1, min(1 << 16, -(-est // target_file_bytes)))
     cols = [F.col(c) for c in cluster_by]
     out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
@@ -354,7 +386,7 @@ def write_zordered(
     ``zorder_by`` columns prune files via footer stats — the 2-D+
     generalization demonstrated quantitatively in tests/test_io.py."""
     keyed = zorder_key(df, list(zorder_by), bits=bits)
-    est = int(keyed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    est = _plan_size_bytes(keyed, target_file_bytes)
     n = max(1, min(1 << 16, -(-est // target_file_bytes)))
     out = (
         keyed.repartitionByRange(n, F.col("__z"))

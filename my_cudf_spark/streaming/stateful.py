@@ -109,7 +109,9 @@ def heavy_hitters(
     Streaming: a Space-Saving summary of ``capacity`` counters per key in
     applyInPandasWithState state (three parallel arrays + a seen counter —
     GroupState rows are flat structs, so the summary rides as
-    array<string>/array<long> columns, Arrow-encoded per micro-batch).
+    array<item dtype>/array<long> columns, Arrow-encoded per micro-batch;
+    the item column keeps its native dtype in state AND output, matching
+    the batch twin's schema for any orderable atomic type).
     Each batch merges that batch's per-item counts: known items add
     exactly; new items fill free slots exactly; once full, a new item
     evicts the current minimum (inheriting its count as ``error`` — the
@@ -153,11 +155,18 @@ def heavy_hitters(
         )
 
     key_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keys)
+    # The item column keeps its NATIVE dtype in both output and state
+    # (batch-twin oracle contract: identical schemas).  Items ride as dict
+    # keys / sort keys in the summary, so any orderable Spark atomic type
+    # works; numpy scalars from value_counts() are unwrapped to Python
+    # natives before they enter state (Arrow state encoding).
+    item_type = df.schema[item_col].dataType.simpleString()
     out_schema = (
-        f"{key_fields}, rank int, {item_col} string, n bigint, n_seen bigint"
+        f"{key_fields}, rank int, {item_col} {item_type}, n bigint, n_seen bigint"
     )
     state_schema = (
-        "items array<string>, counts array<bigint>, errs array<bigint>, seen bigint"
+        f"items array<{item_type}>, counts array<bigint>, errs array<bigint>,"
+        " seen bigint"
     )
 
     def update(
@@ -172,10 +181,12 @@ def heavy_hitters(
             }
         else:
             summary, seen = {}, 0
-        batch: dict[str, int] = {}
+        batch: dict[Any, int] = {}
         for pdf in pdfs:
             for it, n in pdf[item_col].dropna().value_counts().items():
-                batch[str(it)] = batch.get(str(it), 0) + int(n)
+                if hasattr(it, "item"):  # numpy scalar → Python native
+                    it = it.item()
+                batch[it] = batch.get(it, 0) + int(n)
                 seen += int(n)
         _space_saving_merge(summary, batch, capacity)
         state.update(
@@ -187,6 +198,13 @@ def heavy_hitters(
             )
         )
         top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        if not top:
+            # A key whose batches so far held only NULL items has an empty
+            # summary; pd.DataFrame([]) would carry ZERO columns, which the
+            # applyInPandasWithState Arrow serializer rejects — emit a
+            # typed empty frame instead.
+            yield pd.DataFrame(columns=[*keys, "rank", item_col, "n", "n_seen"])
+            return
         yield pd.DataFrame(
             [
                 dict(zip(keys, key))

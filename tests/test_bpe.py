@@ -202,10 +202,10 @@ def test_learn_bpe_merges_releases_its_persists(spark):
     frames are unpersisted before returning, and the shared gram-set LRU
     in operators.dedup is untouched."""
     from my_cudf_spark.functions.bpe import learn_bpe_merges
-    from my_cudf_spark.operators import dedup
+    from my_cudf_spark.plans import pin
 
     sc = spark.sparkContext
-    before_lru = len(dedup._CACHE)
+    before_lru = len(pin._CACHE)
     df = spark.createDataFrame([("a b a b c d c d",)] * 5, "t string")
     merges, rep = learn_bpe_merges(df, "t", num_merges=3, checkpoint_every=2)
     persisted = {
@@ -216,7 +216,7 @@ def test_learn_bpe_merges_releases_its_persists(spark):
     # no per-round persist survives the call.
     leaked = [n for n in persisted.values() if "heckpoint" not in (n or "LocalCheckpoint")]
     assert leaked == [], persisted
-    assert len(dedup._CACHE) == before_lru
+    assert len(pin._CACHE) == before_lru
     # results stay correct across the cadence checkpoint
     assert merges.count() == 3
     assert rep.count() == 5

@@ -385,6 +385,35 @@ def test_lm_score_no_cartesian_no_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_lm_score_single_corpus_scan_via_cached_tokens(spark):
+    # the token projection feeds unigram counts, bigram counts AND the
+    # per-doc scoring join — all three must read the lru_persist cache,
+    # leaving exactly one real documents scan (r4 verdict: was 3-4 scans)
+    from my_cudf_spark.plans.pin import release_persisted
+
+    try:
+        df = _df(spark, "text_lm_score")
+        rep = P.cache_substitution(df, "documents.parquet")
+        assert rep["in_memory_relations"] >= 3, rep
+        assert rep["naked_scans"] == 0, rep
+    finally:
+        release_persisted()
+
+
+def test_bm25_single_corpus_scan_via_cached_tokens(spark):
+    # lens / corpus stats / tf are three subtrees over the token
+    # projection; all must hit the cache — one real documents scan
+    from my_cudf_spark.plans.pin import release_persisted
+
+    try:
+        df = _df(spark, "text_bm25")
+        rep = P.cache_substitution(df, "documents.parquet")
+        assert rep["in_memory_relations"] >= 3, rep
+        assert rep["naked_scans"] == 0, rep
+    finally:
+        release_persisted()
+
+
 def test_corr_matrix_single_fixed_buffer_pass(spark):
     # the whole matrix must come from ONE aggregation over lineitem
     # (fixed k + k(k+1)/2 sums), not one pass per pair

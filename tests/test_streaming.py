@@ -204,6 +204,75 @@ def test_heavy_hitters_stream_equals_batch(spark):
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
+def test_heavy_hitters_native_item_dtype_and_null_batch(spark):
+    """Two contracts beyond the fixture query: (a) a non-string item
+    column keeps its NATIVE dtype through streaming state and output
+    (schema == batch twin's), (b) a key whose FIRST micro-batch holds only
+    NULL items yields a typed empty update instead of a zero-column frame
+    the Arrow serializer rejects — and still converges to the batch answer
+    once real items arrive."""
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import heavy_hitters
+
+    work_dir = tempfile.mkdtemp(prefix="hh_int_stream_")
+    try:
+        chunks = [
+            {"user_id": ["u1", "u1", "u1", "u2", "u2"], "item": [1, 1, 2, None, None]},
+            {"user_id": ["u1", "u1", "u2"], "item": [2, 3, 7]},
+        ]
+        now = time.time()
+        for i, c in enumerate(chunks):
+            fp = os.path.join(work_dir, f"chunk{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "user_id": pa.array(c["user_id"], pa.string()),
+                        "item": pa.array(c["item"], pa.int64()),
+                    }
+                ),
+                fp,
+            )
+            # File stream source orders by modification time: pin it.
+            os.utime(fp, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("user_id string, item bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        tops = heavy_hitters(stream, ["user_id"], "item", k=3, capacity=4)
+        drained = S.run_to_memory(tops, "hh_int_eq", output_mode="update")
+        assert dict(drained.dtypes)["item"] == "bigint"
+        w = Window.partitionBy("user_id", "rank").orderBy(
+            F.desc("n_seen"), F.desc("n"), F.asc("item")
+        )
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch_rows = [
+            ("u1", 1), ("u1", 1), ("u1", 2), ("u2", None), ("u2", None),
+            ("u1", 2), ("u1", 3), ("u2", 7),
+        ]
+        batch = heavy_hitters(
+            spark.createDataFrame(batch_rows, "user_id string, item bigint"),
+            ["user_id"],
+            "item",
+            k=3,
+            capacity=4,
+        )
+        order = ["user_id", "rank"]
+        assert _rows(final, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def test_heavy_hitters_validates_args(spark):
     from my_cudf_spark.streaming.stateful import heavy_hitters
 
