@@ -50,14 +50,41 @@ def _last_verified_round() -> dict[str, int]:
     return seen
 
 
+# Queries whose physical plan changed AFTER their most recent green driver
+# row (round-4 verdict, "what's missing" #1, plus this round's perf/fix
+# edits): they jump the rotation queue — right after never-verified
+# queries — so the driver re-proves the CURRENT plan instead of spending
+# the row budget on unchanged backlog.
+_PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
+    {
+        # r4 plan changes flagged by the r4 verdict
+        "window_ntile_qcut", "frame_describe", "text_bpe_learn",
+        "frame_hconcat_rowindex", "pack_documents", "sample_epoch_shuffle",
+        # r5 edits: token-projection persist, snapshot dedup, spacing guard
+        "text_lm_score", "text_bm25", "stream_topk_replay",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2.
 
-    Ordered never-verified-first (see ``_last_verified_round``)."""
+    Ordered never-verified first, then plan-changed-since-last-check, then
+    least-recently-verified (see ``_last_verified_round``)."""
     registry = load_registry()
     seen = _last_verified_round()
     order = {name: i for i, name in enumerate(registry)}
-    ranked = sorted(registry, key=lambda n: (seen.get(n, -1), order[n]))
+
+    def rank(n: str):
+        if n not in seen:
+            tier = 0
+        elif n in _PLAN_CHANGED_SINCE_LAST_CHECK:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, seen.get(n, -1), order[n])
+
+    ranked = sorted(registry, key=rank)
     return {name: registry[name].fn for name in ranked}
 
 

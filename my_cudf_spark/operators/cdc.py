@@ -1,0 +1,252 @@
+"""Change-data-capture application and dimension versioning.
+
+The reference is an in-memory frame library with no mutation-application
+surface at all (closest primitives: ``cudf::scatter`` / boolean-mask
+updates, copying.hpp:30); a continuously-ingested training-data lake needs
+the three standard shapes a lakehouse engine provides:
+
+- ``apply_changelog``  : compact a CDC event stream (key, seq, op I/U/D,
+  payload) into current state — latest op per key wins, deletes drop.
+- ``merge_upsert``     : MERGE a (already compacted) upsert/delete batch
+  into a target table — Delta/Iceberg ``MERGE INTO`` semantics re-expressed
+  as joins Catalyst can plan.
+- ``scd2_apply``       : slowly-changing-dimension type-2 versioning —
+  close the current version of changed keys, append the new version,
+  keep full history queryable (point-in-time training-set reproduction).
+
+Scale shapes (the reason these are NOT a full-outer join of everything):
+
+- ``merge_upsert`` never shuffles the target payload: matched rows come
+  from a LEFT join target←batch on the keys (batch side broadcastable —
+  CDC batches are small next to a 100 TB target), inserts from an
+  anti-join of the batch against the target's NARROW key projection
+  (shuffle ∝ batch + key column, never target payload).  With the target
+  laid out bucketed on the keys (sources/io.write_bucketed / the
+  join_bucketed demo) even the key-projection exchange disappears.
+- ``apply_changelog`` is one hash shuffle of the changelog (row_number
+  per key) — state size ∝ distinct keys, the same shape as streaming
+  dedup.
+- ``scd2_apply`` joins ONLY the current version slice against the change
+  batch; closed history rows pass through untouched (union, no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["apply_changelog", "merge_upsert", "scd2_apply"]
+
+
+def apply_changelog(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact a CDC changelog to current state: per key, the row with the
+    highest ``seq_col`` wins (ties broken by ``op_col`` descending so a
+    same-sequence U/D pair resolves deterministically — documented, not
+    recommended; give events unique sequences); keys whose winning op is
+    ``delete_op`` disappear.  Returns the surviving rows minus the
+    bookkeeping columns.
+
+    One hash shuffle on the keys; the classic keep-latest window
+    (row_number, never a groupBy+join double scan)."""
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc(op_col))
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn", seq_col, op_col)
+    )
+
+
+def _key_match(left_pfx: str, right_pfx: str, keys: Sequence[str]) -> Column:
+    return reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"{left_pfx}{k}").eqNullSafe(F.col(f"{right_pfx}{k}"))
+            for k in keys
+        ],
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE ``source`` into ``target`` on ``keys`` (Delta-style):
+
+    - matched + ``delete_col`` true → target row removed,
+    - matched otherwise → target row with ``update_cols`` overwritten
+      from the source (all other target columns preserved),
+    - source-only + not delete → inserted (target columns the source
+      lacks become NULL),
+    - target-only → unchanged.
+
+    ``update_cols`` defaults to every non-key target column present in the
+    source.  CONTRACT: source carries at most one row per key (compact a
+    raw feed with :func:`apply_changelog` first) — a duplicate source key
+    would fan out matched target rows, as in every MERGE engine.
+
+    Scale: target payload is scanned once and never shuffled — the
+    matched leg is a left join whose source side is CDC-batch-sized
+    (broadcastable), the insert leg anti-joins the batch against the
+    target's narrow key projection."""
+    keys = list(keys)
+    tcols = target.columns
+    src_value_cols = [
+        c for c in source.columns if c not in keys and c != delete_col
+    ]
+    if update_cols is None:
+        update_cols = [c for c in tcols if c not in keys and c in src_value_cols]
+    missing = [c for c in update_cols if c not in src_value_cols]
+    if missing:
+        raise ValueError(f"update_cols absent from source: {missing}")
+    s = source.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in src_value_cols],
+        (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col
+            else F.lit(False)
+        ).alias("__s_del"),
+        F.lit(True).alias("__s_present"),
+    )
+    cond = _key_match("", "__s_", keys)
+    upd = target.join(s, cond, "left")
+    matched = F.coalesce(F.col("__s_present"), F.lit(False))
+    kept = upd.filter(~(matched & F.col("__s_del"))).select(
+        *[
+            (
+                F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+                if c in update_cols
+                else F.col(c)
+            )
+            for c in tcols
+        ]
+    )
+    inserts = (
+        s.filter(~F.col("__s_del"))
+        # null-safe anti-join, matching the update leg's key semantics —
+        # a plain column-list anti join never matches NULL keys and would
+        # re-insert a NULL-key row it just updated
+        .join(
+            target.select(*[F.col(k).alias(f"__t_{k}") for k in keys]),
+            _key_match("__s_", "__t_", keys),
+            "left_anti",
+        )
+        .select(
+            *[
+                (
+                    F.col(f"__s_{c}")
+                    if (c in keys or c in src_value_cols)
+                    else F.lit(None)
+                )
+                .cast(dict(target.dtypes)[c])
+                .alias(c)
+                for c in tcols
+            ]
+        )
+    )
+    return kept.unionByName(inserts)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Apply a change batch to a type-2 slowly-changing dimension.
+
+    ``dim`` rows carry (keys, attrs, ``valid_from``, ``valid_to`` NULL for
+    open versions, ``is_current``).  ``changes`` carries (keys, attrs,
+    ``eff_col``).  Per change row:
+
+    - key exists with DIFFERENT attrs (null-safe struct compare) → the
+      open version closes (``valid_to`` = effective time, ``is_current``
+      false) and a new open version appends,
+    - key exists with identical attrs → no-op,
+    - new key → new open version appends.
+
+    Closed history rows pass through untouched.  CONTRACT: one change row
+    per key per batch (pre-compact with :func:`apply_changelog`).
+
+    Scale: the join touches only the current-version slice; history is a
+    union leg with no shuffle."""
+    keys = list(keys)
+    attr_cols = list(attr_cols)
+    dcols = dim.columns
+    history = dim.filter(~F.col(is_current))
+    current = dim.filter(F.col(is_current))
+    ch = changes.select(
+        *[F.col(k).alias(f"__c_{k}") for k in keys],
+        *[F.col(a).alias(f"__c_{a}") for a in attr_cols],
+        F.col(eff_col).alias("__c_eff"),
+        F.lit(True).alias("__c_present"),
+    )
+    j = current.join(ch, _key_match("", "__c_", keys), "left")
+    changed = F.coalesce(F.col("__c_present"), F.lit(False)) & ~F.struct(
+        *[F.col(a) for a in attr_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__c_{a}") for a in attr_cols]))
+    # current versions: closed if their attrs changed, untouched otherwise
+    kept_current = j.select(
+        *[
+            (
+                F.when(changed, F.col("__c_eff")).otherwise(F.col(valid_to)).alias(c)
+                if c == valid_to
+                else F.when(changed, F.lit(False)).otherwise(F.col(is_current)).alias(c)
+                if c == is_current
+                else F.col(c)
+            )
+            for c in dcols
+        ]
+    )
+    # new open versions: changed keys + brand-new keys (one presence-marked
+    # join — a NULL-attr change on a new key still inserts)
+    cur_attrs = current.select(
+        *[F.col(k).alias(f"__p_{k}") for k in keys],
+        *[F.col(a).alias(f"__p_{a}") for a in attr_cols],
+        F.lit(True).alias("__p_present"),
+    )
+    # null-safe key match, consistent with the close leg — a NULL-key
+    # no-op echo must not insert a duplicate open version
+    fresh = ch.join(cur_attrs, _key_match("__c_", "__p_", keys), "left").filter(
+        ~F.coalesce(F.col("__p_present"), F.lit(False))
+        | ~F.struct(*[F.col(f"__p_{a}") for a in attr_cols]).eqNullSafe(
+            F.struct(*[F.col(f"__c_{a}") for a in attr_cols])
+        )
+    )
+    dtypes = dict(dim.dtypes)
+    new_versions = fresh.select(
+        *[
+            (
+                F.col(f"__c_{c}")
+                if c in keys or c in attr_cols
+                else F.col("__c_eff")
+                if c == valid_from
+                else F.lit(None)
+                if c == valid_to
+                else F.lit(True)
+                if c == is_current
+                else F.lit(None)
+            )
+            .cast(dtypes[c])
+            .alias(c)
+            for c in dcols
+        ]
+    )
+    return history.unionByName(kept_current).unionByName(new_versions)

@@ -290,6 +290,89 @@ def cosine_neardup_lsh(
     )
 
 
+def _seed_centroids(c: DataFrame, ident: str, n_centroids: int) -> DataFrame:
+    """Deterministic centroid seeding: the ``n_centroids`` rows of ``c``
+    (columns ``ident``/__v/__n) with the smallest ids, as (cid, __cv, __cn).
+
+    ``orderBy().limit()`` plans as TakeOrderedAndProject (per-partition
+    k-row heaps, driver merges k rows), so the full corpus never funnels
+    through one window task; the row_number window that assigns cid runs
+    over the ≤ n_centroids-row result only."""
+    seed = c.orderBy(ident).limit(n_centroids)
+    w_seed = Window.orderBy(ident)
+    return seed.withColumn("__rn", F.row_number().over(w_seed)).select(
+        (F.col("__rn") - 1).alias("cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, find near-duplicate
+    pairs ONLY within each cluster, group mutual near-dups into connected
+    components, and keep one canonical representative (min id) per
+    component.  The embedding-space analogue of the MinHash-LSH → verify →
+    components pipeline the text side runs (operators/dedup.py +
+    clustering.py).
+
+    Returns one row per input id: ``(id_col, cell, cluster_id, keep)`` —
+    ``cell`` the Voronoi cell, ``cluster_id`` the component canonical
+    (= own id for singletons), ``keep`` whether a dedup pass retains the
+    row.
+
+    Determinism: centroids are seeded (:func:`_seed_centroids`, no Lloyd
+    step) so a SQL oracle replays cell assignment exactly.
+
+    Scale: assignment is a broadcast of ``n_centroids`` rows over one
+    corpus scan; the quadratic is bounded per cell (cell size ≈
+    corpus/n_centroids — size n_centroids with the corpus, as SemDeDup
+    does with its 50k clusters over 5B embeddings); components run on the
+    near-dup pair graph only (operators/clustering.py pointer jumping,
+    O(log n) rounds).  Like all single-probe cluster methods, pairs
+    straddling a cell boundary are missed — the documented recall
+    tradeoff; raise n_probe-style coverage by lowering n_centroids or
+    running :func:`cosine_neardup_lsh` instead when recall dominates."""
+    from my_cudf_spark.operators.clustering import connected_components
+    from my_cudf_spark.plans.pin import lru_persist
+
+    c = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    cents = _seed_centroids(c, "__id", n_centroids)
+    # One corpus scan: assignment feeds both the pair join (twice) and the
+    # output labeling.
+    assigned = lru_persist(
+        _assign_nearest(c, cents, "__id", 1).select(
+            F.col("__id").alias(id_col), F.col("cid").alias("cell"), "__v", "__n"
+        )
+    )
+    pairs = cosine_pairs_exact(
+        assigned.select(id_col, "cell", F.col("__v").alias("vec")),
+        id_col,
+        "vec",
+        threshold,
+        block_col="cell",
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+    return assigned.join(comps, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )
+
+
 def _assign_nearest(
     vecs: DataFrame, centroids: DataFrame, ident: str, n_probe: int
 ) -> DataFrame:
@@ -338,18 +421,7 @@ def ivf_topk(
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
-    # Seeding: n_centroids smallest ids via orderBy().limit() — plans as
-    # TakeOrderedAndProject (per-partition k-row heaps, driver merges k rows),
-    # so the full corpus never funnels through one window task.  The
-    # row_number window that assigns cid then runs over the <= n_centroids-row
-    # result only.
-    seed = c.orderBy("neighbor_id").limit(n_centroids)
-    w_seed = Window.orderBy("neighbor_id")
-    cents = seed.withColumn("__rn", F.row_number().over(w_seed)).select(
-        (F.col("__rn") - 1).alias("cid"),
-        F.col("__v").alias("__cv"),
-        F.col("__n").alias("__cn"),
-    )
+    cents = _seed_centroids(c, "neighbor_id", n_centroids)
 
     for _ in range(lloyd_iterations):
         assigned = _assign_nearest(c, cents, "neighbor_id", 1)

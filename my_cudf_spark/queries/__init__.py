@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "my_cudf_spark.queries.io_queries",
     "my_cudf_spark.queries.udf_queries",
     "my_cudf_spark.queries.agg_misc_queries",
+    "my_cudf_spark.queries.cdc_queries",
     "my_cudf_spark.queries.frame_queries",
     "my_cudf_spark.queries.event_queries",
     "my_cudf_spark.queries.streaming_queries",

@@ -1,0 +1,189 @@
+"""CDC / lakehouse-maintenance correctness queries (operators/cdc.py).
+
+The change feeds are derived DETERMINISTICALLY from the fixtures (modular
+slices of ``customer`` / ``orders``), so both engines construct the exact
+same batch and the oracles replay full MERGE / changelog-compaction / SCD2
+semantics with plain SQL joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_cudf_spark.operators import cdc as C
+from my_cudf_spark.queries import register
+from my_cudf_spark.sources import load_table
+
+
+@register(
+    "cdc_merge_upsert",
+    sql="""
+    WITH src AS (
+      SELECT c_custkey AS k, c_acctbal + 100.0 AS bal, FALSE AS del
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, TRUE FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 10000000, 0.0, FALSE
+      FROM customer WHERE c_custkey % 10 = 2
+    ),
+    upd AS (
+      SELECT t.c_custkey, t.c_name,
+             CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.c_acctbal END AS c_acctbal,
+             t.c_mktsegment
+      FROM customer t LEFT JOIN src s ON t.c_custkey = s.k
+      WHERE NOT COALESCE(s.del, FALSE)
+    ),
+    ins AS (
+      SELECT s.k AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+             s.bal AS c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM src s LEFT JOIN customer t ON t.c_custkey = s.k
+      WHERE t.c_custkey IS NULL AND NOT s.del
+    )
+    SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    ORDER BY c_custkey
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO (operators/cdc.merge_upsert; the reference
+    stops at scatter/boolean-mask updates, copying.hpp:30): one batch
+    carrying updates (custkey%10==0 → acctbal+100), deletes (%10==1) and
+    inserts (%10==2 → new key, zero balance) applied to ``customer`` —
+    matched-update, matched-delete, and not-matched-insert legs in one
+    call, target payload never shuffled."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_acctbal", (F.col("c_custkey") % 10).alias("m"))
+    src = (
+        base.filter(F.col("m") == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit(False).alias("del"),
+        )
+        .unionByName(
+            base.filter(F.col("m") == 1).select(
+                "c_custkey",
+                F.lit(None).cast("double").alias("c_acctbal"),
+                F.lit(True).alias("del"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("m") == 2).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit(False).alias("del"),
+            )
+        )
+    )
+    merged = C.merge_upsert(
+        cust, src, keys=["c_custkey"], update_cols=["c_acctbal"], delete_col="del"
+    )
+    return merged.select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+@register(
+    "cdc_apply_changelog",
+    sql="""
+    WITH ch AS (
+      SELECT o_custkey AS cust, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS bal
+      FROM orders
+    ),
+    r AS (SELECT cust, op, bal,
+                 ROW_NUMBER() OVER (PARTITION BY cust
+                                    ORDER BY seq DESC, op DESC) AS rn
+          FROM ch)
+    SELECT cust, bal FROM r WHERE rn = 1 AND op <> 'D' ORDER BY cust
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (operators/cdc.apply_changelog): a
+    synthetic per-customer balance feed keyed by order (seq = orderkey,
+    every 97th order a tombstone) reduced to current state — latest event
+    per key wins, deleted keys disappear.  One keep-latest shuffle, state
+    ∝ distinct keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    return C.apply_changelog(ch, ["cust"], "seq", "op").orderBy("cust")
+
+
+@register(
+    "cdc_scd2",
+    sql="""
+    WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS segment,
+                        TIMESTAMP '1995-01-01 00:00:00' AS valid_from
+                 FROM customer),
+    ch AS (
+      SELECT c_custkey AS k, 'MIGRATED' AS segment, TIMESTAMP '2000-06-01 00:00:00' AS eff
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, TIMESTAMP '2000-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 4 = 1
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW', TIMESTAMP '2000-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 4 = 2
+    ),
+    cur AS (SELECT d.k, d.segment, d.valid_from,
+                   CASE WHEN ch.k IS NOT NULL
+                             AND ch.segment IS DISTINCT FROM d.segment
+                        THEN ch.eff END AS valid_to,
+                   NOT (ch.k IS NOT NULL
+                        AND ch.segment IS DISTINCT FROM d.segment) AS is_current
+            FROM dim d LEFT JOIN ch ON d.k = ch.k),
+    newv AS (SELECT ch.k, ch.segment, ch.eff AS valid_from,
+                    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+             FROM ch LEFT JOIN dim d ON d.k = ch.k
+             WHERE d.k IS NULL OR ch.segment IS DISTINCT FROM d.segment)
+    SELECT k AS c_custkey, segment, valid_from, valid_to, is_current
+    FROM (SELECT * FROM cur UNION ALL SELECT * FROM newv)
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension (operators/cdc.scd2_apply): a
+    segment-migration batch (every 4th customer re-segmented, every
+    4th+1 a no-op echo, every 4th+2 spawning a brand-new key) versions the
+    customer dimension — changed keys close their open version at the
+    effective date and append a new one; no-ops touch nothing.  The
+    point-in-time reproduction shape training-set lineage needs."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    m = (F.col("c_custkey") % 4).alias("m")
+    eff = F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ch = (
+        cust.filter(m == 0)
+        .select("c_custkey", F.lit("MIGRATED").alias("segment"), eff.alias("eff"))
+        .unionByName(
+            cust.filter(m == 1).select(
+                "c_custkey", F.col("c_mktsegment").alias("segment"), eff.alias("eff")
+            )
+        )
+        .unionByName(
+            cust.filter(m == 2).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("NEW").alias("segment"),
+                eff.alias("eff"),
+            )
+        )
+    )
+    out = C.scd2_apply(
+        dim, ch, keys=["c_custkey"], attr_cols=["segment"], eff_col="eff"
+    )
+    return out.select(
+        "c_custkey", "segment", "valid_from", "valid_to", "is_current"
+    ).orderBy("c_custkey", "valid_from")

@@ -163,3 +163,38 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_totalprice", F.round("sample_key", 9).alias("sample_key")
     ).orderBy("o_orderkey")
+
+
+SQL_GRP_BUCKET = "substr(md5('grp|' || source), 1, 8)"
+
+
+@register(
+    "sample_split_grouped",
+    sql=f"""
+    WITH h AS (SELECT source, {SQL_GRP_BUCKET} AS b FROM documents)
+    SELECT source,
+           CASE WHEN b < '{_threshold_hex(0.8)}' THEN 'train'
+                WHEN b < '{_threshold_hex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1, 2 ORDER BY source
+    """,
+)
+def sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: membership keyed on the GROUP
+    (``source``), not the row, so every document from one source lands in
+    the same split — the split discipline near-duplicate-heavy corpora
+    need (row-keyed splits leak near-dups of a train doc into test; cf.
+    the dedup tier in operators/dedup.py).  Pure function of the group key
+    — no RNG, stable under re-partitioning; one narrow pass + the count
+    aggregation.  The (source, split) output having exactly one split per
+    source IS the no-straddle proof the oracle hash-checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = S.assign_splits(
+        docs, ["source"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
+    )
+    return (
+        labeled.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )

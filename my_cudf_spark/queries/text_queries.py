@@ -1204,3 +1204,54 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
     return T.bm25_scores(norm, ["doc_id"], "norm", _BM25_TERMS).orderBy("doc_id")
+
+
+@register(
+    "text_vocab_build",
+    sql=f"""
+    WITH t AS (SELECT unnest(string_split({SQL_NORM}, ' ')) AS token
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT token, COUNT(*) AS n FROM t WHERE token <> '' GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tot FROM c),
+    top AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+            FROM c QUALIFY rank <= 32)
+    SELECT CAST(rank AS INT) AS rank, token, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(SUM(n) OVER (ORDER BY rank) AS DOUBLE)
+                 / (SELECT tot FROM tot), 6) AS coverage
+    FROM top ORDER BY rank
+    """,
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-vocabulary construction with cumulative corpus coverage —
+    the tokenizer-prep step before BPE learning (functions/bpe.py): top-32
+    normalized tokens by count, each with the fraction of all token
+    occurrences a vocabulary truncated at that rank would cover.  One
+    count shuffle + TakeOrderedAndProject for the top-k; the rank/cumsum
+    windows run over the 32-row result only (bounded by vocab size, never
+    corpus-global), and the corpus total rides a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode("toks").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(32)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("__cum", F.sum("n").over(w))
+        .join(F.broadcast(total), F.lit(True), "left")
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("__cum").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("rank")
+    )

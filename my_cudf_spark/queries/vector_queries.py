@@ -221,3 +221,48 @@ def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos", 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "vec_semantic_dedup",
+    sql="""
+    WITH RECURSIVE
+    n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+          FROM embeddings),
+    cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nn AS cn
+              FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id, n.v, n.nn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, nn, cid FROM ca WHERE pr = 1),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.4),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+        SELECT vec_id, vec_id FROM cells
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    )
+    SELECT c.vec_id, CAST(c.cid AS INT) AS cell, MIN(reach.r) AS cluster_id,
+           (c.vec_id = MIN(reach.r)) AS keep
+    FROM cells c JOIN reach ON reach.id = c.vec_id
+    GROUP BY c.vec_id, c.cid ORDER BY c.vec_id
+    """,
+)
+def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup; Abbas et
+    al. 2023): 16 seeded Voronoi cells bound the pairwise cosine search,
+    within-cell near-dups (cos ≥ 0.4) group into connected components,
+    min-id per component is the kept canonical.  The embedding-space twin
+    of dedup_clusters — cluster-bounded pairs, never all-pairs; the
+    DuckDB oracle replays cells + pairs and closes components with a
+    recursive CTE."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    out = S.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4, n_centroids=16)
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "cluster_id", "keep"
+    ).orderBy("vec_id")

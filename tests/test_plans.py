@@ -443,3 +443,44 @@ def test_ntile_qcut_no_global_window(spark):
     df = _df(spark, "window_ntile_qcut")
     for sub in P.global_window_subtrees(df):
         assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
+
+
+def test_merge_upsert_no_full_outer_no_cartesian(spark):
+    # MERGE must plan as the scale shape: matched leg = left join (source
+    # side broadcastable), insert leg = null-safe anti-join against the
+    # target's key projection — never a full-outer join of target payload,
+    # never a cartesian
+    df = _df(spark, "cdc_merge_upsert")
+    plan = P.physical_plan(df)
+    assert "FullOuter" not in plan, plan
+    assert "LeftAnti" in plan or "AntiJoin" in plan, plan
+    assert not P.has_cartesian(df)
+
+
+def test_scd2_touches_current_slice_only(spark):
+    # history rows ride a union leg; the change joins hit the filtered
+    # current slice (is_current pushdown visible as a Filter before any
+    # join); no cartesian
+    df = _df(spark, "cdc_scd2")
+    assert not P.has_cartesian(df)
+    plan = P.physical_plan(df)
+    assert "Union" in plan, plan
+
+
+def test_vocab_build_windows_bounded_by_limit(spark):
+    # rank/cumsum windows must run over the top-32 TakeOrderedAndProject
+    # result, never a corpus-global sort
+    df = _df(spark, "text_vocab_build")
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not P.has_cartesian(df)
+
+
+def test_semantic_dedup_cell_blocked_pairs(spark):
+    # the pairwise cosine join must carry the cell equi-key (never an
+    # unblocked id_a < id_b nested loop over the corpus); centroid
+    # assignment is the only (broadcast-tiny) nested loop allowed
+    df = _df(spark, "vec_semantic_dedup")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan

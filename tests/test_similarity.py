@@ -118,3 +118,43 @@ def test_filtered_topk_respects_metadata(spark):
     ).collect()
     assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (3, 2)]
     assert all(r["label"] == "a" for r in out)
+
+
+def test_semantic_dedup_planted_dups(spark):
+    """Planted near-identical vectors collapse to the min-id canonical;
+    distinct vectors stay singleton keeps."""
+    rows = [
+        # ids 0,1 seed the two cells (min-id seeding); dups planted at
+        # higher ids so they land in the seeds' cells
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),       # singleton (y-cell, below threshold)
+        (10, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (11, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 0 and 10
+        (12, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in S.semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                                  n_centroids=2).collect()
+    }
+    assert out[0] == (0, True) and out[10] == (0, False) and out[11] == (0, False)
+    assert out[1] == (1, True) and out[12] == (1, False)
+    assert out[4] == (4, True)
+
+
+def test_semantic_dedup_keep_partition_contract(spark):
+    """Exactly one keep per cluster; every row labeled; clusters never
+    straddle a cell (pairs are cell-blocked by construction)."""
+    emb = _emb(spark)
+    out = S.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4).cache()
+    n = out.count()
+    assert n == emb.count()
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+    bad = per_cluster.filter((F.col("n_keep") != 1) | (F.col("n_cells") != 1)).count()
+    assert bad == 0
+    out.unpersist()
