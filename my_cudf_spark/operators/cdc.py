@@ -21,8 +21,8 @@ Scale shapes (the reason these are NOT a full-outer join of everything):
   CDC batches are small next to a 100 TB target), inserts from an
   anti-join of the batch against the target's NARROW key projection
   (shuffle ∝ batch + key column, never target payload).  With the target
-  laid out bucketed on the keys (sources/io.write_bucketed / the
-  join_bucketed demo) even the key-projection exchange disappears.
+  laid out bucketed on the keys (``bucketBy`` layout — the
+  join_bucketed demo in queries/relational.py) even the key-projection exchange disappears.
 - ``apply_changelog`` is one hash shuffle of the changelog (row_number
   per key) — state size ∝ distinct keys, the same shape as streaming
   dedup.

@@ -433,3 +433,58 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "rank", "event_type", "n", "n_seen")
         .orderBy("user_id", "rank")
     )
+
+
+@register(
+    "stream_cdc_replay",
+    sql="""
+    WITH ch AS (
+      SELECT o_custkey AS cust, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS bal
+      FROM orders
+    ),
+    r AS (SELECT cust, seq, op, bal,
+                 ROW_NUMBER() OVER (PARTITION BY cust
+                                    ORDER BY seq DESC, op DESC) AS rn
+          FROM ch)
+    SELECT cust, seq, (op = 'D') AS is_deleted, bal
+    FROM r WHERE rn = 1 ORDER BY cust
+    """,
+)
+def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction (stateful.latest_state — the stream twin
+    of operators/cdc.apply_changelog): the synthetic per-customer balance
+    changelog of cdc_apply_changelog replayed as 4 micro-batches; per-key
+    state is ONE (seq, op, value) tuple — max-seq wins across batch
+    boundaries, arrival-order independent — and the final snapshot carries
+    tombstones as ``is_deleted`` so a downstream MERGE sink
+    (cdc.merge_upsert, delete_col="is_deleted") can apply upserts and
+    deletes alike.  State O(distinct keys), same bound as streaming
+    dedup."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.sources import replay_table
+    from my_cudf_spark.streaming.stateful import latest_state
+
+    stream, work_dir = replay_table(spark, sf_dir, "orders", "o_orderkey")
+    ch = stream.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    updates = _drain(
+        latest_state(ch, ["cust"], "seq", "op", ["bal"]),
+        "cdc",
+        work_dir,
+        output_mode="update",
+    )
+    # final snapshot per key = the update with the highest seq
+    w = Window.partitionBy("cust").orderBy(F.desc("seq"))
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cust", "seq", "is_deleted", "bal")
+        .orderBy("cust")
+    )

@@ -142,3 +142,30 @@ def replay_documents(
         .parquet(data_dir)
     )
     return stream, out_dir
+
+
+def replay_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    chunk_key: str,
+    num_chunks: int = 4,
+    max_files_per_trigger: int = 1,
+    work_dir: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Replay ANY fixture table as a bounded file stream (the general form
+    of :func:`replay_events` / :func:`replay_documents`): ``num_chunks``
+    key-ranged parquet files opened with ``readStream`` at one file per
+    micro-batch.  Returns (stream_df, dir); the caller owns cleanup."""
+    batch = load_table(spark, sf_dir, table)
+    out_dir = work_dir or tempfile.mkdtemp(prefix=f"{table}_stream_")
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.exists(data_dir):
+        shutil.rmtree(data_dir)
+    batch.repartitionByRange(num_chunks, chunk_key).write.parquet(data_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(data_dir)
+    )
+    return stream, out_dir

@@ -220,3 +220,90 @@ def heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    value_cols: Sequence[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Streaming CDC compaction — the stream twin of
+    :func:`my_cudf_spark.operators.cdc.apply_changelog`: per-key state is
+    the single (seq, op, values) tuple with the highest sequence seen so
+    far (ties by ``op_col`` descending, same contract as the batch
+    operator); each micro-batch emits the keys it touched with their
+    current state and an ``is_deleted`` flag, so a downstream MERGE sink
+    (cdc.merge_upsert with ``delete_col="is_deleted"``) applies upserts
+    and tombstones alike.  Arrival-order independent by construction —
+    max-seq wins whatever the micro-batch boundaries.
+
+    Batch frames take the exact keep-latest row_number twin with the SAME
+    output schema (keys, seq, is_deleted, values) — the oracle for the
+    stream's final snapshot.
+
+    Scale: state is one tuple per key — O(distinct keys), the same bound
+    as streaming dedup; the per-batch shuffle carries raw change rows
+    once."""
+    keys = list(keys)
+    value_cols = list(value_cols)
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc(op_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *keys,
+                seq_col,
+                (F.col(op_col) == delete_op).alias("is_deleted"),
+                *value_cols,
+            )
+        )
+
+    typ = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{k} {typ[k]}" for k in keys)
+    val_fields = ", ".join(f"{c} {typ[c]}" for c in value_cols)
+    out_schema = f"{key_fields}, {seq_col} {typ[seq_col]}, is_deleted boolean"
+    state_schema = f"seq {typ[seq_col]}, op {typ[op_col]}"
+    if value_cols:
+        out_schema += f", {val_fields}"
+        state_schema += f", {val_fields}"
+
+    def _native(v):
+        return v.item() if hasattr(v, "item") else v
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            top = pdf.sort_values([seq_col, op_col], ascending=False).iloc[0]
+            cand = tuple(
+                _native(top[c]) for c in [seq_col, op_col, *value_cols]
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            [
+                dict(zip(keys, key))
+                | {seq_col: best[0], "is_deleted": best[1] == delete_op}
+                | dict(zip(value_cols, best[2:]))
+            ]
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -273,6 +273,75 @@ def test_heavy_hitters_native_item_dtype_and_null_batch(spark):
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
+def test_latest_state_stream_equals_batch(spark):
+    """Streaming CDC compaction (latest_state): the final per-key snapshot
+    across micro-batches equals the batch keep-latest twin, tombstones
+    included — arrival-order independence of max-seq state."""
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import latest_state
+
+    work_dir = tempfile.mkdtemp(prefix="cdc_stream_")
+    try:
+        # seq arrives OUT of order across chunks: k=1's latest (seq 9)
+        # lands in chunk 0, its stale seq 5 in chunk 1
+        chunks = [
+            {"k": [1, 2], "seq": [9, 1], "op": ["U", "U"], "v": [90.0, 10.0]},
+            {"k": [1, 2, 3], "seq": [5, 2, 7], "op": ["U", "D", "U"],
+             "v": [50.0, None, 70.0]},
+        ]
+        now = time.time()
+        for i, c in enumerate(chunks):
+            fp = os.path.join(work_dir, f"chunk{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(c["k"], pa.int64()),
+                        "seq": pa.array(c["seq"], pa.int64()),
+                        "op": pa.array(c["op"], pa.string()),
+                        "v": pa.array(c["v"], pa.float64()),
+                    }
+                ),
+                fp,
+            )
+            os.utime(fp, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("k long, seq long, op string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        drained = S.run_to_memory(
+            latest_state(stream, ["k"], "seq", "op", ["v"]),
+            "cdc_eq",
+            output_mode="update",
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("seq"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch_df = spark.createDataFrame(
+            [(1, 9, "U", 90.0), (1, 5, "U", 50.0), (2, 1, "U", 10.0),
+             (2, 2, "D", None), (3, 7, "U", 70.0)],
+            "k long, seq long, op string, v double",
+        )
+        batch = latest_state(batch_df, ["k"], "seq", "op", ["v"])
+        assert _rows(final, "k") == _rows(batch, "k")
+        assert _rows(final, "k") == [
+            (1, 9, False, 90.0),
+            (2, 2, True, None),
+            (3, 7, False, 70.0),
+        ]
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def test_heavy_hitters_validates_args(spark):
     from my_cudf_spark.streaming.stateful import heavy_hitters
 
