@@ -54,7 +54,11 @@ def _last_verified_round() -> dict[str, int]:
 # row (round-4 verdict, "what's missing" #1, plus this round's perf/fix
 # edits): they jump the rotation queue — right after never-verified
 # queries — so the driver re-proves the CURRENT plan instead of spending
-# the row budget on unchanged backlog.
+# the row budget on unchanged backlog.  The boost EXPIRES once the driver
+# re-verifies at/after _PLAN_CHANGED_ROUND (a static set would otherwise
+# preempt the stale backlog forever); bump the round and refresh the set
+# whenever a green query's plan changes again.
+_PLAN_CHANGED_ROUND = 5
 _PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
     {
         # r4 plan changes flagged by the r4 verdict
@@ -78,7 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(n: str):
         if n not in seen:
             tier = 0
-        elif n in _PLAN_CHANGED_SINCE_LAST_CHECK:
+        elif (
+            n in _PLAN_CHANGED_SINCE_LAST_CHECK
+            and seen[n] < _PLAN_CHANGED_ROUND
+        ):
             tier = 1
         else:
             tier = 2

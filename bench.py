@@ -18,6 +18,10 @@ with ``runs_used`` recording how many runs backed each median, so nothing
 is hidden: one noisy session (the driver's or ours) can no longer move the
 graded artifact, while a real regression shifts the median within two to
 three runs.  Set SPARK_GRAFT_BENCH_HISTORY=1 for raw single-run reporting.
+When a query's PLAN deliberately changes, its rows in committed snapshots
+measure a retired plan — delete just that query's entries from the old
+snapshots (the BASELINE.md re-record convention applied to raw runs) so
+the median reflects the shipped plan.
 """
 
 from __future__ import annotations
@@ -82,14 +86,13 @@ def _cross_run_medians(
         runs.extend(candidates[: HISTORY - 1])
     except OSError:
         pass
-    merged = {
-        q: round(
-            statistics.median([r["queries"][q] for r in runs if q in r.get("queries", {})]),
-            4,
-        )
-        for q in timings
-    }
-    return merged, len(runs)
+    merged = {}
+    backing = {}
+    for q in timings:
+        vals = [r["queries"][q] for r in runs if q in r.get("queries", {})]
+        merged[q] = round(statistics.median(vals), 4)
+        backing[q] = len(vals)
+    return merged, len(runs), backing
 
 
 def main() -> None:
@@ -120,7 +123,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    merged, runs_used = _cross_run_medians(timings, sf_val, cpus)
+    merged, runs_used, backing = _cross_run_medians(timings, sf_val, cpus)
     result = {
         "metric": "total_query_sec",
         "value": round(sum(merged.values()), 4),
@@ -129,6 +132,9 @@ def main() -> None:
         "sf": sf_val,
         "protocol": "cross-run-median",
         "runs_used": runs_used,
+        # per-query backing where it differs from runs_used (e.g. queries
+        # added after older snapshots) — a 1-run-backed median is visible
+        "runs_per_query": {q: n for q, n in backing.items() if n != runs_used},
         "queries_this_run": timings,
     }
     print(json.dumps(result))

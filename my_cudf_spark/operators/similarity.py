@@ -189,6 +189,7 @@ def cosine_pairs_exact(
     vec_col: str,
     threshold: float,
     block_col: str | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, exactly: all unordered (id_a, id_b)
     with cosine ≥ threshold.  O(n²/|blocks|) — the correctness baseline for
@@ -196,17 +197,20 @@ def cosine_pairs_exact(
     lsh_topk.  ``block_col`` is an equi-join blocking key (e.g. a class
     label or cluster id) that both bounds the quadratic and gives the join
     a hash-partitionable condition; without it the comparison is a
-    broadcast nested-loop over ``id_a < id_b``."""
+    broadcast nested-loop over ``id_a < id_b``.  ``norm_col`` names an
+    already-computed L2 norm column (e.g. from a persisted assignment
+    frame) so the per-row norm fold is not re-evaluated."""
     # Precompute the scalar norm ONCE PER ROW so each of the O(n²) pairs
     # costs a single array traversal (the dot) plus one multiply/divide —
     # and the expression tree dot/(norm_a·norm_b) stays bit-identical to
     # the differential oracle's (pre-normalizing the vectors instead would
     # reorder the float ops and drift in the last ulps).
+    norm = F.col(norm_col) if norm_col is not None else l2_norm(F.col(vec_col))
     side = df.select(
         F.col(id_col).alias("__id"),
         *([F.col(block_col).alias("__blk")] if block_col is not None else []),
         F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        norm.alias("__n"),
     )
     cond = F.col("id_a") < F.col("id_b")
     a = side.select(
@@ -356,11 +360,14 @@ def semantic_dedup(
         )
     )
     pairs = cosine_pairs_exact(
-        assigned.select(id_col, "cell", F.col("__v").alias("vec")),
+        assigned.select(
+            id_col, "cell", F.col("__v").alias("vec"), F.col("__n").alias("vn")
+        ),
         id_col,
         "vec",
         threshold,
         block_col="cell",
+        norm_col="vn",
     )
     comps = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias(id_col), "cluster_id"

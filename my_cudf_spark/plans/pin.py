@@ -23,7 +23,13 @@ from pyspark.storagelevel import StorageLevel
 __all__ = ["lru_persist", "release_persisted"]
 
 _CACHE: OrderedDict[int, DataFrame] = OrderedDict()
-_CACHE_CAP = 6
+# Sized for the largest COMPOSED pipeline stage, not one query: a curation
+# stage can hold 2 token projections (bm25 + LM) + 4 gram frames (dedup
+# pair builders) + a semantic-dedup assignment at once; eviction before a
+# frame's consumers run silently reverts it to multi-scan (correct but the
+# exact regression the r4 verdict flagged).  MEMORY_AND_DISK spills, so
+# the cap bounds executor-storage entries, not heap.
+_CACHE_CAP = 12
 
 
 def lru_persist(df: DataFrame) -> DataFrame:

@@ -165,7 +165,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-SQL_GRP_BUCKET = "substr(md5('grp|' || source), 1, 8)"
+# COALESCE on both sides: Spark's concat_ws SKIPS a NULL source (hashing
+# 'grp') while DuckDB's || would yield NULL and fall to the ELSE branch —
+# an explicit empty-string contract keeps the engines aligned if a future
+# fixture regeneration introduces NULL sources.
+SQL_GRP_BUCKET = "substr(md5('grp|' || COALESCE(source, '')), 1, 8)"
 
 
 @register(
@@ -191,7 +195,10 @@ def sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     source IS the no-straddle proof the oracle hash-checks."""
     docs = load_table(spark, sf_dir, "documents")
     labeled = S.assign_splits(
-        docs, ["source"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
+        docs,
+        [F.coalesce(F.col("source"), F.lit(""))],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="grp",
     )
     return (
         labeled.groupBy("source", "split")

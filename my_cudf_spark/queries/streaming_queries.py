@@ -474,8 +474,12 @@ def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 97 == 0, "D").otherwise("U").alias("op"),
         F.col("o_totalprice").alias("bal"),
     )
+    # buckets=64: state keyed on hash(cust)%64 → 64 vectorized Python
+    # invocations per micro-batch instead of one per customer (~15k at
+    # sf0.1 — the per-key path's invocation overhead dominated wall-clock
+    # 5× and is dead at real key cardinalities)
     updates = _drain(
-        latest_state(ch, ["cust"], "seq", "op", ["bal"]),
+        latest_state(ch, ["cust"], "seq", "op", ["bal"], buckets=64),
         "cdc",
         work_dir,
         output_mode="update",

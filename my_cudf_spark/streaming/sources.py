@@ -32,33 +32,21 @@ def replay_events(
     max_files_per_trigger: int = 1,
     work_dir: str | None = None,
 ) -> tuple[DataFrame, str]:
-    """Replay the ``events`` fixture as a bounded file stream.
-
-    Splits the fixture into ``num_chunks`` parquet files (micro-batch
-    boundaries) under a temp dir and opens them with ``readStream`` at
-    ``maxFilesPerTrigger`` files per batch.  Returns (stream_df, dir) — the
-    caller owns cleanup of the dir.
-
-    The ns→µs timestamp normalization happens in :func:`load_table` before
-    the write, so the streamed schema equals the batch schema.
-    """
-    # Watermarks require TimestampType (tz-aware); session tz is pinned UTC
-    # so this cast is an identity on the wall-clock value.
-    batch = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    """Replay the ``events`` fixture as a bounded file stream
+    (:func:`replay_table` on ``event_id`` ranges, with the ts cast
+    watermarks need: TimestampType is tz-aware and the session tz is
+    pinned UTC, so the cast is an identity on the wall-clock value; the
+    ns→µs normalization happens in ``load_table`` before the write)."""
+    return replay_table(
+        spark,
+        sf_dir,
+        "events",
+        "event_id",
+        num_chunks=num_chunks,
+        max_files_per_trigger=max_files_per_trigger,
+        work_dir=work_dir,
+        transform=lambda df: df.withColumn("ts", F.col("ts").cast("timestamp")),
     )
-    out_dir = work_dir or tempfile.mkdtemp(prefix="events_stream_")
-    data_dir = os.path.join(out_dir, "data")
-    if os.path.exists(data_dir):
-        shutil.rmtree(data_dir)
-    # Chunk on a stable key so replay order is deterministic per file.
-    batch.repartitionByRange(num_chunks, "event_id").write.parquet(data_dir)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(data_dir)
-    )
-    return stream, out_dir
 
 
 def kafka_batch_read(
@@ -130,18 +118,15 @@ def replay_documents(
     harness shape as :func:`replay_events`): ``num_chunks`` doc_id-ranged
     parquet files opened with ``readStream`` at one file per micro-batch —
     the corpus-as-it-arrives view a streaming curation pipeline consumes."""
-    batch = load_table(spark, sf_dir, "documents")
-    out_dir = work_dir or tempfile.mkdtemp(prefix="documents_stream_")
-    data_dir = os.path.join(out_dir, "data")
-    if os.path.exists(data_dir):
-        shutil.rmtree(data_dir)
-    batch.repartitionByRange(num_chunks, "doc_id").write.parquet(data_dir)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(data_dir)
+    return replay_table(
+        spark,
+        sf_dir,
+        "documents",
+        "doc_id",
+        num_chunks=num_chunks,
+        max_files_per_trigger=max_files_per_trigger,
+        work_dir=work_dir,
     )
-    return stream, out_dir
 
 
 def replay_table(
@@ -152,12 +137,19 @@ def replay_table(
     num_chunks: int = 4,
     max_files_per_trigger: int = 1,
     work_dir: str | None = None,
+    transform=None,
 ) -> tuple[DataFrame, str]:
-    """Replay ANY fixture table as a bounded file stream (the general form
-    of :func:`replay_events` / :func:`replay_documents`): ``num_chunks``
-    key-ranged parquet files opened with ``readStream`` at one file per
-    micro-batch.  Returns (stream_df, dir); the caller owns cleanup."""
+    """Replay ANY fixture table as a bounded file stream — the single
+    replay harness (:func:`replay_events` / :func:`replay_documents`
+    delegate here): ``num_chunks`` key-ranged parquet files (micro-batch
+    boundaries; chunking on a stable key makes replay order deterministic
+    per file) opened with ``readStream`` at ``max_files_per_trigger``
+    files per batch.  ``transform`` (DataFrame → DataFrame) applies before
+    the chunked write so the streamed schema equals the batch schema.
+    Returns (stream_df, dir); the caller owns cleanup of the dir."""
     batch = load_table(spark, sf_dir, table)
+    if transform is not None:
+        batch = transform(batch)
     out_dir = work_dir or tempfile.mkdtemp(prefix=f"{table}_stream_")
     data_dir = os.path.join(out_dir, "data")
     if os.path.exists(data_dir):

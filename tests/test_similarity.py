@@ -128,7 +128,9 @@ def test_semantic_dedup_planted_dups(spark):
         # higher ids so they land in the seeds' cells
         (0, [1.0, 0.0, 0.0, 0.0]),
         (1, [0.0, 1.0, 0.0, 0.0]),
-        (4, [0.0, 0.0, 1.0, 0.0]),       # singleton (y-cell, below threshold)
+        (4, [0.0, 0.0, 1.0, 0.0]),       # singleton: cos 0 to BOTH seeds
+                                         # (tie → cell 0), below threshold
+                                         # everywhere either way
         (10, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
         (11, [0.998, 0.02, 0.0, 0.0]),   # near-dup of 0 and 10
         (12, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 1

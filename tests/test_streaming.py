@@ -338,6 +338,24 @@ def test_latest_state_stream_equals_batch(spark):
             (2, 2, True, None),
             (3, 7, False, 70.0),
         ]
+        # bucketed mode (the high-cardinality path): same final snapshot,
+        # including keys that collide into one bucket
+        stream2 = (
+            spark.readStream.schema("k long, seq long, op string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        drained2 = S.run_to_memory(
+            latest_state(stream2, ["k"], "seq", "op", ["v"], buckets=2),
+            "cdc_eq_b",
+            output_mode="update",
+        )
+        final2 = (
+            drained2.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        assert _rows(final2, "k") == _rows(batch, "k")
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
 
