@@ -492,3 +492,79 @@ def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust", "seq", "is_deleted", "bal")
         .orderBy("cust")
     )
+
+
+@register(
+    "stream_cdc_merge_replay",
+    sql="""
+    WITH ch AS (
+      SELECT o_custkey AS cust, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS bal
+      FROM orders
+    ),
+    r AS (SELECT cust, seq, op, bal,
+                 ROW_NUMBER() OVER (PARTITION BY cust
+                                    ORDER BY seq DESC, op DESC) AS rn
+          FROM ch),
+    snap AS (SELECT cust, (op = 'D') AS del, bal FROM r WHERE rn = 1),
+    upd AS (SELECT t.c_custkey, t.c_name,
+                   CASE WHEN s.cust IS NOT NULL THEN s.bal
+                        ELSE t.c_acctbal END AS c_acctbal
+            FROM customer t LEFT JOIN snap s ON t.c_custkey = s.cust
+            WHERE NOT COALESCE(s.del, FALSE)),
+    ins AS (SELECT s.cust AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+                   s.bal AS c_acctbal
+            FROM snap s LEFT JOIN customer t ON t.c_custkey = s.cust
+            WHERE t.c_custkey IS NULL AND NOT s.del)
+    SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    ORDER BY c_custkey
+    """,
+)
+def stream_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming lakehouse apply: the orders changelog replayed
+    as micro-batches → bucketed keep-latest compaction
+    (stateful.latest_state) → final snapshot MERGEd into the ``customer``
+    dimension (cdc.merge_upsert, tombstones as deletes) — the
+    stream-ingest-to-governed-table shape every CDC pipeline ends in,
+    composed entirely from this repo's operators.  The oracle replays
+    compaction + MERGE in SQL; the target payload is still never
+    shuffled (the MERGE legs join the batch-sized snapshot)."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.operators.cdc import merge_upsert
+    from my_cudf_spark.sources import load_table as _lt
+    from my_cudf_spark.streaming.sources import replay_table
+    from my_cudf_spark.streaming.stateful import latest_state
+
+    stream, work_dir = replay_table(spark, sf_dir, "orders", "o_orderkey")
+    ch = stream.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    updates = _drain(
+        latest_state(ch, ["cust"], "seq", "op", ["bal"], buckets=64),
+        "cdcm",
+        work_dir,
+        output_mode="update",
+    )
+    w = Window.partitionBy("cust").orderBy(F.desc("seq"))
+    snap = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("cust").alias("c_custkey"),
+            F.col("bal").alias("c_acctbal"),
+            "is_deleted",
+        )
+    )
+    merged = merge_upsert(
+        _lt(spark, sf_dir, "customer"),
+        snap,
+        keys=["c_custkey"],
+        update_cols=["c_acctbal"],
+        delete_col="is_deleted",
+    )
+    return merged.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")

@@ -126,3 +126,89 @@ def test_scd2_apply_result_is_valid_scd2(spark):
     )
     # exactly one open, unclosed version per key
     assert all(r["n_open"] == 1 and r["n_unclosed"] == 1 for r in per_key.collect())
+
+
+def _merge_reference(target_rows, source_rows, update_cols):
+    """Pure-python MERGE semantics (null-safe keys, single-key k)."""
+    src = {r["k"]: r for r in source_rows}
+    out = []
+    for t in target_rows:
+        s = src.get(t["k"])
+        if s is None:
+            out.append(dict(t))
+        elif s["del"]:
+            continue
+        else:
+            merged = dict(t)
+            for c in update_cols:
+                merged[c] = s[c]
+            out.append(merged)
+    tkeys = {t["k"] for t in target_rows}
+    for s in source_rows:
+        if s["k"] not in tkeys and not s["del"]:
+            out.append({"k": s["k"], "name": None, "bal": s["bal"]})
+    return out
+
+
+def test_merge_upsert_randomized_vs_reference(spark):
+    """Seeded randomized scenarios (overlapping keys, NULL key, NULL
+    values, delete-of-absent) against a pure-python MERGE reference."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        tkeys = rng.sample(range(20), 12) + [None]
+        target_rows = [
+            {"k": k, "name": f"n{k}", "bal": rng.choice([None, float(rng.randint(0, 99))])}
+            for k in tkeys
+        ]
+        skeys = rng.sample(range(30), 10) + [None]
+        source_rows = [
+            {
+                "k": k,
+                "bal": rng.choice([None, float(rng.randint(100, 199))]),
+                "del": rng.random() < 0.3,
+            }
+            for k in skeys
+        ]
+        target = spark.createDataFrame(
+            [(r["k"], r["name"], r["bal"]) for r in target_rows],
+            "k long, name string, bal double",
+        )
+        source = spark.createDataFrame(
+            [(r["k"], r["bal"], r["del"]) for r in source_rows],
+            "k long, bal double, del boolean",
+        )
+        got = sorted(
+            [tuple(r) for r in C.merge_upsert(target, source, ["k"], delete_col="del").collect()],
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        want = sorted(
+            [(r["k"], r["name"], r["bal"]) for r in _merge_reference(target_rows, source_rows, ["bal"])],
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        assert got == want, f"seed {seed}"
+
+
+def test_apply_changelog_randomized_vs_reference(spark):
+    """Seeded randomized changelogs (key reuse, deletes, interleaved seqs)
+    against a pure-python latest-wins reference."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(2000 + seed)
+        rows = []
+        seqs = rng.sample(range(1000), 40)
+        for i, s in enumerate(seqs):
+            rows.append(
+                (rng.randint(0, 9), s, "D" if rng.random() < 0.25 else "U",
+                 float(rng.randint(0, 999)))
+            )
+        ch = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+        got = sorted(tuple(r) for r in C.apply_changelog(ch, ["k"], "seq", "op").collect())
+        best = {}
+        for k, s, op, v in rows:
+            if k not in best or s > best[k][0]:
+                best[k] = (s, op, v)
+        want = sorted((k, v) for k, (s, op, v) in best.items() if op != "D")
+        assert got == want, f"seed {seed}"
