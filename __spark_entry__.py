@@ -64,8 +64,10 @@ _PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
         # r4 plan changes flagged by the r4 verdict
         "window_ntile_qcut", "frame_describe", "text_bpe_learn",
         "frame_hconcat_rowindex", "pack_documents", "sample_epoch_shuffle",
-        # r5 edits: token-projection persist, snapshot dedup, spacing guard
+        # r5 edits: token-projection persist, snapshot dedup, spacing
+        # guard, bucketed stateful ops
         "text_lm_score", "text_bm25", "stream_topk_replay",
+        "stream_running_totals",
     }
 )
 

@@ -115,7 +115,10 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates chunk sums in replay order vs the oracle's single pass —
     ROUND(_, 4) absorbs the last-ulp difference."""
     stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
-    totals = running_totals(stream, ["user_id"], "value")
+    # buckets=64: one vectorized state update per bucket per micro-batch
+    # instead of one Python call per user (the high-cardinality lever,
+    # same pattern as stream_cdc_replay)
+    totals = running_totals(stream, ["user_id"], "value", buckets=64)
     updates = _drain(totals, "running", work_dir, output_mode="update")
     return (
         updates.groupBy("user_id")
@@ -418,7 +421,11 @@ def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_cudf_spark.streaming.stateful import heavy_hitters
 
     stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
-    tops = heavy_hitters(stream, ["user_id"], "event_type", k=3, capacity=16)
+    # buckets=64: per-bucket vectorized Space-Saving merges (per-key merge
+    # order unchanged → summary still deterministic)
+    tops = heavy_hitters(
+        stream, ["user_id"], "event_type", k=3, capacity=16, buckets=64
+    )
     updates = _drain(tops, "topk", work_dir, output_mode="update")
     # Latest snapshot per (user, rank) via row_number, NOT n_seen == max:
     # two updates can tie on n_seen (e.g. a later micro-batch whose rows

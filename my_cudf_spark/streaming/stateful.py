@@ -37,14 +37,22 @@ def running_totals(
     df: DataFrame,
     keys: Sequence[str],
     value_col: str,
+    buckets: int | None = None,
 ) -> DataFrame:
-    """Per-key running (n_events, sum_value), updated each micro-batch."""
+    """Per-key running (n_events, sum_value), updated each micro-batch.
+
+    ``buckets``: key the state store on ``hash(keys) % buckets`` instead
+    of the raw key — one vectorized Python invocation per bucket per
+    batch instead of one per key (the high-cardinality lever; see
+    latest_state).  Same output and oracle."""
     keys = list(keys)
     if not df.isStreaming:
         return df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(value_col).alias("sum_value"),
         )
+    if buckets is not None:
+        return _running_totals_bucketed(df, keys, value_col, buckets)
 
     key_fields = ", ".join(f"{k} {df.schema[k].dataType.simpleString()}" for k in keys)
     out_schema = f"{key_fields}, n_events bigint, sum_value double"
@@ -103,6 +111,7 @@ def heavy_hitters(
     item_col: str,
     k: int,
     capacity: int = 64,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Per-key top-``k`` most frequent ``item_col`` values.
 
@@ -128,7 +137,11 @@ def heavy_hitters(
 
     Scale: state is O(keys × capacity) regardless of stream length; the
     per-batch shuffle carries raw rows once (the groupBy), and emitted
-    rows are k per touched key per batch."""
+    rows are k per touched key per batch.  ``buckets`` keys the state
+    store on ``hash(keys) % buckets`` — one Python invocation per bucket
+    per batch instead of one per key (the high-cardinality lever; the
+    per-key Space-Saving merge order is unchanged, so the summary stays
+    deterministic)."""
     keys = list(keys)
     if k < 1 or capacity < k:
         raise ValueError("require 1 <= k <= capacity")
@@ -153,6 +166,9 @@ def heavy_hitters(
                 F.col("n_seen").cast("long"),
             )
         )
+
+    if buckets is not None:
+        return _heavy_hitters_bucketed(df, keys, item_col, k, capacity, buckets)
 
     key_fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in keys)
     # The item column keeps its NATIVE dtype in both output and state
@@ -373,6 +389,182 @@ def _latest_state_bucketed(
         yield out[[*keys, seq_col, "is_deleted", *value_cols]]
 
     bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(buckets))
+    return (
+        df.withColumn("__bkt", bucket)
+        .groupBy("__bkt")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _running_totals_bucketed(
+    df: DataFrame, keys: list[str], value_col: str, buckets: int
+) -> DataFrame:
+    """Bucketed running totals: state = the bucket's per-key (n, s) rows
+    as parallel arrays; one vectorized pandas reduce per bucket."""
+    if buckets < 1:
+        raise ValueError("buckets must be positive")
+    typ = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{k} {typ[k]}" for k in keys)
+    out_schema = f"{key_fields}, n_events bigint, sum_value double"
+    state_schema = (
+        ", ".join(f"k{i} array<{typ[k]}>" for i, k in enumerate(keys))
+        + ", n array<bigint>, s array<double>"
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            arrays = state.get
+            cur = pd.DataFrame(
+                {
+                    **{k: arrays[i] for i, k in enumerate(keys)},
+                    "n_events": arrays[len(keys)],
+                    "sum_value": arrays[len(keys) + 1],
+                }
+            )
+        else:
+            cur = pd.DataFrame(columns=[*keys, "n_events", "sum_value"])
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if not batch:
+            yield pd.DataFrame(columns=[*keys, "n_events", "sum_value"])
+            return
+        b = pd.concat(batch, ignore_index=True)
+        delta = (
+            b.groupby(keys, dropna=False)[value_col]
+            .agg(n_events="size", sum_value=lambda v: float(v.dropna().sum()))
+            .reset_index()
+        )
+        merged = (
+            pd.concat([cur, delta], ignore_index=True)
+            .groupby(keys, dropna=False)[["n_events", "sum_value"]]
+            .sum()
+            .reset_index()
+        )
+        state.update(
+            tuple(
+                merged[c].tolist()
+                for c in [*keys, "n_events", "sum_value"]
+            )
+        )
+        touched = delta[keys].drop_duplicates()
+        out = merged.merge(touched, on=keys)
+        out["n_events"] = out["n_events"].astype("int64")
+        yield out[[*keys, "n_events", "sum_value"]]
+
+    bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(buckets))
+    return (
+        df.withColumn("__bkt", bucket)
+        .groupBy("__bkt")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _heavy_hitters_bucketed(
+    df: DataFrame,
+    keys: list[str],
+    item_col: str,
+    k: int,
+    capacity: int,
+    buckets: int,
+) -> DataFrame:
+    """Bucketed Space-Saving top-k: the bucket's per-key summaries ride as
+    EXPLODED parallel arrays (key…, item, count, err) plus a per-key seen
+    array; the per-key merge logic (_space_saving_merge) is unchanged, so
+    the summary — and the emitted rows — stay deterministic."""
+    if buckets < 1:
+        raise ValueError("buckets must be positive")
+    typ = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{c} {typ[c]}" for c in keys)
+    item_type = typ[item_col]
+    out_schema = (
+        f"{key_fields}, rank int, {item_col} {item_type}, n bigint, n_seen bigint"
+    )
+    state_schema = (
+        ", ".join(f"sk{i} array<{typ[c]}>" for i, c in enumerate(keys))
+        + f", sit array<{item_type}>, scnt array<bigint>, serr array<bigint>"
+        + ", "
+        + ", ".join(f"nk{i} array<{typ[c]}>" for i, c in enumerate(keys))
+        + ", nseen array<bigint>"
+    )
+    nk = len(keys)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        summaries: dict[tuple, dict[Any, list[int]]] = {}
+        seen: dict[tuple, int] = {}
+        if state.exists:
+            arrays = state.get
+            for row in zip(*arrays[: nk + 3]):
+                kt, it, c, e = row[:nk], row[nk], row[nk + 1], row[nk + 2]
+                summaries.setdefault(kt, {})[it] = [int(c), int(e)]
+            for row in zip(*arrays[nk + 3 :]):
+                seen[row[:nk]] = int(row[nk])
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if not batch:
+            yield pd.DataFrame(columns=[*keys, "rank", item_col, "n", "n_seen"])
+            return
+        b = pd.concat(batch, ignore_index=True)
+        touched = []
+        for kt, grp in b.groupby(keys, dropna=False, sort=True):
+            if not isinstance(kt, tuple):
+                kt = (kt,)
+            kt = tuple(v.item() if hasattr(v, "item") else v for v in kt)
+            counts = {}
+            for it, n in grp[item_col].dropna().value_counts().items():
+                if hasattr(it, "item"):
+                    it = it.item()
+                counts[it] = int(n)
+            summary = summaries.setdefault(kt, {})
+            _space_saving_merge(summary, counts, capacity)
+            seen[kt] = seen.get(kt, 0) + sum(counts.values())
+            touched.append(kt)
+        flat_k = [[] for _ in range(nk)]
+        flat_it, flat_c, flat_e = [], [], []
+        for kt, summary in summaries.items():
+            for it, (c, e) in summary.items():
+                for i in range(nk):
+                    flat_k[i].append(kt[i])
+                flat_it.append(it)
+                flat_c.append(c)
+                flat_e.append(e)
+        seen_k = [[kt[i] for kt in seen] for i in range(nk)]
+        state.update(
+            (*flat_k, flat_it, flat_c, flat_e, *seen_k, [seen[kt] for kt in seen])
+        )
+        rows = []
+        for kt in touched:
+            top = sorted(
+                summaries[kt].items(), key=lambda kv: (-kv[1][0], kv[0])
+            )[:k]
+            rows.extend(
+                dict(zip(keys, kt))
+                | {"rank": r, item_col: it, "n": cnt[0], "n_seen": seen[kt]}
+                for r, (it, cnt) in enumerate(top, start=1)
+            )
+        if not rows:
+            yield pd.DataFrame(columns=[*keys, "rank", item_col, "n", "n_seen"])
+            return
+        yield pd.DataFrame(rows)
+
+    bucket = F.pmod(F.hash(*[F.col(c) for c in keys]), F.lit(buckets))
     return (
         df.withColumn("__bkt", bucket)
         .groupBy("__bkt")

@@ -204,6 +204,59 @@ def test_heavy_hitters_stream_equals_batch(spark):
         shutil.rmtree(work_dir, ignore_errors=True)
 
 
+def test_heavy_hitters_bucketed_stream_equals_batch(spark):
+    """The bucketed (high-cardinality) state path converges to the same
+    final snapshot as the per-key path and the batch twin."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import heavy_hitters
+
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    try:
+        tops = heavy_hitters(
+            stream, ["user_id"], "event_type", k=3, capacity=16, buckets=8
+        )
+        drained = S.run_to_memory(tops, "hh_bkt_eq", output_mode="update")
+        w = Window.partitionBy("user_id", "rank").orderBy(
+            F.desc("n_seen"), F.desc("n"), F.asc("event_type")
+        )
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch = heavy_hitters(
+            _batch_events(spark), ["user_id"], "event_type", k=3, capacity=16
+        )
+        order = ["user_id", "rank"]
+        assert _rows(final, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_running_totals_bucketed_stream_equals_batch(spark):
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import running_totals
+
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    try:
+        totals = running_totals(stream, ["user_id"], "value", buckets=8)
+        drained = S.run_to_memory(totals, "rt_bkt_eq", output_mode="update")
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch = running_totals(_batch_events(spark), ["user_id"], "value")
+        got = [(r[0], r[1], round(r[2], 4)) for r in final.orderBy("user_id").collect()]
+        want = [(r[0], r[1], round(r[2], 4)) for r in batch.orderBy("user_id").collect()]
+        assert got == want
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def test_heavy_hitters_native_item_dtype_and_null_batch(spark):
     """Two contracts beyond the fixture query: (a) a non-string item
     column keeps its NATIVE dtype through streaming state and output
