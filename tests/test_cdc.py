@@ -212,3 +212,46 @@ def test_apply_changelog_randomized_vs_reference(spark):
                 best[k] = (s, op, v)
         want = sorted((k, v) for k, (s, op, v) in best.items() if op != "D")
         assert got == want, f"seed {seed}"
+
+
+def test_scd2_apply_randomized_vs_reference(spark):
+    """Seeded randomized dims/changes against a pure-python SCD2
+    reference: per key — close+append on attr change, no-op on echo,
+    append on new key; history always passes through untouched."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(3000 + seed)
+        dim_rows = []
+        for k in rng.sample(range(15), 10):
+            n_hist = rng.randint(0, 2)
+            t = 10
+            for _ in range(n_hist):
+                dim_rows.append((k, rng.choice("WXYZ"), t, t + 10, False))
+                t += 10
+            dim_rows.append((k, rng.choice("ABC"), t, None, True))
+        cur = {r[0]: r[1] for r in dim_rows if r[4]}
+        ch_rows = [
+            (k, rng.choice("ABCN"), 500)
+            for k in rng.sample(range(25), 8)
+        ]
+        dim = spark.createDataFrame(
+            dim_rows, "k long, seg string, valid_from long, valid_to long, is_current boolean"
+        )
+        ch = spark.createDataFrame(ch_rows, "k long, seg string, eff long")
+        got = sorted(
+            tuple(r)
+            for r in C.scd2_apply(dim, ch, ["k"], ["seg"], "eff").collect()
+        )
+        want = [r for r in dim_rows if not r[4]]  # history untouched
+        changes = dict((k, s) for k, s, _ in ch_rows)
+        for k, s, vf, vt, _ in [r for r in dim_rows if r[4]]:
+            if k in changes and changes[k] != s:
+                want.append((k, s, vf, 500, False))
+                want.append((k, changes[k], 500, None, True))
+            else:
+                want.append((k, s, vf, None, True))
+        for k, s, eff in ch_rows:
+            if k not in cur:
+                want.append((k, s, eff, None, True))
+        assert got == sorted(want), f"seed {seed}"
