@@ -51,23 +51,22 @@ def _last_verified_round() -> dict[str, int]:
 
 
 # Queries whose physical plan changed AFTER their most recent green driver
-# row (round-4 verdict, "what's missing" #1, plus this round's perf/fix
-# edits): they jump the rotation queue — right after never-verified
-# queries — so the driver re-proves the CURRENT plan instead of spending
-# the row budget on unchanged backlog.  The boost EXPIRES once the driver
+# row: they jump the rotation queue — right after never-verified queries —
+# so the driver re-proves the CURRENT plan instead of spending the row
+# budget on unchanged backlog.  The boost EXPIRES once the driver
 # re-verifies at/after _PLAN_CHANGED_ROUND (a static set would otherwise
 # preempt the stale backlog forever); bump the round and refresh the set
-# whenever a green query's plan changes again.
-_PLAN_CHANGED_ROUND = 5
+# whenever a green query's plan changes again.  (All r4/r5 names were
+# driver-re-verified in r05, so the r5 set is cleared.)
+_PLAN_CHANGED_ROUND = 6
 _PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
     {
-        # r4 plan changes flagged by the r4 verdict
-        "window_ntile_qcut", "frame_describe", "text_bpe_learn",
-        "frame_hconcat_rowindex", "pack_documents", "sample_epoch_shuffle",
-        # r5 edits: token-projection persist, snapshot dedup, spacing
-        # guard, bucketed stateful ops
-        "text_lm_score", "text_bm25", "stream_topk_replay",
-        "stream_running_totals",
+        # r6 edits: scd2 NULL-is_current coalesce (plan change) and the
+        # bucketed stateful-state NULL-key dtype normalization (Python fn
+        # rides in the plan for every bucketed stream query)
+        "cdc_scd2",
+        "stream_cdc_replay", "stream_cdc_merge_replay",
+        "stream_running_totals", "stream_topk_replay",
     }
 )
 

@@ -55,11 +55,11 @@ HISTORY = int(os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "5"))
 
 def _cross_run_medians(
     timings: dict[str, float], sf_val, cpus: int
-) -> tuple[dict[str, float], int]:
-    """Snapshot this run under BENCH_RUNS/ and return per-query medians
-    across the newest <= HISTORY runs at the same (sf, cpus).  A query
-    missing from older snapshots (newly added) medians over the runs that
-    have it."""
+) -> tuple[dict[str, float], int, dict[str, int]]:
+    """Snapshot this run under BENCH_RUNS/ and return (per-query medians
+    across the newest <= HISTORY runs at the same (sf, cpus), number of
+    runs merged, per-query backing-run counts).  A query missing from
+    older snapshots (newly added) medians over the runs that have it."""
     snap = {"ts": time.time(), "sf": sf_val, "cpus": cpus, "queries": timings}
     fname = f"run-{int(snap['ts'])}-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
     try:

@@ -190,8 +190,12 @@ def scd2_apply(
     keys = list(keys)
     attr_cols = list(attr_cols)
     dcols = dim.columns
-    history = dim.filter(~F.col(is_current))
-    current = dim.filter(F.col(is_current))
+    # A NULL is_current (malformed dimension) must not vanish — filter(col)
+    # and filter(~col) BOTH exclude NULL; coalesce routes such rows to the
+    # history leg (they are certainly not the open version).
+    cur_flag = F.coalesce(F.col(is_current), F.lit(False))
+    history = dim.filter(~cur_flag)
+    current = dim.filter(cur_flag)
     ch = changes.select(
         *[F.col(k).alias(f"__c_{k}") for k in keys],
         *[F.col(a).alias(f"__c_{a}") for a in attr_cols],

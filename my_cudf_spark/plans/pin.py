@@ -41,8 +41,22 @@ def lru_persist(df: DataFrame) -> DataFrame:
         key = id(df)
     hit = _CACHE.get(key)
     if hit is not None:
-        _CACHE.move_to_end(key)
-        return hit
+        # semanticHash is 32-bit — a collision between two DIFFERENT plans
+        # would silently return the wrong frame (wrong results, not a perf
+        # miss), so a hit must confirm plan equality before reuse.
+        try:
+            same = df.sameSemantics(hit)
+        except Exception:  # pragma: no cover — defensive, treat as miss
+            same = False
+        if same:
+            _CACHE.move_to_end(key)
+            return hit
+        # collision: evict the old occupant before the slot is reused
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
+        del _CACHE[key]
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _CACHE[key] = df
     while len(_CACHE) > _CACHE_CAP:

@@ -575,3 +575,80 @@ def stream_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="is_deleted",
     )
     return merged.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+@register(
+    "stream_quantile_replay",
+    sql="""
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.5), 6) AS exact_p50,
+           ROUND(QUANTILE_CONT(value, 0.9), 6) AS exact_p90,
+           TRUE AS p50_within_rank_bound,
+           TRUE AS p90_within_rank_bound
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate quantiles (streaming/quantiles.quantile_digest
+    — the stream twin of agg_approx_quantile; tdigest role per
+    cpp/include/cudf/quantiles.hpp:130, cpp/include/cudf/tdigest/): a
+    mergeable t-digest per event_type carried in bucketed
+    applyInPandasWithState state across micro-batches, emitting updated
+    p50/p90 estimates each batch — the latency/size-percentile-dashboard
+    shape an unbounded stream cannot answer with exact state.  State is
+    O(keys × delta) regardless of stream length.  Checked by the suite's
+    approx contract (never hash-compare an estimate): the driver-compared
+    columns are the EXACT quantiles plus flags that each streamed estimate
+    lies inside a ±0.02 rank window around its target — orders of
+    magnitude wider than the digest's observed rank error (~1e-4 at
+    delta=300) and spanning many inter-point gaps at every fixture SF."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.sources import load_table as _lt
+    from my_cudf_spark.streaming.quantiles import quantile_digest
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    # buckets=8: one vectorized digest-merge invocation per bucket per
+    # micro-batch (the r5 high-cardinality lever, bucketed from day one)
+    digs = quantile_digest(
+        stream, ["event_type"], "value", qs=[0.5, 0.9], delta=300, buckets=8
+    )
+    updates = _drain(digs, "qdig", work_dir, output_mode="update")
+    # final snapshot per key = the update carrying the maximal n_seen
+    # (row_number, not an equality filter — ties must keep one row)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"), F.desc("q50"))
+    snap = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "q50", "q90")
+    )
+    eps = 0.02
+    exact = (
+        _lt(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"percentile(value, array({0.5 - eps}D, 0.5D, {0.5 + eps}D,"
+                f" {0.9 - eps}D, 0.9D, {0.9 + eps}D))"
+            ).alias("__q")
+        )
+    )
+    return (
+        snap.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(F.element_at("__q", 2), 6).alias("exact_p50"),
+            F.round(F.element_at("__q", 5), 6).alias("exact_p90"),
+            (
+                (F.col("q50") >= F.element_at("__q", 1))
+                & (F.col("q50") <= F.element_at("__q", 3))
+            ).alias("p50_within_rank_bound"),
+            (
+                (F.col("q90") >= F.element_at("__q", 4))
+                & (F.col("q90") <= F.element_at("__q", 6))
+            ).alias("p90_within_rank_bound"),
+        )
+        .orderBy("event_type")
+    )

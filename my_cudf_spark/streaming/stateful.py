@@ -33,6 +33,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+# Arrow → pandas turns a NULL-bearing int64 column into float64/object,
+# so a bucketed update that merges state rows (int lists from GroupState)
+# against batch keys (floats) would raise on mismatched merge dtypes or
+# fail to encode state arrays typed array<bigint>.  Normalizing BOTH
+# frames to the pandas nullable dtype derived from the SPARK type keeps
+# merge/groupby keys comparable and NULL keys representable — the bucketed
+# paths then accept the same input domain as the per-key paths.
+_PD_NULLABLE = {
+    "tinyint": "Int8",
+    "smallint": "Int16",
+    "int": "Int32",
+    "bigint": "Int64",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def _norm_nullable(pdf: pd.DataFrame, types: dict[str, str]) -> pd.DataFrame:
+    """Cast columns to their Spark-type-derived pandas nullable dtype
+    (see _PD_NULLABLE); non-mapped types (double, timestamp…) pass
+    through — their pandas representation is already null-stable."""
+    for c, t in types.items():
+        want = _PD_NULLABLE.get(t)
+        if want is not None and str(pdf[c].dtype) != want:
+            pdf[c] = pdf[c].astype(want)
+    return pdf
+
+
+def _plain_list(s: pd.Series) -> list:
+    """Series → list with NA scalars as None (the Arrow state encoder
+    accepts None, never pd.NA/NaN, inside typed state arrays)."""
+    return [None if pd.isna(v) else v for v in s.tolist()]
+
+
 def running_totals(
     df: DataFrame,
     keys: Sequence[str],
@@ -152,12 +186,15 @@ def heavy_hitters(
         # value_counts() semantics), so n_seen is the non-null item count.
         df = df.filter(F.col(item_col).isNotNull())
         c = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("n"))
-        tot = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_seen"))
         w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc(item_col))
+        # n_seen via a window sum over the per-item counts, NOT a
+        # key-equality self-join: a column-name-list join drops NULL keys
+        # (the streaming leg keeps them), and the window reuses the rank's
+        # partitioning — one shuffle instead of two plus a join.
         return (
             c.withColumn("rank", F.row_number().over(w))
+            .withColumn("n_seen", F.sum("n").over(Window.partitionBy(*keys)))
             .filter(F.col("rank") <= k)
-            .join(tot, keys)
             .select(
                 *keys,
                 F.col("rank").cast("int"),
@@ -365,24 +402,30 @@ def _latest_state_bucketed(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        col_types = {c: typ[c] for c in cols}
         frames = []
         if state.exists:
             arrays = state.get
             frames.append(
-                pd.DataFrame({c: arrays[i] for i, c in enumerate(cols)})
+                _norm_nullable(
+                    pd.DataFrame({c: arrays[i] for i, c in enumerate(cols)}),
+                    col_types,
+                )
             )
         batch = [pdf[cols] for pdf in pdfs if len(pdf)]
         if not batch:
             yield pd.DataFrame(columns=[*keys, seq_col, "is_deleted", *value_cols])
             return
-        batch_pdf = pd.concat(batch, ignore_index=True)
+        batch_pdf = _norm_nullable(
+            pd.concat(batch, ignore_index=True), col_types
+        )
         frames.append(batch_pdf)
         allf = pd.concat(frames, ignore_index=True)
         best = (
             allf.sort_values([seq_col, op_col], ascending=False, kind="mergesort")
             .drop_duplicates(keys, keep="first")
         )
-        state.update(tuple(best[c].tolist() for c in cols))
+        state.update(tuple(_plain_list(best[c]) for c in cols))
         touched = batch_pdf[keys].drop_duplicates()
         out = best.merge(touched, on=keys)
         out["is_deleted"] = out[op_col] == delete_op
@@ -422,14 +465,18 @@ def _running_totals_bucketed(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        key_types = {k: typ[k] for k in keys}
         if state.exists:
             arrays = state.get
-            cur = pd.DataFrame(
-                {
-                    **{k: arrays[i] for i, k in enumerate(keys)},
-                    "n_events": arrays[len(keys)],
-                    "sum_value": arrays[len(keys) + 1],
-                }
+            cur = _norm_nullable(
+                pd.DataFrame(
+                    {
+                        **{k: arrays[i] for i, k in enumerate(keys)},
+                        "n_events": arrays[len(keys)],
+                        "sum_value": arrays[len(keys) + 1],
+                    }
+                ),
+                key_types,
             )
         else:
             cur = pd.DataFrame(columns=[*keys, "n_events", "sum_value"])
@@ -437,7 +484,7 @@ def _running_totals_bucketed(
         if not batch:
             yield pd.DataFrame(columns=[*keys, "n_events", "sum_value"])
             return
-        b = pd.concat(batch, ignore_index=True)
+        b = _norm_nullable(pd.concat(batch, ignore_index=True), key_types)
         delta = (
             b.groupby(keys, dropna=False)[value_col]
             .agg(n_events="size", sum_value=lambda v: float(v.dropna().sum()))
@@ -449,9 +496,10 @@ def _running_totals_bucketed(
             .sum()
             .reset_index()
         )
+        merged = _norm_nullable(merged, key_types)
         state.update(
             tuple(
-                merged[c].tolist()
+                _plain_list(merged[c])
                 for c in [*keys, "n_events", "sum_value"]
             )
         )
@@ -521,12 +569,19 @@ def _heavy_hitters_bucketed(
         if not batch:
             yield pd.DataFrame(columns=[*keys, "rank", item_col, "n", "n_seen"])
             return
-        b = pd.concat(batch, ignore_index=True)
+        b = _norm_nullable(
+            pd.concat(batch, ignore_index=True), {k: typ[k] for k in keys}
+        )
         touched = []
         for kt, grp in b.groupby(keys, dropna=False, sort=True):
             if not isinstance(kt, tuple):
                 kt = (kt,)
-            kt = tuple(v.item() if hasattr(v, "item") else v for v in kt)
+            kt = tuple(
+                None
+                if pd.isna(v)
+                else (v.item() if hasattr(v, "item") else v)
+                for v in kt
+            )
             counts = {}
             for it, n in grp[item_col].dropna().value_counts().items():
                 if hasattr(it, "item"):

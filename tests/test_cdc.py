@@ -255,3 +255,19 @@ def test_scd2_apply_randomized_vs_reference(spark):
             if k not in cur:
                 want.append((k, s, eff, None, True))
         assert got == sorted(want), f"seed {seed}"
+
+
+def test_scd2_apply_null_is_current_row_survives_in_history(spark):
+    """A malformed dim row with NULL is_current must not vanish (filter(col)
+    and filter(~col) both exclude NULL) — it routes to the history leg."""
+    dim = spark.createDataFrame(
+        [(1, "A", 100, None, True), (1, "GHOST", 10, 50, None)],
+        "k long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    ch = spark.createDataFrame([(1, "A2", 200)], "k long, seg string, eff long")
+    out = C.scd2_apply(dim, ch, ["k"], ["seg"], "eff")
+    got = _rows(out, "k", "valid_from")
+    assert (1, "GHOST", 10, 50, None) in got           # survived, untouched
+    assert (1, "A", 100, 200, False) in got            # old open closed
+    assert (1, "A2", 200, None, True) in got           # new open version
+    assert len(got) == 3

@@ -484,3 +484,25 @@ def test_semantic_dedup_cell_blocked_pairs(spark):
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_lru_persist_survives_semantic_hash_collision(spark, monkeypatch):
+    """A 32-bit semanticHash collision between two DIFFERENT plans must not
+    return the wrong cached frame — the hit is confirmed with
+    sameSemantics before reuse (r5 advice)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.plans import pin
+
+    monkeypatch.setattr(DataFrame, "semanticHash", lambda self: 42)
+    pin.release_persisted()
+    a = spark.range(5).withColumn("x", F.col("id") * 2)
+    b = spark.range(5).withColumn("x", F.col("id") * 3)
+    pa_ = pin.lru_persist(a)
+    pb = pin.lru_persist(b)
+    assert pa_ is not pb
+    assert [r.x for r in pb.orderBy("id").collect()] == [0, 3, 6, 9, 12]
+    # identical plan still reuses the persisted frame
+    assert pin.lru_persist(spark.range(5).withColumn("x", F.col("id") * 3)) is pb
+    pin.release_persisted()

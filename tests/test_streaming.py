@@ -460,3 +460,220 @@ def test_type_count_processor_logic_with_fake_handle():
     got2 = {(r.user_id, r.event_type): r.n for r in out2[0].itertuples()}
     assert got2 == {(7, "b"): 2, (7, "c"): 1}
     assert h.m.d == {("a",): (2,), ("b",): (2,), ("c",): (1,)}
+
+
+def _write_chunks(work_dir, schema: "pa.Schema", chunks):
+    """Write each chunk dict as one parquet file with ascending mtimes so
+    maxFilesPerTrigger=1 replays them in order."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = time.time()
+    for i, c in enumerate(chunks):
+        fp = os.path.join(work_dir, f"chunk{i}.parquet")
+        pq.write_table(pa.table(c, schema=schema), fp)
+        os.utime(fp, (now + i, now + i))
+
+
+def test_bucketed_state_null_keys(spark):
+    """NULL key values must flow through the BUCKETED state paths exactly
+    as through the per-key paths (r5 advice: Arrow→pandas turns nullable
+    int64 keys into float dtype, which used to break the state merge) —
+    the bucketed flag must not narrow the supported input domain."""
+    import tempfile
+
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.stateful import (
+        heavy_hitters,
+        latest_state,
+        running_totals,
+    )
+
+    schema = pa.schema(
+        [("k", pa.int64()), ("seq", pa.int64()), ("op", pa.string()),
+         ("v", pa.float64()), ("item", pa.string())]
+    )
+    chunks = [
+        {"k": [1, None], "seq": [1, 2], "op": ["U", "U"],
+         "v": [10.0, 5.0], "item": ["a", "a"]},
+        {"k": [None, 1, None], "seq": [4, 3, 9], "op": ["U", "U", "D"],
+         "v": [7.0, 30.0, None], "item": ["b", "a", "b"]},
+    ]
+    batch_df = spark.createDataFrame(
+        [(1, 1, "U", 10.0, "a"), (None, 2, "U", 5.0, "a"),
+         (None, 4, "U", 7.0, "b"), (1, 3, "U", 30.0, "a"),
+         (None, 9, "D", None, "b")],
+        "k long, seq long, op string, v double, item string",
+    )
+
+    def _replay():
+        work_dir = tempfile.mkdtemp(prefix="nullkey_stream_")
+        _write_chunks(work_dir, schema, chunks)
+        stream = (
+            spark.readStream.schema("k long, seq long, op string, v double, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        return stream, work_dir
+
+    # latest_state: NULL key keeps its own max-seq state (tombstone at 9)
+    stream, wd = _replay()
+    try:
+        drained = S.run_to_memory(
+            latest_state(stream, ["k"], "seq", "op", ["v"], buckets=2),
+            "nullkey_cdc", output_mode="update",
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("seq"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        batch = latest_state(batch_df, ["k"], "seq", "op", ["v"])
+        assert _rows(final, "k") == _rows(batch, "k")
+        assert _rows(final, "k") == [(None, 9, True, None), (1, 3, False, 30.0)]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+    # running_totals: NULL key accumulates like any other key
+    stream, wd = _replay()
+    try:
+        drained = S.run_to_memory(
+            running_totals(stream, ["k"], "v", buckets=2),
+            "nullkey_rt", output_mode="update",
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("n_events"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        batch = running_totals(batch_df, ["k"], "v")
+        assert _rows(final, "k") == _rows(batch, "k")
+        assert _rows(final, "k") == [(None, 3, 12.0), (1, 2, 40.0)]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+    # heavy_hitters: NULL key carries its own Space-Saving summary
+    stream, wd = _replay()
+    try:
+        drained = S.run_to_memory(
+            heavy_hitters(stream, ["k"], "item", k=2, capacity=8, buckets=2),
+            "nullkey_hh", output_mode="update",
+        )
+        w = Window.partitionBy("k", "rank").orderBy(
+            F.desc("n_seen"), F.desc("n"), F.asc("item")
+        )
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        batch = heavy_hitters(batch_df, ["k"], "item", k=2, capacity=8)
+        order = ["k", "rank"]
+        assert _rows(final, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_tdigest_core_properties():
+    """Digest core (no Spark): bounded size, deterministic, rank error far
+    under the ±0.02 contract window whatever the chunking."""
+    import numpy as np
+
+    from my_cudf_spark.streaming.quantiles import _compress, _estimate
+
+    rng = np.random.RandomState(11)
+    vals = rng.lognormal(2.0, 1.5, size=50000)
+    sv = np.sort(vals)
+
+    def stream_digest(chunks):
+        m = w = np.empty(0)
+        for c in chunks:
+            m, w = _compress(
+                np.concatenate([m, c]), np.concatenate([w, np.ones(c.size)]), 300.0
+            )
+        return m, w
+
+    for n_chunks in (1, 4, 13):
+        m, w = stream_digest(np.array_split(vals, n_chunks))
+        assert len(m) <= 300  # bounded by ~delta/2 + slack
+        assert w.sum() == len(vals)
+        for q in (0.05, 0.5, 0.9, 0.99):
+            est = _estimate(m, w, [q])[0]
+            rank = np.searchsorted(sv, est) / len(sv)
+            assert abs(rank - q) < 0.01, (n_chunks, q, rank)
+    # determinism: same chunking → identical centroids
+    m1, w1 = stream_digest(np.array_split(vals, 4))
+    m2, w2 = stream_digest(np.array_split(vals, 4))
+    assert np.array_equal(m1, m2) and np.array_equal(w1, w2)
+
+
+def test_quantile_digest_stream_bucketed_equals_per_key(spark):
+    """Per-key and bucketed streaming digests see identical per-key merge
+    sequences ON THE SAME staged chunks, so their final snapshots are
+    bit-identical (chunk boundaries themselves vary per replay —
+    repartitionByRange samples per run — which the digest is sensitive to
+    by design, hence one shared staging dir); the batch twin (exact
+    percentile) brackets both within the rank contract."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.quantiles import quantile_digest
+
+    stream0, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    data_dir = _os.path.join(work_dir, "data")
+
+    def final_snapshot(stream, buckets):
+        digs = quantile_digest(
+            stream, ["event_type"], "value", qs=[0.5, 0.9], buckets=buckets
+        )
+        drained = S.run_to_memory(digs, f"qdig_eq_{buckets}", output_mode="update")
+        w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+        return (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    try:
+        stream1 = (
+            spark.readStream.schema(stream0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        per_key = _rows(final_snapshot(stream0, None), ["event_type"])
+        bucketed = _rows(final_snapshot(stream1, 4), ["event_type"])
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+    assert per_key == bucketed
+    # batch twin: same schema, exact values; estimates within ±0.02 rank
+    from my_cudf_spark.streaming.quantiles import quantile_digest as qd
+
+    batch = qd(_batch_events(spark), ["event_type"], "value", qs=[0.5, 0.9])
+    exact = {r[0]: r for r in batch.collect()}
+    eps_q = (
+        _batch_events(spark)
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.48D, 0.52D, 0.88D, 0.92D))").alias("b"))
+    )
+    bracket = {r[0]: r[1] for r in eps_q.collect()}
+    for et, n_seen, q50, q90 in per_key:
+        assert n_seen == exact[et]["n_seen"]
+        lo50, hi50, lo90, hi90 = bracket[et]
+        assert lo50 <= q50 <= hi50
+        assert lo90 <= q90 <= hi90
+
+
+def test_quantile_digest_validates_args(spark):
+    import pytest as _pytest
+
+    from my_cudf_spark.streaming.quantiles import q_col_names, quantile_digest
+
+    with _pytest.raises(ValueError, match="fractions"):
+        quantile_digest(_batch_events(spark), ["event_type"], "value", qs=[1.5])
+    with _pytest.raises(ValueError, match="collide"):
+        q_col_names([0.5004, 0.50042])
