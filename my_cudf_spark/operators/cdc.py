@@ -66,14 +66,17 @@ def apply_changelog(
     )
 
 
-def _key_match(left_pfx: str, right_pfx: str, keys: Sequence[str]) -> Column:
-    return reduce(
-        lambda a, b: a & b,
-        [
+def _key_match(
+    left_pfx: str, right_pfx: str, keys: Sequence[str], null_safe: bool = True
+) -> Column:
+    if null_safe:
+        cmps = [
             F.col(f"{left_pfx}{k}").eqNullSafe(F.col(f"{right_pfx}{k}"))
             for k in keys
-        ],
-    )
+        ]
+    else:
+        cmps = [F.col(f"{left_pfx}{k}") == F.col(f"{right_pfx}{k}") for k in keys]
+    return reduce(lambda a, b: a & b, cmps)
 
 
 def merge_upsert(
@@ -82,6 +85,7 @@ def merge_upsert(
     keys: Sequence[str],
     update_cols: Sequence[str] | None = None,
     delete_col: str | None = None,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """MERGE ``source`` into ``target`` on ``keys`` (Delta-style):
 
@@ -97,10 +101,19 @@ def merge_upsert(
     raw feed with :func:`apply_changelog` first) — a duplicate source key
     would fan out matched target rows, as in every MERGE engine.
 
+    ``null_safe_keys`` (default True) matches NULL keys to each other in
+    every leg.  Pass False when keys are non-null by contract (a primary
+    key): plain equality keys are ALSO what lets a ``bucketBy``-laid-out
+    target satisfy the join distribution straight from its bucketed scan
+    — the zero-Exchange MERGE (see cdc_merge_bucketed / test_bucketing).
+
     Scale: target payload is scanned once and never shuffled — the
     matched leg is a left join whose source side is CDC-batch-sized
     (broadcastable), the insert leg anti-joins the batch against the
-    target's narrow key projection."""
+    target's narrow key projection.  With a bucketed target and
+    ``null_safe_keys=False`` even the key-projection Exchange disappears:
+    the anti-join reuses the scan's hash clustering and only the
+    batch-sized source shuffles."""
     keys = list(keys)
     tcols = target.columns
     src_value_cols = [
@@ -121,7 +134,7 @@ def merge_upsert(
         ).alias("__s_del"),
         F.lit(True).alias("__s_present"),
     )
-    cond = _key_match("", "__s_", keys)
+    cond = _key_match("", "__s_", keys, null_safe_keys)
     upd = target.join(s, cond, "left")
     matched = F.coalesce(F.col("__s_present"), F.lit(False))
     kept = upd.filter(~(matched & F.col("__s_del"))).select(
@@ -141,7 +154,7 @@ def merge_upsert(
         # re-insert a NULL-key row it just updated
         .join(
             target.select(*[F.col(k).alias(f"__t_{k}") for k in keys]),
-            _key_match("__s_", "__t_", keys),
+            _key_match("__s_", "__t_", keys, null_safe_keys),
             "left_anti",
         )
         .select(

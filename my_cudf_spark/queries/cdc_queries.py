@@ -187,3 +187,87 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "segment", "valid_from", "valid_to", "is_current"
     ).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "cdc_merge_bucketed",
+    sql="""
+    WITH s0 AS (SELECT o_custkey AS k, MAX(o_totalprice) AS bal
+                FROM orders GROUP BY o_custkey),
+    snap AS (
+      SELECT k, bal, (k % 7 = 0) AS del FROM s0
+      UNION ALL
+      SELECT k + 10000000, 0.0, FALSE FROM s0 WHERE k % 11 = 3
+    ),
+    upd AS (SELECT t.c_custkey, t.c_name,
+                   CASE WHEN s.k IS NOT NULL THEN s.bal
+                        ELSE t.c_acctbal END AS c_acctbal
+            FROM customer t LEFT JOIN snap s ON t.c_custkey = s.k
+            WHERE NOT COALESCE(s.del, FALSE)),
+    ins AS (SELECT s.k AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+                   s.bal AS c_acctbal
+            FROM snap s LEFT JOIN customer t ON t.c_custkey = s.k
+            WHERE t.c_custkey IS NULL AND NOT s.del)
+    SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    ORDER BY c_custkey
+    """,
+)
+def cdc_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-EXCHANGE MERGE: ``customer`` written ``bucketBy(8, c_custkey)``
+    (join_bucketed's persistent-layout technique), then merge_upsert with
+    ``null_safe_keys=False`` (bucketed-PK contract) and a merge-hinted
+    source — BOTH MERGE legs (matched left join + insert anti-join) run as
+    SortMergeJoins fed straight from the bucketed scans with NO Exchange
+    on the target side; only the batch-sized snapshot shuffles.  This is
+    the checked artifact behind cdc.py's scale claim (the target payload
+    of a 100 TB governed table is never shuffled — and with bucketed
+    layout, never even its key projection): partition once at write time,
+    MERGE forever without shuffling.  Plan-guarded in
+    tests/test_bucketing.py; the snapshot carries updates, tombstones
+    (k%7==0) and fresh keys (k%11==3 shifted) so all three legs are
+    non-trivially exercised."""
+    import os
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    tb = f"cust_mrg_bq_{tag}"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
+    shutil.rmtree(os.path.join(wh, tb), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(tb)
+    )
+    target = spark.table(tb)
+    s0 = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max("o_totalprice").alias("bal"))
+    )
+    snap = (
+        s0.select("k", "bal", (F.col("k") % 7 == 0).alias("del"))
+        .unionByName(
+            s0.filter(F.col("k") % 11 == 3).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                F.lit(0.0).alias("bal"),
+                F.lit(False).alias("del"),
+            )
+        )
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("bal").alias("c_acctbal"),
+            "del",
+        )
+    )
+    merged = C.merge_upsert(
+        target,
+        snap.hint("merge"),
+        keys=["c_custkey"],
+        update_cols=["c_acctbal"],
+        delete_col="del",
+        null_safe_keys=False,
+    )
+    return merged.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")

@@ -57,3 +57,60 @@ def test_bucketed_join_is_shuffle_free(warehouse):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_bucketed_merge_target_side_is_shuffle_free(spark):
+    """merge_upsert against a bucketBy-laid-out target with
+    null_safe_keys=False: both MERGE legs consume the bucketed scan's
+    hash clustering directly — the ONLY Exchanges in the plan hash the
+    batch-sized source, never the target (the zero-Exchange MERGE the
+    cdc module's scale docstring claims)."""
+    from my_cudf_spark.operators.cdc import merge_upsert
+
+    t = "cust_mrg_guard"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (
+        load_table(spark, SF_DIR, "customer")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(t)
+    )
+    target = spark.table(t)
+    snap = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max("o_totalprice").alias("c_acctbal"))
+        .withColumn("is_deleted", F.col("c_custkey") % 7 == 0)
+    )
+    # AFTER the load_table calls — apply_runtime_confs inside them resets
+    # the broadcast threshold to the profile default
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = merge_upsert(
+            target, snap, keys=["c_custkey"], update_cols=["c_acctbal"],
+            delete_col="is_deleted", null_safe_keys=False,
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") == 2, plan      # both legs' scans
+        assert "SortMergeJoin" in plan, plan
+        # every Exchange hashes the source aggregation key — never the
+        # target scan or its key projection
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "o_custkey" in line, line
+        assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+        assert "Exchange hashpartitioning(__t_c_custkey" not in plan, plan
+        # correctness: identical result to the plain (non-bucketed) merge
+        plain = merge_upsert(
+            load_table(spark, SF_DIR, "customer"), snap, keys=["c_custkey"],
+            update_cols=["c_acctbal"], delete_col="is_deleted",
+        )
+        cols = ["c_custkey", "c_acctbal"]
+        got = [tuple(r) for r in merged.select(*cols).orderBy(*cols).collect()]
+        want = [tuple(r) for r in plain.select(*cols).orderBy(*cols).collect()]
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
