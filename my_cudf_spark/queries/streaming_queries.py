@@ -652,3 +652,74 @@ def stream_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_semantic_dedup_replay",
+    sql="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nn
+               FROM embeddings),
+    cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                     v AS cv, nn AS cn
+              FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id, n.v, n.nn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC,
+                               c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, nn, cid FROM ca WHERE pr = 1)
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cell,
+           NOT EXISTS (SELECT 1 FROM cells b
+                       WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                         AND list_dot_product(a.v, b.v)/(a.nn*b.nn) >= 0.4)
+             AS keep
+    FROM cells a ORDER BY a.vec_id
+    """,
+)
+def stream_semantic_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING semantic embedding dedup (streaming/semdedup — the
+    incremental twin of vec_semantic_dedup): the embeddings fixture
+    replayed as 4 micro-batches, each arriving vector assigned its Voronoi
+    cell by a pure Column expression (seeded centroids inlined as
+    literals, streaming-legal) and judged against the cell's cross-batch
+    state — dropped when a lower-id near-dup (cos ≥ 0.4) was already
+    ingested, with late-arriving lower ids REVOKING earlier keeps so the
+    end state is arrival-order independent and equals the plain
+    within-cell EXISTS the oracle runs.  State is the cell-partitioned
+    corpus (the SemDeDup layout); per-batch cost is new×seen matmul per
+    touched cell."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.sources import load_table as _lt
+    from my_cudf_spark.streaming.semdedup import (
+        cell_assign_expr,
+        seed_centroid_rows,
+        stream_semantic_dedup,
+    )
+    from my_cudf_spark.streaming.sources import replay_table
+
+    as_double = lambda df: df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = seed_centroid_rows(
+        as_double(_lt(spark, sf_dir, "embeddings")), "vec_id", "embedding", 16
+    )
+    stream, work_dir = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", transform=as_double
+    )
+    s = stream.withColumn("cell", cell_assign_expr(cents, "embedding"))
+    updates = _drain(
+        stream_semantic_dedup(s, "vec_id", "embedding", "cell", 0.4, buckets=8),
+        "semdd",
+        work_dir,
+        output_mode="update",
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("ver"))
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("id").alias("vec_id"), "cell", "keep")
+        .orderBy("vec_id")
+    )

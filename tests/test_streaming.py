@@ -677,3 +677,100 @@ def test_quantile_digest_validates_args(spark):
         quantile_digest(_batch_events(spark), ["event_type"], "value", qs=[1.5])
     with _pytest.raises(ValueError, match="collide"):
         q_col_names([0.5004, 0.50042])
+
+
+def test_stream_semantic_dedup_equals_batch_twin(spark):
+    """Replayed embeddings through the incremental dedup == the batch
+    within-cell EXISTS rule, row for row (the r6 stream==batch gate)."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.semdedup import (
+        cell_assign_expr,
+        seed_centroid_rows,
+        stream_semantic_dedup,
+    )
+    from my_cudf_spark.streaming.sources import replay_table
+
+    as_double = lambda df: df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    batch = as_double(load_table(spark, SF_DIR, "embeddings"))
+    cents = seed_centroid_rows(batch, "vec_id", "embedding", 16)
+    assign = cell_assign_expr(cents, "embedding")
+
+    stream, work_dir = replay_table(
+        spark, SF_DIR, "embeddings", "vec_id", transform=as_double
+    )
+    try:
+        drained = S.run_to_memory(
+            stream_semantic_dedup(
+                stream.withColumn("cell", assign),
+                "vec_id", "embedding", "cell", 0.4, buckets=4,
+            ),
+            "semdd_eq", output_mode="update",
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("ver"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("cell", "id", "keep")
+        )
+        twin = stream_semantic_dedup(
+            batch.withColumn("cell", assign),
+            "vec_id", "embedding", "cell", 0.4,
+        ).select("cell", "id", "keep")
+        assert _rows(final, ["id"]) == _rows(twin, ["id"])
+        # dedup is non-trivial on the fixture
+        kept = sum(1 for r in _rows(final, ["id"]) if r[2])
+        assert 0 < kept < final.count()
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_semantic_dedup_revokes_on_late_lower_id(spark):
+    """Arrival-order independence: a lower-id near-duplicate arriving in a
+    LATER micro-batch revokes the earlier keep — the final snapshot equals
+    the id-ordered rule regardless of replay order."""
+    import tempfile
+
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.semdedup import stream_semantic_dedup
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [0.999, 0.01, 0.0, 0.0]        # cos(a, a2) ~ 1
+    far = [0.0, 1.0, 0.0, 0.0]          # orthogonal
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("cell", pa.int32()),
+         ("embedding", pa.list_(pa.float64()))]
+    )
+    chunks = [
+        {"vec_id": [10, 7], "cell": [0, 0], "embedding": [a, far]},
+        {"vec_id": [5], "cell": [0], "embedding": [a2]},   # late LOWER id
+    ]
+    work_dir = tempfile.mkdtemp(prefix="semdd_revoke_")
+    _write_chunks(work_dir, schema, chunks)
+    try:
+        stream = (
+            spark.readStream.schema("vec_id long, cell int, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        drained = S.run_to_memory(
+            stream_semantic_dedup(stream, "vec_id", "embedding", "cell", 0.9, buckets=2),
+            "semdd_revoke", output_mode="update",
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("ver"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "keep")
+        )
+        assert _rows(final, ["id"]) == [(5, True), (7, True), (10, False)]
+        # the revocation itself was emitted: id 10 seen keep=True at ver 1,
+        # then keep=False at ver 2
+        updates = {(r["id"], r["ver"]): r["keep"] for r in drained.collect()}
+        assert updates[(10, 1)] is True and updates[(10, 2)] is False
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
