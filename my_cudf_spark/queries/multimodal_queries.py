@@ -56,3 +56,42 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of a video pipeline, one output row per sampled frame."""
     docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
     return M.frame_sample(docs, "doc_id", every_k=7).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "mm_phash_signatures",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, '') AS cs,
+                      CAST(length(text) AS BIGINT) AS n
+               FROM documents),
+    u AS (SELECT doc_id, n,
+                 CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS p,
+                 ord(unnest(cs)) AS v
+          FROM t),
+    blk AS (SELECT doc_id, CAST((p * 70) // n AS INT) AS k,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+            FROM u GROUP BY doc_id, CAST((p * 70) // n AS INT)),
+    bits AS (SELECT a.doc_id,
+                    CAST(SUM(CASE WHEN b.m > a.m
+                        THEN 1::BIGINT << CAST((a.k // 7) * 6 + (a.k % 7) AS INT)
+                        ELSE 0 END) AS BIGINT) AS sig
+             FROM blk a JOIN blk b
+               ON a.doc_id = b.doc_id AND b.k = a.k + 1 AND a.k % 7 < 6
+             GROUP BY a.doc_id)
+    SELECT t.doc_id, CAST(COALESCE(bits.sig, 0) AS BIGINT) AS sig
+    FROM t LEFT JOIN bits USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def mm_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash over the multimodal payload column
+    (multimodal.dhash_signatures): decode → 10×7 block-mean grid → 60-bit
+    difference hash, one Arrow-batched mapInPandas pass.  The stand-in
+    codec keeps every one of the 60 bits SQL-replicable (block means are
+    exact-integer sums over ord() values), so the driver hash-compares the
+    COMPLETE signature per document — the end-to-end proof behind the
+    image near-dup tier (pairing via phash_neardup_pairs' pigeonhole
+    banding is covered by planted-image recall + brute-force completeness
+    tests; the fixture corpus itself has no byte-aligned image dups, its
+    organic minimum hamming is 10/60)."""
+    docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.dhash_signatures(docs, "doc_id").orderBy("doc_id")

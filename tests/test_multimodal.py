@@ -46,3 +46,44 @@ def test_image_features_match_bytes(spark):
 def test_pil_decoder_is_a_stub_here(spark):
     with pytest.raises(NotImplementedError, match="Pillow"):
         M.pil_decoder(b"\x89PNG", None)
+
+
+def test_phash_neardup_planted_recall_and_banding_completeness(spark):
+    """dHash + pigeonhole banding: planted near-dup images (single-block
+    pixel edits) pair up at small hamming, and the banded join returns
+    EXACTLY the brute-force pair set at the distance bound (pigeonhole
+    completeness — never a sample)."""
+    import itertools
+    import random
+
+    from my_cudf_spark.operators.multimodal import (
+        attach_payload,
+        dhash_signatures,
+        phash_neardup_pairs,
+    )
+
+    rng = random.Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    def doc(n=700):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    base = doc()
+    # near-dup: one 10-char stretch pushed to high byte values → flips the
+    # comparisons around one block only
+    near = base[:300] + "z" * 10 + base[310:]
+    rows = [(0, base), (1, near)] + [(i, doc()) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dhash_signatures(attach_payload(df), "doc_id")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(sigs, "doc_id", max_hamming=6).collect()
+    }
+    # brute force over the collected signatures
+    sig_map = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sig_map), 2):
+        h = bin(sig_map[a] ^ sig_map[b]).count("1")
+        if h <= 6:
+            want[(a, b)] = h
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] <= 6   # planted pair recalled
