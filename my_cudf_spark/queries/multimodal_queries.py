@@ -95,3 +95,52 @@ def mm_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     organic minimum hamming is 10/60)."""
     docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
     return M.dhash_signatures(docs, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "mm_phash_pairs",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, '') AS cs,
+                      CAST(length(text) AS BIGINT) AS n
+               FROM documents),
+    u AS (SELECT doc_id, n,
+                 CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS p,
+                 ord(unnest(cs)) AS v
+          FROM t),
+    blk AS (SELECT doc_id, CAST((p * 70) // n AS INT) AS k,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+            FROM u GROUP BY doc_id, CAST((p * 70) // n AS INT)),
+    bits AS (SELECT a.doc_id,
+                    CAST(SUM(CASE WHEN b.m > a.m
+                        THEN 1::BIGINT << CAST((a.k // 7) * 6 + (a.k % 7) AS INT)
+                        ELSE 0 END) AS BIGINT) AS sig
+             FROM blk a JOIN blk b
+               ON a.doc_id = b.doc_id AND b.k = a.k + 1 AND a.k % 7 < 6
+             GROUP BY a.doc_id),
+    s AS (SELECT t.doc_id, CAST(COALESCE(bits.sig, 0) AS BIGINT) AS sig
+          FROM t LEFT JOIN bits USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIRS by perceptual-hash hamming distance
+    (multimodal.phash_neardup_pairs over dhash_signatures): pigeonhole
+    banding — 13 bands of 4 bits for the ≤ 12 bound — generates
+    candidates with an equi-join per band, exact popcount verifies; the
+    oracle brute-forces every pair, so the driver row proves the banded
+    join is COMPLETE on real data (the banding guarantee, not just the
+    planted-image unit test).  The fixture corpus' closest signatures sit
+    at hamming 10-12 — organic weak near-dups — so the result is
+    non-trivially populated at every SF.  At 100 TB the same plan is the
+    scale path: bands shrink candidates to shared-prefix buckets and the
+    signature frame is KBs per million images; a production bound would
+    use max_hamming ≈ 3-6, tightening the buckets further."""
+    docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    sigs = M.dhash_signatures(docs, "doc_id")
+    return M.phash_neardup_pairs(sigs, "doc_id", max_hamming=12).orderBy(
+        "id_a", "id_b"
+    )
