@@ -294,36 +294,56 @@ def phash_neardup_pairs(
     """Near-duplicate image pairs by signature hamming distance ≤
     ``max_hamming`` — the multimodal leg of the dedup tier.
 
-    Candidate generation reuses the SimHash pigeonhole banding
-    (dedup.simhash_pairs): split the signature into ``max_hamming + 1``
-    bands; any pair within distance ``max_hamming`` agrees on ≥ 1 whole
-    band → per-band equi-join, exact popcount verify on candidates only.
-    COMPLETE (every qualifying pair, proven vs brute force in
-    tests/test_multimodal.py), never all-pairs — the same bucketed shape
-    as every other dedup operator here."""
-    from my_cudf_spark.operators.dedup import _pairs_in_buckets
+    Candidate generation is the SimHash pigeonhole banding: split the
+    signature into ``max_hamming + 1`` bands; any pair within distance
+    ``max_hamming`` agrees on ≥ 1 whole band (diffs land in ≤ max_hamming
+    bands) → per-band equi-join, exact popcount verify on candidates
+    only.  COMPLETE (every qualifying pair, proven vs brute force in
+    tests/test_multimodal.py AND vs the mm_phash_pairs brute-force
+    oracle), never all-pairs.
+
+    Plan shape: the (id, sig) projection is persisted once (signatures
+    are ~12 bytes/row — KBs per million images) and BANDED SELF-JOINED on
+    (band_idx, band_val) — unlike the collect_list pair expansion the
+    text dedup ops use, which is quadratic in ARRAY MATERIALIZATION per
+    bucket and assumes tiny buckets; wide hamming bounds make buckets
+    hundreds deep, where the hash self-join (shuffle ∝ banded rows, pairs
+    streamed through codegen, never held as an array) is several times
+    cheaper.  id_a < id_b is part of the join condition so the pair
+    stream halves before the popcount filter."""
+    from my_cudf_spark.plans.pin import lru_persist
 
     nbands = max_hamming + 1
     width = sig_bits // nbands
-    banded = sig_df.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sh"),
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                )
-                for i in range(nbands)
-            ])
-        ).alias("band_idx", "band_val"),
+    s = lru_persist(
+        sig_df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     )
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+
+    def banded(tag: str) -> DataFrame:
+        return s.select(
+            F.col("id").alias(f"id_{tag}"),
+            F.col("sh").alias(f"sh_{tag}"),
+            F.posexplode(
+                F.array(*[
+                    F.shiftrightunsigned(F.col("sh"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nbands)
+                ])
+            ).alias(f"bi_{tag}", f"bv_{tag}"),
+        )
+
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        _pairs_in_buckets(banded, ["band_idx", "band_val"], F.struct("id", "sh"))
+        banded("a")
+        .join(
+            banded("b"),
+            (F.col("bi_a") == F.col("bi_b"))
+            & (F.col("bv_a") == F.col("bv_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
-        )
+        .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )

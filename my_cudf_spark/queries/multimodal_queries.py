@@ -122,7 +122,7 @@ def mm_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= 12
+    WHERE bit_count(xor(a.sig, b.sig)) <= 11
     ORDER BY id_a, id_b
     """,
 )
@@ -133,14 +133,17 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates with an equi-join per band, exact popcount verifies; the
     oracle brute-forces every pair, so the driver row proves the banded
     join is COMPLETE on real data (the banding guarantee, not just the
-    planted-image unit test).  The fixture corpus' closest signatures sit
-    at hamming 10-12 — organic weak near-dups — so the result is
-    non-trivially populated at every SF.  At 100 TB the same plan is the
-    scale path: bands shrink candidates to shared-prefix buckets and the
-    signature frame is KBs per million images; a production bound would
-    use max_hamming ≈ 3-6, tightening the buckets further."""
+    planted-image unit test).  hamming ≤ 11: 12 bands of 5 bits — the
+    fixture corpus' closest signatures sit at 10-11, so the result is
+    non-trivially populated at every SF, while one more bound bit would
+    halve band width and ~4× the candidate volume (≤ 12 measured 2-4×
+    slower for only looser matches).  At 100 TB the same plan is
+    the scale path: the persisted signature frame is KBs per million
+    images and candidates stream through the banded self-join; a
+    production bound would use max_hamming ≈ 3-6, tightening buckets
+    further."""
     docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
     sigs = M.dhash_signatures(docs, "doc_id")
-    return M.phash_neardup_pairs(sigs, "doc_id", max_hamming=12).orderBy(
+    return M.phash_neardup_pairs(sigs, "doc_id", max_hamming=11).orderBy(
         "id_a", "id_b"
     )
