@@ -56,17 +56,16 @@ def _last_verified_round() -> dict[str, int]:
 # budget on unchanged backlog.  The boost EXPIRES once the driver
 # re-verifies at/after _PLAN_CHANGED_ROUND (a static set would otherwise
 # preempt the stale backlog forever); bump the round and refresh the set
-# whenever a green query's plan changes again.  (All r4/r5 names were
-# driver-re-verified in r05, so the r5 set is cleared.)
-_PLAN_CHANGED_ROUND = 6
+# whenever a green query's plan changes again.  (All r5/r6 names were
+# driver-re-verified in r06, so the r6 set is cleared.)
+_PLAN_CHANGED_ROUND = 7
 _PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
     {
-        # r6 edits: scd2 NULL-is_current coalesce (plan change) and the
-        # bucketed stateful-state NULL-key dtype normalization (Python fn
-        # rides in the plan for every bucketed stream query)
-        "cdc_scd2",
-        "stream_cdc_replay", "stream_cdc_merge_replay",
-        "stream_running_totals", "stream_topk_replay",
+        # r7 edits: t-digest bucketed-state restore now _norm_nullable-
+        # normalizes keys (Python fn rides in the plan), and
+        # cdc_merge_bucketed's warehouse-path setup was URI-hardened
+        "stream_quantile_replay",
+        "cdc_merge_bucketed",
     }
 )
 

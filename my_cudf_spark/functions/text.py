@@ -22,10 +22,15 @@ Reference parity:
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "classifier_features",
+    "classifier_logit",
+    "classifier_logit_bulk",
     "tokenize",
     "character_tokenize",
     "count_tokens",
@@ -234,6 +239,103 @@ def quality_score(col: Column | str) -> Column:
     return F.round(
         F.when(n > 0, (alpha / n) * 0.6 + wl_ok * 0.3 + F.least(n / 100.0, F.lit(1.0)) * 0.1).otherwise(F.lit(0.0)),
         6,
+    )
+
+
+def classifier_features(tokens: Column, max_n: int = 2) -> Column:
+    """fastText-style feature set: word unigrams plus word n-grams up to
+    ``max_n`` (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification" — the hashing-trick feature layout CCNet/Llama-style
+    quality classifiers apply at corpus scale).
+
+    Pass a MATERIALIZED token column (``_with_tokens`` convention), never
+    a generating expression — downstream lambdas re-evaluate their operand
+    per element."""
+    feats = tokens
+    for n in range(2, max_n + 1):
+        feats = F.concat(feats, word_ngrams(tokens, n))
+    return feats
+
+
+def classifier_logit(
+    features: Column,
+    weights_micro: Sequence[int],
+    bias_micro: int = 0,
+    hash_expr: Callable[[Column], Column] | None = None,
+) -> Column:
+    """Hashed linear classifier logit (model-based quality scoring, north
+    star): each feature gram hashes into ``len(weights_micro)`` buckets
+    (hashing trick) and the logit is ``bias + mean(weight[bucket(g)])`` —
+    the scalar-weight form of fastText's averaged-embedding linear layer.
+
+    Weights are INTEGER micro-units (1e-6), so the feature sum is an exact
+    integer fold — no float-accumulation-order sensitivity between engines
+    or between plan shapes — and only the final mean/bias arithmetic is
+    float (one division sequence, bit-identical cross-engine).  The weight
+    vector rides as an array literal: pure per-row whole-stage-codegen
+    expression, zero shuffle, zero UDF — the 100 TB path.  For models too
+    wide for a literal (real fastText uses ~2M buckets) use
+    :func:`classifier_logit_bulk`, the broadcast-join twin.
+
+    ``hash_expr`` defaults to xxhash64 (library fast path); pass
+    ``operators.dedup.md5_hash60`` for a DuckDB-replicable signature (the
+    SimHash oracle convention).  NULL/empty feature arrays yield NULL
+    (nothing scored)."""
+    w = len(weights_micro)
+    if w < 1:
+        raise ValueError("weights_micro must be non-empty")
+    h = hash_expr or F.xxhash64
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in weights_micro])
+    sum_micro = F.aggregate(
+        features,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(warr, (F.pmod(h(g), F.lit(w)) + 1).cast("int")),
+    )
+    return F.when(
+        F.size(features) > 0,
+        sum_micro.cast("double") / F.lit(1000000.0) / F.size(features)
+        + F.lit(bias_micro / 1e6),
+    )
+
+
+def classifier_logit_bulk(
+    df,
+    id_col: str,
+    features_col: str,
+    weights_df,
+    n_buckets: int,
+    bias_micro: int = 0,
+    hash_expr: Callable[[Column], Column] | None = None,
+):
+    """Broadcast-join twin of :func:`classifier_logit` for wide models:
+    explode features, hash to buckets, broadcast-join the ``(bucket,
+    w_micro)`` weight table, per-doc integer sum — one shuffle (the
+    per-doc groupBy), weight table never shuffled.  Missing buckets weigh
+    0 (a sparse model's implicit zeros).  Returns ``id_col, n_feat,
+    logit`` — bit-identical to the literal path (same integer sum, same
+    final float sequence)."""
+    h = hash_expr or F.xxhash64
+    exploded = df.select(
+        F.col(id_col),
+        F.size(features_col).alias("__nf"),
+        F.explode(features_col).alias("__g"),
+    ).withColumn("__bkt", F.pmod(h(F.col("__g")), F.lit(n_buckets)).cast("int"))
+    joined = exploded.join(
+        F.broadcast(weights_df.select(F.col("bucket").alias("__bkt"), "w_micro")),
+        "__bkt",
+        "left",
+    )
+    agg = joined.groupBy(id_col, "__nf").agg(
+        F.sum(F.coalesce(F.col("w_micro"), F.lit(0)).cast("long")).alias("__sm")
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("__nf").cast("long").alias("n_feat"),
+        (
+            F.col("__sm").cast("double") / F.lit(1000000.0) / F.col("__nf")
+            + F.lit(bias_micro / 1e6)
+        ).alias("logit"),
     )
 
 

@@ -314,7 +314,18 @@ def phash_neardup_pairs(
     from my_cudf_spark.plans.pin import lru_persist
 
     nbands = max_hamming + 1
+    if nbands > sig_bits:
+        # width 0 would band every signature into the same bucket — a
+        # silent all-pairs cross join.  A bound that wide is all-pairs by
+        # construction; make the caller say so explicitly.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {nbands} bands but the "
+            f"signature has only {sig_bits} bits; banding degenerates"
+        )
     width = sig_bits // nbands
+    extra = sig_bits % nbands  # first `extra` bands take one bit more
+    offs = [i * width + min(i, extra) for i in range(nbands + 1)]
+    offs[-1] = sig_bits
     s = lru_persist(
         sig_df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     )
@@ -325,8 +336,8 @@ def phash_neardup_pairs(
             F.col("sh").alias(f"sh_{tag}"),
             F.posexplode(
                 F.array(*[
-                    F.shiftrightunsigned(F.col("sh"), i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
+                    F.shiftrightunsigned(F.col("sh"), offs[i]).bitwiseAND(
+                        F.lit((1 << (offs[i + 1] - offs[i])) - 1)
                     )
                     for i in range(nbands)
                 ])

@@ -22,7 +22,12 @@ from pyspark.storagelevel import StorageLevel
 
 __all__ = ["lru_persist", "release_persisted"]
 
-_CACHE: OrderedDict[int, DataFrame] = OrderedDict()
+# key -> list of distinct-plan frames sharing that 32-bit semanticHash.
+# A list (not single occupant) so two live plans that collide don't thrash
+# persist/unpersist on every alternating call; genuine collisions are rare
+# so the inner list is ~always length 1.
+_CACHE: OrderedDict[int, list[DataFrame]] = OrderedDict()
+collision_count = 0  # observability: distinct-plan hash collisions seen
 # Sized for the largest COMPOSED pipeline stage, not one query: a curation
 # stage can hold 2 token projections (bm25 + LM) + 4 gram frames (dedup
 # pair builders) + a semantic-dedup assignment at once; eviction before a
@@ -35,36 +40,37 @@ _CACHE_CAP = 12
 def lru_persist(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK) under its semantic hash, reusing a
     live identical frame when one exists; bounded LRU eviction."""
+    global collision_count
     try:
         key = df.semanticHash()
     except Exception:  # pragma: no cover — defensive: hash failure disables reuse
         key = id(df)
-    hit = _CACHE.get(key)
-    if hit is not None:
+    bucket = _CACHE.get(key)
+    if bucket is not None:
         # semanticHash is 32-bit — a collision between two DIFFERENT plans
         # would silently return the wrong frame (wrong results, not a perf
         # miss), so a hit must confirm plan equality before reuse.
-        try:
-            same = df.sameSemantics(hit)
-        except Exception:  # pragma: no cover — defensive, treat as miss
-            same = False
-        if same:
-            _CACHE.move_to_end(key)
-            return hit
-        # collision: evict the old occupant before the slot is reused
-        try:
-            hit.unpersist()
-        except Exception:
-            pass
-        del _CACHE[key]
+        for hit in bucket:
+            try:
+                same = df.sameSemantics(hit)
+            except Exception:  # pragma: no cover — defensive, treat as miss
+                same = False
+            if same:
+                _CACHE.move_to_end(key)
+                return hit
+        # distinct plan under the same hash: keep BOTH (append, don't
+        # evict) so alternating callers each stay cached.
+        collision_count += 1
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHE[key] = df
-    while len(_CACHE) > _CACHE_CAP:
-        _, old = _CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    _CACHE.setdefault(key, []).append(df)
+    _CACHE.move_to_end(key)
+    while sum(len(b) for b in _CACHE.values()) > _CACHE_CAP:
+        _, olds = _CACHE.popitem(last=False)
+        for old in olds:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
     return df
 
 
@@ -72,11 +78,12 @@ def release_persisted() -> int:
     """Unpersist every frame in the LRU (call once consumers finish, e.g.
     at the end of a pipeline stage).  Returns the number released."""
     n = 0
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
+    for bucket in _CACHE.values():
+        for df in bucket:
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:  # session already stopped — nothing to release
+                pass
     _CACHE.clear()
     return n

@@ -228,12 +228,21 @@ def cdc_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivially exercised."""
     import os
     import shutil
+    from urllib.parse import unquote, urlparse
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     tb = f"cust_mrg_bq_{tag}"
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # DROP TABLE removes a managed table's files, but a PRIOR session's
+    # leftover directory (metastore is per-session, spark-warehouse is
+    # not) still trips LOCATION_ALREADY_EXISTS — hence the rmtree.  Parse
+    # the conf as a URI: bare paths, file:/p and file:///p all yield the
+    # plain filesystem path (removeprefix("file:") left a
+    # scheme-relative //p for file://host URIs).
+    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    wh = unquote(wh_uri.path) if wh_uri.scheme in ("", "file") else None
     spark.sql(f"DROP TABLE IF EXISTS {tb}")
-    shutil.rmtree(os.path.join(wh, tb), ignore_errors=True)
+    if wh:
+        shutil.rmtree(os.path.join(wh, tb), ignore_errors=True)
     (
         load_table(spark, sf_dir, "customer")
         .write.mode("overwrite")

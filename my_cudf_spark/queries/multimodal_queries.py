@@ -129,15 +129,15 @@ def mm_phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup PAIRS by perceptual-hash hamming distance
     (multimodal.phash_neardup_pairs over dhash_signatures): pigeonhole
-    banding — 13 bands of 4 bits for the ≤ 12 bound — generates
-    candidates with an equi-join per band, exact popcount verifies; the
-    oracle brute-forces every pair, so the driver row proves the banded
-    join is COMPLETE on real data (the banding guarantee, not just the
-    planted-image unit test).  hamming ≤ 11: 12 bands of 5 bits — the
-    fixture corpus' closest signatures sit at 10-11, so the result is
-    non-trivially populated at every SF, while one more bound bit would
-    halve band width and ~4× the candidate volume (≤ 12 measured 2-4×
-    slower for only looser matches).  At 100 TB the same plan is
+    banding — the shipped hamming ≤ 11 bound splits the 60-bit signature
+    into 12 bands of 5 bits — generates candidates with an equi-join per
+    band, exact popcount verifies; the oracle brute-forces every pair, so
+    the driver row proves the banded join is COMPLETE on real data (the
+    banding guarantee, not just the planted-image unit test).  ≤ 11 was
+    chosen because the fixture corpus' closest signatures sit at 10-11,
+    so the result is non-trivially populated at every SF; the
+    tried-and-rejected ≤ 12 bound (13 bands of 4 bits) measured 2-4×
+    slower — ~4× the candidate volume for only looser matches.  At 100 TB the same plan is
     the scale path: the persisted signature frame is KBs per million
     images and candidates stream through the banded self-join; a
     production bound would use max_hamming ≈ 3-6, tightening buckets

@@ -237,23 +237,55 @@ def _quantile_digest_bucketed(
         n_seen: dict[tuple, int] = {}
         if state.exists:
             arrays = state.get
-            cent = pd.DataFrame(
-                {
-                    **{f"k{i}": arrays[i] for i in range(nk)},
-                    "m": arrays[nk],
-                    "w": arrays[nk + 1],
-                }
+            # Restored Arrow arrays round-trip through pandas: an Int key
+            # array holding None coerces to float64 (1 -> 1.0) unless
+            # re-normalized to the Spark-derived nullable dtype — same
+            # discipline as _latest_state_bucketed's restore path.
+            cent = _norm_nullable(
+                pd.DataFrame(
+                    {
+                        **{f"k{i}": arrays[i] for i in range(nk)},
+                        "m": arrays[nk],
+                        "w": arrays[nk + 1],
+                    }
+                ),
+                {f"k{i}": typ[k] for i, k in enumerate(keys)},
             )
             for kt, grp in cent.groupby([f"k{i}" for i in range(nk)], dropna=False):
                 if not isinstance(kt, tuple):
                     kt = (kt,)
-                kt = tuple(None if pd.isna(v) else v for v in kt)
+                # plain Python scalars (same as the batch path): these key
+                # values flow back INTO state.update, and numpy scalars
+                # don't survive the state pickle round-trip to the JVM
+                kt = tuple(
+                    None
+                    if pd.isna(v)
+                    else (v.item() if hasattr(v, "item") else v)
+                    for v in kt
+                )
                 digests[kt] = (
                     grp["m"].to_numpy(np.float64),
                     grp["w"].to_numpy(np.float64),
                 )
-            for row in zip(*arrays[nk + 2 :]):
-                kt = tuple(None if pd.isna(v) else v for v in row[:nk])
+            seen_pdf = _norm_nullable(
+                pd.DataFrame(
+                    {
+                        **{
+                            f"k{i}": arrays[nk + 2 + i]
+                            for i in range(nk)
+                        },
+                        "n": arrays[nk + 2 + nk],
+                    }
+                ),
+                {f"k{i}": typ[k] for i, k in enumerate(keys)},
+            )
+            for row in seen_pdf.itertuples(index=False):
+                kt = tuple(
+                    None
+                    if pd.isna(v)
+                    else (v.item() if hasattr(v, "item") else v)
+                    for v in row[:nk]
+                )
                 n_seen[kt] = int(row[nk])
         batch = [pdf for pdf in pdfs if len(pdf)]
         if not batch:

@@ -85,5 +85,13 @@ def test_phash_neardup_planted_recall_and_banding_completeness(spark):
         h = bin(sig_map[a] ^ sig_map[b]).count("1")
         if h <= 6:
             want[(a, b)] = h
+    # NB: max_hamming=6 → 7 bands over 60 bits is the NON-DIVISIBLE
+    # geometry — the remainder bits are distributed across the first four
+    # bands, so this equality also proves every bit participates
     assert got == want
     assert (0, 1) in got and got[(0, 1)] <= 6   # planted pair recalled
+
+    # degenerate geometry (more bands than bits) must refuse loudly — a
+    # zero-width band silently becomes an all-pairs cross join
+    with pytest.raises(ValueError, match="band"):
+        phash_neardup_pairs(sigs, "doc_id", max_hamming=60, sig_bits=60)

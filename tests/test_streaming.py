@@ -576,6 +576,31 @@ def test_bucketed_state_null_keys(spark):
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
+    # quantile_digest: NULL key keeps its own digest across batches (the
+    # restored-state key arrays are re-normalized — r6 advice: without
+    # _norm_nullable the Arrow→pandas restore coerced Int64-with-None to
+    # float64, so cross-batch merge relied on accidental 1.0 == 1 hashing)
+    from my_cudf_spark.streaming.quantiles import quantile_digest
+
+    stream, wd = _replay()
+    try:
+        drained = S.run_to_memory(
+            quantile_digest(stream, ["k"], "v", qs=[0.5], buckets=2),
+            "nullkey_qd", output_mode="update",
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("n_seen"))
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        batch = quantile_digest(batch_df, ["k"], "v", qs=[0.5])
+        assert _rows(final, "k") == _rows(batch, "k")
+        # few points/key → t-digest is exact: both keys span two batches,
+        # so a dropped cross-batch merge would show n_seen == 1
+        assert _rows(final, "k") == [(None, 2, 6.0), (1, 2, 20.0)]
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
 
 def test_tdigest_core_properties():
     """Digest core (no Spark): bounded size, deterministic, rank error far
