@@ -38,6 +38,83 @@ from my_cudf_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# ---------------------------------------------------------------------------
+# Host-epoch calibration (round-6 verdict item #2).
+#
+# Host speed drifts 15-25% between measurement windows ("epochs") on
+# identical plans, so a raw ratio-to-baseline conflates plan changes with
+# host weather.  SENTINELS is a pinned set of queries whose plans have
+# NEVER changed since their round-2 baseline rows (tpch/ndsh/agg/fn
+# staples, all ≥ 0.8 s — sub-second rows are pure noise): the median of
+# their ratio-to-baseline in any bench run measures the HOST, not the
+# code.  Every snapshot stores its factor; ratios can then be reported
+# both raw and normalized (time ÷ calibration ≈ r2-epoch-equivalent
+# seconds).  Baseline rows recorded in LATER epochs are mapped back to
+# the r2 scale with ROUND_EPOCH_CAL — the median snapshot calibration of
+# the round they were recorded in, computed from the committed BENCH_RUNS
+# history (rounds 2-4 predate snapshots and define the 1.0 epoch; rows
+# recorded from r7 on carry their own ``cal=`` in the BASELINE.md
+# annotation, written from calibration_this_run).
+# ---------------------------------------------------------------------------
+SENTINELS = [
+    "agg_covar_spearman",
+    "agg_kendall",
+    "agg_product",
+    "agg_quantiles",
+    "agg_var_corr",
+    "fn_json",
+    "fn_month_sequence",
+    "ndsh_q1",
+    "ndsh_q5",
+    "ndsh_q9",
+    "tpch_q18",
+    "tpch_q21",
+]
+# median sentinel calibration of each round's committed snapshots
+# (r5: 8 snapshots, 0.7386; r6: 10 snapshots, 0.7865); r2-r4 = 1.0.
+ROUND_EPOCH_CAL = {5: 0.7386, 6: 0.7865}
+
+
+def baseline_rows(path: str | None = None) -> dict[str, tuple[float, float]]:
+    """BASELINE.md rows → {query: (seconds, epoch_cal)} where epoch_cal
+    maps the row's recording epoch to the r2 scale: an explicit ``cal=``
+    in the annotation wins, else ROUND_EPOCH_CAL of the recorded round."""
+    import re
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    rows: dict[str, tuple[float, float]] = {}
+    for line in open(path):
+        m = re.match(
+            r"\|\s*(\w+)\s*\|\s*([0-9.]+)\s*\|\s*local\[32\], sf0\.1[^|]*\|([^|]*)\|",
+            line,
+        )
+        if not m:
+            continue
+        note = m.group(3)
+        mc = re.search(r"cal=([0-9.]+)", note)
+        if mc:
+            cal = float(mc.group(1))
+        else:
+            mr = re.search(r"(?:re-)?recorded r(\d+)", note)
+            cal = ROUND_EPOCH_CAL.get(int(mr.group(1)), 1.0) if mr else 1.0
+        rows[m.group(1)] = (float(m.group(2)), cal)
+    return rows
+
+
+def calibration_factor(
+    timings: dict[str, float], base: dict[str, tuple[float, float]]
+) -> float | None:
+    """Median sentinel ratio-to-baseline of one run — the host-speed
+    factor for that measurement window (None when the run does not cover
+    enough sentinels, e.g. protocol unit tests)."""
+    ratios = [
+        timings[q] / base[q][0] for q in SENTINELS if q in timings and q in base
+    ]
+    if len(ratios) < 3:
+        return None
+    return round(statistics.median(ratios), 4)
 # Streaming replays carry state-store open/commit + micro-batch scheduling
 # jitter (observed cross-run spreads up to 4x on stream_join_replay); a
 # median of 5 instead of 3 keeps one outlier batch from moving the
@@ -55,12 +132,24 @@ HISTORY = int(os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "5"))
 
 def _cross_run_medians(
     timings: dict[str, float], sf_val, cpus: int
-) -> tuple[dict[str, float], int, dict[str, int]]:
+) -> tuple[dict[str, float], int, dict[str, int], dict[str, float], float | None]:
     """Snapshot this run under BENCH_RUNS/ and return (per-query medians
     across the newest <= HISTORY runs at the same (sf, cpus), number of
-    runs merged, per-query backing-run counts).  A query missing from
-    older snapshots (newly added) medians over the runs that have it."""
-    snap = {"ts": time.time(), "sf": sf_val, "cpus": cpus, "queries": timings}
+    runs merged, per-query backing-run counts, per-query NORMALIZED
+    medians, this run's calibration).  A query missing from older
+    snapshots (newly added) medians over the runs that have it.  The
+    normalized median divides each run's time by that run's own sentinel
+    calibration (stored in the snapshot; recomputed for pre-calibration
+    snapshots) — r2-epoch-equivalent seconds, host weather removed."""
+    base = baseline_rows()
+    cal = calibration_factor(timings, base)
+    snap = {
+        "ts": time.time(),
+        "sf": sf_val,
+        "cpus": cpus,
+        "queries": timings,
+        "calibration": cal,
+    }
     fname = f"run-{int(snap['ts'])}-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
     try:
         os.makedirs(RUNS_DIR, exist_ok=True)
@@ -86,13 +175,23 @@ def _cross_run_medians(
         runs.extend(candidates[: HISTORY - 1])
     except OSError:
         pass
+    cals = [
+        r.get("calibration") or calibration_factor(r.get("queries", {}), base) or 1.0
+        for r in runs
+    ]
     merged = {}
     backing = {}
+    normalized = {}
     for q in timings:
-        vals = [r["queries"][q] for r in runs if q in r.get("queries", {})]
-        merged[q] = round(statistics.median(vals), 4)
+        vals = [
+            (r["queries"][q], c)
+            for r, c in zip(runs, cals)
+            if q in r.get("queries", {})
+        ]
+        merged[q] = round(statistics.median(v for v, _ in vals), 4)
+        normalized[q] = round(statistics.median(v / c for v, c in vals), 4)
         backing[q] = len(vals)
-    return merged, len(runs), backing
+    return merged, len(runs), backing, normalized, cal
 
 
 def main() -> None:
@@ -123,7 +222,9 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    merged, runs_used, backing = _cross_run_medians(timings, sf_val, cpus)
+    merged, runs_used, backing, normalized, cal = _cross_run_medians(
+        timings, sf_val, cpus
+    )
     result = {
         "metric": "total_query_sec",
         "value": round(sum(merged.values()), 4),
@@ -136,6 +237,12 @@ def main() -> None:
         # added after older snapshots) — a 1-run-backed median is visible
         "runs_per_query": {q: n for q, n in backing.items() if n != runs_used},
         "queries_this_run": timings,
+        # host-epoch calibration (see SENTINELS): this run's sentinel
+        # median ratio-to-baseline, and per-query cross-run medians in
+        # r2-epoch-equivalent seconds (each run divided by its own factor)
+        "calibration_this_run": cal,
+        "queries_normalized": normalized,
+        "value_normalized": round(sum(normalized.values()), 4),
     }
     print(json.dumps(result))
     # Durable copy: stdout tail capture can truncate the head of the

@@ -45,6 +45,7 @@ __all__ = [
     "image_features",
     "resize_gray",
     "frame_sample",
+    "audio_landmarks",
 ]
 
 
@@ -357,4 +358,68 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def audio_landmarks(
+    df: DataFrame,
+    id_col: str,
+    decoder: Callable[[bytes, Any], Any] = raw_gray_decoder,
+) -> DataFrame:
+    """Spectral landmark fingerprints per audio clip (Shazam-style
+    peak-pair hashing, Wang 2003) — the audio leg of the multimodal dedup
+    tier.
+
+    The payload is framed into non-overlapping 4-sample windows and each
+    frame gets its DFT energies at bins k=1 and k=2.  Window 4 is the one
+    width where those bins' twiddle factors are all in {-1, 0, 1}
+    (cos/sin of multiples of π/2), so the spectrum is EXACT integer
+    arithmetic — e1 = (x0−x2)² + (x1−x3)², e2 = (x0−x1+x2−x3)² — making
+    the whole fingerprint SQL-replicable (the dHash convention: design
+    the signature so the oracle can recompute it bit-for-bit).  A real
+    deployment swaps the frame transform for np.fft.rfft over 1024-sample
+    windows behind the same decoder seam; everything downstream
+    (landmark pairing, inverted-index join) is unchanged.
+
+    Each frame contributes its dominant bin b and that bin's energy; a
+    LANDMARK is the pair of adjacent frames' (b, energy) peaks —
+    ``"b:e>b':e'"`` — the anchor→target peak pairing that makes Shazam
+    fingerprints robust: one corrupted sample invalidates at most two
+    landmarks out of n/4.  Output is (id, lms array<string>); feed to
+    ``dedup.neardup_pairs_exact`` for Jaccard pairing via the
+    inverted-index join (posting lists are short because exact energies
+    are high-entropy — the property the 100 TB join shape needs).
+
+    One Arrow-batched mapInPandas pass; clips shorter than 2 frames yield
+    an empty landmark set (nothing fingerprintable, row preserved)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_ids, out_lms = [], []
+            for rid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["media_meta"]
+            ):
+                x = np.asarray(decoder(payload, meta)).ravel().astype(np.int64)
+                nfr = x.size // 4
+                lms: list[str] = []
+                if nfr >= 2:
+                    fr = x[: nfr * 4].reshape(nfr, 4)
+                    re1 = fr[:, 0] - fr[:, 2]
+                    im1 = fr[:, 1] - fr[:, 3]
+                    re2 = fr[:, 0] - fr[:, 1] + fr[:, 2] - fr[:, 3]
+                    e1 = re1 * re1 + im1 * im1
+                    e2 = re2 * re2
+                    dom = e1 >= e2  # tie → lower bin, matching the oracle
+                    b = np.where(dom, 1, 2)
+                    ed = np.where(dom, e1, e2)
+                    toks = [f"{b[t]}:{ed[t]}" for t in range(nfr)]
+                    lms = [f"{toks[t]}>{toks[t + 1]}" for t in range(nfr - 1)]
+                out_ids.append(rid)
+                out_lms.append(lms)
+            yield pd.DataFrame({id_col: out_ids, "lms": out_lms})
+
+    return df.select(id_col, "payload", "media_meta").mapInPandas(
+        run, schema=f"{id_col} long, lms array<string>"
     )

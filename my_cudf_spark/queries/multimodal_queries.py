@@ -147,3 +147,54 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.phash_neardup_pairs(sigs, "doc_id", max_hamming=11).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "mm_audio_pairs",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+    u AS (SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS p,
+                 ord(unnest(cs)) AS v
+          FROM t),
+    fr AS (SELECT doc_id, p // 4 AS k,
+                  CAST(SUM(CASE p % 4 WHEN 0 THEN v WHEN 2 THEN -v ELSE 0 END) AS BIGINT) AS re1,
+                  CAST(SUM(CASE p % 4 WHEN 1 THEN v WHEN 3 THEN -v ELSE 0 END) AS BIGINT) AS im1,
+                  CAST(SUM(CASE p % 4 WHEN 1 THEN -v WHEN 3 THEN -v ELSE v END) AS BIGINT) AS re2
+           FROM u GROUP BY doc_id, p // 4 HAVING COUNT(*) = 4),
+    en AS (SELECT doc_id, k, re1*re1 + im1*im1 AS e1, re2*re2 AS e2 FROM fr),
+    tok AS (SELECT a.doc_id,
+                   (CASE WHEN a.e1 >= a.e2 THEN '1:' || a.e1 ELSE '2:' || a.e2 END)
+                   || '>' ||
+                   (CASE WHEN b.e1 >= b.e2 THEN '1:' || b.e1 ELSE '2:' || b.e2 END) AS lm
+            FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.k = a.k + 1),
+    sets AS (SELECT doc_id, list_distinct(list(lm)) AS lms FROM tok GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.lms, b.lms)) AS inter,
+                 len(a.lms) AS n_a, len(b.lms) AS n_b
+          FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by spectral landmark fingerprint
+    (multimodal.audio_landmarks — Shazam-style peak-pair hashing over
+    exact-integer 4-sample DFT frames, decoded in one Arrow-batched
+    mapInPandas pass) paired with the inverted-index Jaccard join
+    (dedup.neardup_pairs_exact): landmark tokens are high-entropy exact
+    energies, so posting lists stay short and the join shape is bucketed,
+    never all-pairs.  The oracle recomputes every landmark with integer
+    SQL (window-4 twiddle factors are all in {-1,0,1} — the dHash
+    convention) and brute-forces every pair, so the driver row proves
+    both the fingerprint formula and the inverted-index completeness on
+    real data.  Planted-perturbation recall is additionally asserted in
+    tests/test_multimodal.py."""
+    from my_cudf_spark.operators import dedup as D
+
+    docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    lms = M.audio_landmarks(docs, "doc_id")
+    return (
+        D.neardup_pairs_exact(lms, "doc_id", F.col("lms"), threshold=0.8)
+        .orderBy("id_a", "id_b")
+    )

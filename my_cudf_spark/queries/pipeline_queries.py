@@ -122,3 +122,101 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+def _model_pipeline_sql() -> str:
+    """PIPELINE_SQL with the model-based quality stage (r7) spliced in
+    between the heuristic filter and dedup — same fragments as the
+    text_quality_model oracle."""
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_NBUCKETS,
+        _QM_W_SQL,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         {SQL_QUALITY} AS quality,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM (SELECT doc_id, source, text, length(text) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+        FROM documents)
+  WHERE {SQL_QUALITY} >= {QUALITY_MIN}),
+feats AS (
+  SELECT doc_id,
+         list_concat(toks, list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS feats
+  FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM scored)),
+modeled AS (
+  SELECT s.* FROM scored s JOIN feats f USING (doc_id)
+  WHERE len(f.feats) > 0
+    AND list_sum(list_transform(f.feats,
+          g -> ({_QM_W_SQL})[(('0x' || substr(md5(g), 1, 15))::BIGINT % {_QM_NBUCKETS}) + 1]))::DOUBLE
+        / 1000000.0 / len(f.feats) + ({_QM_BIAS_MICRO}::DOUBLE / 1000000.0) > 0),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM})
+                                 ORDER BY doc_id) AS rk
+    FROM modeled) WHERE rk = 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       {sql_dec2dbl('SUM(CAST(quality AS DECIMAL(10,6)))')} / COUNT(*) AS avg_quality
+FROM deduped GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_curation_model", sql=_model_pipeline_sql())
+def pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline with the TRAINED-classifier stage (r7 north
+    star): heuristic quality filter → model-based quality filter
+    (text.classifier_logit over hashed unigram+bigram features, logit > 0
+    — the CCNet/Gopher/Llama stage order: cheap heuristics first, the
+    model on the survivors) → exact dedup (keep-first) → per-source
+    corpus accounting.  One lazy DAG, one documents scan; the classifier
+    is pure whole-stage-codegen Column arithmetic, so the added stage
+    costs one projection, no shuffle, no UDF."""
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_WEIGHTS,
+        _norm_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+    feat = scored.withColumn("toks", _norm_tokens()).withColumn(
+        "feats", T.classifier_features(F.col("toks"), max_n=2)
+    )
+    from my_cudf_spark.operators.dedup import md5_hash60
+
+    modeled = feat.filter(
+        T.classifier_logit(
+            F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=md5_hash60
+        )
+        > 0
+    ).drop("toks", "feats")
+    w = Window.partitionBy(F.md5(T.normalize_text("text"))).orderBy("doc_id")
+    deduped = (
+        modeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )

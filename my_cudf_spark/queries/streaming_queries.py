@@ -723,3 +723,63 @@ def stream_semantic_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "cell", "keep")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "stream_phash_replay",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, '') AS cs,
+                      CAST(length(text) AS BIGINT) AS n
+               FROM documents),
+    u AS (SELECT doc_id, n,
+                 CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS p,
+                 ord(unnest(cs)) AS v
+          FROM t),
+    blk AS (SELECT doc_id, CAST((p * 70) // n AS INT) AS k,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+            FROM u GROUP BY doc_id, CAST((p * 70) // n AS INT)),
+    bits AS (SELECT a.doc_id,
+                    CAST(SUM(CASE WHEN b.m > a.m
+                        THEN 1::BIGINT << CAST((a.k // 7) * 6 + (a.k % 7) AS INT)
+                        ELSE 0 END) AS BIGINT) AS sig
+             FROM blk a JOIN blk b
+               ON a.doc_id = b.doc_id AND b.k = a.k + 1 AND a.k % 7 < 6
+             GROUP BY a.doc_id),
+    s AS (SELECT t.doc_id, CAST(COALESCE(bits.sig, 0) AS BIGINT) AS sig
+          FROM t LEFT JOIN bits USING (doc_id))
+    SELECT a.doc_id,
+           NOT EXISTS (SELECT 1 FROM s b WHERE b.doc_id < a.doc_id
+                       AND bit_count(xor(a.sig, b.sig)) <= 11) AS keep
+    FROM s a ORDER BY a.doc_id
+    """,
+)
+def stream_phash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perceptual-hash image dedup (streaming/phash — the
+    incremental twin of mm_phash_pairs, closing the image×stream cell of
+    the dedup matrix): the documents fixture replayed as 4 micro-batch
+    image payloads, each batch decoded to 60-bit dHash signatures in one
+    Arrow-batched mapInPandas pass (multimodal.dhash_signatures — decode
+    runs ON THE STREAM), then every arrival judged against cross-batch
+    banded-signature state — dropped when a lower-id image within hamming
+    ≤ 11 was already ingested, with late-arriving lower ids REVOKING
+    earlier keeps so the end state is arrival-order independent and equals
+    the plain EXISTS over brute-forced pairs the oracle runs.  State is a
+    distributed inverted band index (12 bands × 5 bits, the
+    mm_phash_pairs geometry) in hash(band)%8 bucketed state rows; each
+    image's per-bucket verdicts fold with bool_and."""
+    from my_cudf_spark.operators import multimodal as M
+    from my_cudf_spark.streaming.phash import stream_phash_dedup
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
+    sigs = M.dhash_signatures(M.attach_payload(stream), "doc_id")
+    verdicts = stream_phash_dedup(
+        sigs, "doc_id", "sig", max_hamming=11, sig_bits=60, buckets=8
+    )
+    updates = _drain(verdicts, "phash", work_dir, output_mode="update")
+    return (
+        updates.groupBy("id")
+        .agg(F.bool_and("keep").alias("keep"))
+        .select(F.col("id").alias("doc_id"), "keep")
+        .orderBy("doc_id")
+    )

@@ -340,6 +340,74 @@ def text_minhash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
 
+# Model-based quality scoring (north star): a fastText-style hashed
+# linear classifier (Joulin et al. 2016) — the TRAINED-classifier stage
+# CCNet/Gopher/Llama curation applies after heuristic filtering.  The
+# weight vector below stands in for any trained linear model: fixed
+# seeded draws shared VERBATIM by the Spark literal array and the SQL
+# oracle, integer micro-units so the feature sum is exact in both engines.
+import random as _qm_random
+
+_QM_RNG = _qm_random.Random(1009)
+_QM_NBUCKETS = 64
+_QM_WEIGHTS = [_QM_RNG.randrange(-900000, 900001) for _ in range(_QM_NBUCKETS)]
+_QM_BIAS_MICRO = 75000  # centers the fixture logit distribution near 0
+_QM_W_SQL = "[" + ", ".join(f"{w}::BIGINT" for w in _QM_WEIGHTS) + "]"
+
+
+@register(
+    "text_quality_model",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id,
+                 list_concat(toks, list_transform(range(1, len(toks)),
+                                                  i -> toks[i] || ' ' || toks[i+1])) AS feats
+          FROM t),
+    s AS (SELECT doc_id, len(feats) AS nf,
+                 list_sum(list_transform(feats,
+                   g -> ({_QM_W_SQL})[(('0x' || substr(md5(g), 1, 15))::BIGINT % {_QM_NBUCKETS}) + 1])) AS sm
+          FROM f),
+    l AS (SELECT doc_id, nf,
+                 CASE WHEN nf > 0
+                      THEN sm::DOUBLE / 1000000.0 / nf + ({_QM_BIAS_MICRO}::DOUBLE / 1000000.0)
+                 END AS logit
+          FROM s)
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_feat, ROUND(logit, 6) AS logit,
+           CAST(CASE WHEN logit IS NULL THEN NULL
+                     WHEN logit > 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM l ORDER BY doc_id
+    """,
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: hashed linear classifier
+    (text.classifier_logit) over word unigram+bigram features — the
+    fastText scoring layout, pure whole-stage-codegen Column exprs, zero
+    UDF, zero shuffle.
+
+    Oracle-exact because (a) the gram hash is md5-derived
+    (dedup.md5_hash60, the SimHash convention) so DuckDB recomputes every
+    bucket index bit-for-bit, (b) weights are integer micro-units so the
+    feature sum is an exact integer fold in both engines, and (c) the
+    only float arithmetic is one division sequence + bias add, identical
+    IEEE ops in both.  ``keep`` is the logit>0 threshold filter a real
+    pipeline would apply.  The xxhash64 default and the broadcast-join
+    bulk twin (classifier_logit_bulk) are unit-tested bit-identical."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = docs.withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
+    scored = docs.withColumn(
+        "__logit",
+        T.classifier_logit(
+            F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=D.md5_hash60
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        F.size("feats").cast("long").alias("n_feat"),
+        F.round("__logit", 6).alias("logit"),
+        (F.col("__logit") > 0).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
 @register(
     "text_stemmer",
     sql="""

@@ -248,3 +248,80 @@ def test_bm25_hand_computed(spark):
     assert out == {1: (1, round(s1, 6))}
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(df, ["id"], "t", [])
+
+
+def test_classifier_logit_hand_computed(spark):
+    """3-token doc, 4 buckets: the hashed-mean logit closed by hand."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.functions.text import classifier_features, classifier_logit
+
+    W = [100000, -200000, 300000, -400000]  # micro-units
+    df = spark.createDataFrame([(1, ["aa", "bb"])], "id int, toks array<string>")
+    df = df.withColumn("feats", classifier_features(F.col("toks"), max_n=2))
+    out = df.select(
+        "id", F.col("feats"), classifier_logit(F.col("feats"), W, bias_micro=50000).alias("lg")
+    ).collect()[0]
+    # feats = [aa, bb, "aa bb"]; replicate bucket math with Spark's xxhash64
+    feats = out["feats"]
+    assert feats == ["aa", "bb", "aa bb"]
+    hs = spark.createDataFrame([(g,) for g in feats], "g string").select(
+        F.pmod(F.xxhash64("g"), F.lit(4)).cast("int").alias("b")
+    ).collect()
+    exp = sum(W[r["b"]] for r in hs) / 1e6 / 3 + 0.05
+    assert abs(out["lg"] - exp) < 1e-12
+
+
+def test_classifier_logit_null_and_empty(spark):
+    """NULL tokens -> NULL logit; empty feature set -> NULL (nothing scored)."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.functions.text import classifier_logit
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, []), (3, None)], "id int, feats array<string>"
+    )
+    out = {r["id"]: r["lg"] for r in df.select(
+        "id", classifier_logit(F.col("feats"), [7000000], bias_micro=0).alias("lg")
+    ).collect()}
+    assert out[1] == 7.0
+    assert out[2] is None and out[3] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        classifier_logit(F.col("feats"), [])
+
+
+def test_classifier_bulk_matches_literal(spark):
+    """classifier_logit_bulk (broadcast-join wide-model twin) is
+    bit-identical to the literal-array path on the documents fixture."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.functions.text import (
+        classifier_features,
+        classifier_logit,
+        classifier_logit_bulk,
+    )
+    from my_cudf_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    W = [((i * 2654435761) % 1600001) - 800000 for i in range(64)]
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    docs = docs.withColumn("toks", F.split(F.trim(F.lower("text")), r"\s+"))
+    docs = docs.withColumn("feats", classifier_features(F.col("toks"), max_n=2))
+    lit = docs.select(
+        "doc_id",
+        F.size("feats").cast("long").alias("n_feat"),
+        classifier_logit(F.col("feats"), W, bias_micro=123000).alias("logit"),
+    )
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(W)], "bucket int, w_micro long"
+    )
+    bulk = classifier_logit_bulk(
+        docs, "doc_id", "feats", wdf, n_buckets=64, bias_micro=123000
+    )
+    a = {r["doc_id"]: (r["n_feat"], r["logit"]) for r in lit.collect()}
+    b = {r["doc_id"]: (r["n_feat"], r["logit"]) for r in bulk.collect()}
+    assert a == b  # exact float equality: same integer sum, same op order

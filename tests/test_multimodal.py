@@ -95,3 +95,45 @@ def test_phash_neardup_planted_recall_and_banding_completeness(spark):
     # zero-width band silently becomes an all-pairs cross join
     with pytest.raises(ValueError, match="band"):
         phash_neardup_pairs(sigs, "doc_id", max_hamming=60, sig_bits=60)
+
+
+def _audio_frame(spark, rows):
+    """(id, payload-bytes) rows → multimodal frame with media_meta."""
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return M.attach_payload(df)
+
+
+def test_audio_landmarks_formula(spark):
+    """Landmark tokens closed by hand: window-4 DFT energies are exact
+    integers — e1 = (x0-x2)^2 + (x1-x3)^2, e2 = (x0-x1+x2-x3)^2."""
+    # bytes: 'ABCD' = 65,66,67,68 ; 'AAAA' = 65*4
+    out = M.audio_landmarks(_audio_frame(spark, [(1, "ABCDAAAA")]), "doc_id").collect()
+    # frame0: e1 = (65-67)^2 + (66-68)^2 = 8, e2 = (65-66+67-68)^2 = 4 -> 1:8
+    # frame1: e1 = 0, e2 = 0, tie -> lower bin -> 1:0
+    assert out[0]["lms"] == ["1:8>1:0"]
+    # < 2 frames -> empty landmark set, row preserved
+    short = M.audio_landmarks(_audio_frame(spark, [(2, "ABCDE")]), "doc_id").collect()
+    assert short[0]["lms"] == []
+
+
+def test_audio_pairs_planted_recall(spark):
+    """A few-byte perturbation of a clip is caught at high jaccard; an
+    unrelated clip is not paired."""
+    import random
+
+    from my_cudf_spark.operators import dedup as D
+
+    rng = random.Random(5)
+    base = "".join(chr(rng.randrange(40, 120)) for _ in range(400))
+    mut = list(base)
+    for pos in (37, 203):  # 2 corrupted samples -> ≤4 broken landmarks
+        mut[pos] = chr(ord(mut[pos]) ^ 1)
+    other = "".join(chr(rng.randrange(40, 120)) for _ in range(400))
+    lms = M.audio_landmarks(
+        _audio_frame(spark, [(1, base), (2, "".join(mut)), (3, other)]), "doc_id"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.neardup_pairs_exact(lms, "doc_id", F.col("lms"), 0.8).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 0.9

@@ -799,3 +799,89 @@ def test_stream_semantic_dedup_revokes_on_late_lower_id(spark):
         assert updates[(10, 1)] is True and updates[(10, 2)] is False
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_phash_dedup_equals_batch_twin(spark):
+    """Replayed document images through the incremental phash dedup == the
+    batch lower-id-wins pair rule, row for row (the dedup-matrix
+    image×stream gate)."""
+    from my_cudf_spark.operators import multimodal as M
+    from my_cudf_spark.streaming.phash import stream_phash_dedup
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    batch_sigs = M.dhash_signatures(
+        M.attach_payload(load_table(spark, SF_DIR, "documents")), "doc_id"
+    )
+    twin = stream_phash_dedup(batch_sigs, "doc_id", "sig", max_hamming=11)
+
+    stream, work_dir = replay_documents(spark, SF_DIR, num_chunks=4)
+    try:
+        drained = S.run_to_memory(
+            stream_phash_dedup(
+                M.dhash_signatures(M.attach_payload(stream), "doc_id"),
+                "doc_id", "sig", max_hamming=11, buckets=4,
+            ),
+            "phash_eq", output_mode="update",
+        )
+        final = drained.groupBy("id").agg(F.bool_and("keep").alias("keep"))
+        assert _rows(final, ["id"]) == _rows(twin, ["id"])
+        kept = sum(1 for r in _rows(final, ["id"]) if r[1])
+        n = final.count()
+        assert 0 < kept <= n and n == 500
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_phash_dedup_revokes_on_late_lower_id(spark):
+    """Arrival-order independence: a lower-id near-duplicate signature in a
+    LATER micro-batch revokes the earlier keep; unrelated signatures stay
+    kept.  Planted 60-bit signatures make the hamming structure exact."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from my_cudf_spark.streaming.phash import stream_phash_dedup
+
+    base = (1 << 59) | (1 << 31) | 0b1011
+    near = base ^ 0b0110          # hamming 2 from base
+    far = ((1 << 60) - 1) ^ base  # hamming 60 from base
+    schema = pa.schema([("doc_id", pa.int64()), ("sig", pa.int64())])
+    chunks = [
+        {"doc_id": [10, 7], "sig": [base, far]},
+        {"doc_id": [5], "sig": [near]},  # late LOWER id within hamming 3
+    ]
+    work_dir = tempfile.mkdtemp(prefix="phash_revoke_")
+    _write_chunks(work_dir, schema, chunks)
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, sig long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        drained = S.run_to_memory(
+            stream_phash_dedup(stream, "doc_id", "sig", max_hamming=3, buckets=2),
+            "phash_revoke", output_mode="update",
+        )
+        final = drained.groupBy("id").agg(F.bool_and("keep").alias("keep"))
+        assert _rows(final, ["id"]) == [(5, True), (7, True), (10, False)]
+        # the revocation itself was emitted: id 10 voted keep=True by all
+        # its band buckets on arrival, then keep=False after id 5 arrived
+        votes = [(r["id"], r["keep"]) for r in drained.collect()]
+        assert (10, True) in votes and (10, False) in votes
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_phash_dedup_banding_args(spark):
+    import pytest as _pytest
+
+    from my_cudf_spark.streaming.phash import _band_offsets, _popcount64
+    import numpy as np
+
+    with _pytest.raises(ValueError, match="bands"):
+        _band_offsets(60, 60)
+    offs = _band_offsets(11, 60)
+    assert len(offs) == 13 and offs[0] == 0 and offs[-1] == 60
+    assert all(offs[i + 1] - offs[i] == 5 for i in range(12))
+    xs = np.array([0, 1, 3, (1 << 60) - 1, 0x5555555555555555], dtype=np.int64)
+    assert _popcount64(xs).tolist() == [0, 1, 2, 60, 32]

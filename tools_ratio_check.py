@@ -1,35 +1,47 @@
 #!/usr/bin/env python
-"""Compare BENCH_RUNS cross-run medians against BASELINE.md rows.
+"""Compare BENCH_RUNS cross-run medians against BASELINE.md rows, RAW and
+HOST-EPOCH-NORMALIZED.
 
 Usage: python tools_ratio_check.py [threshold]
-Prints per-query ratio (median / baseline) for every baseline row, sorted
-worst-first, flags rows above the threshold (default 1.8), and lists
-registry queries with no baseline row yet (candidates for first-green
-recording)."""
+
+Raw ratio = cross-run median / baseline seconds — what the 2x bench gate
+has always read, but it conflates plan changes with host weather (15-25%
+drift between measurement windows on identical plans, r6 verdict).
+
+Normalized ratio removes both epochs: each run's times are divided by
+that run's sentinel calibration (bench.SENTINELS — queries whose plans
+never changed since their r2 baselines; the median sentinel
+ratio-to-baseline measures the HOST), and each baseline is mapped back to
+the r2 scale by the calibration of its own recording epoch
+(bench.ROUND_EPOCH_CAL / an explicit ``cal=`` annotation).  A normalized
+ratio ≈ 1.0 means "this plan performs exactly as it did when its baseline
+was recorded, host weather removed" — flags fire on the normalized
+column.
+
+Prints per-query both ratios sorted worst-normalized-first, flags rows
+above the threshold (default 1.8), and lists registry queries with no
+baseline row yet (candidates for first-green recording, to be annotated
+``cal=<calibration_this_run>``)."""
 
 from __future__ import annotations
 
 import json
 import os
-import re
 import statistics
 import sys
 
-
-def baseline_rows(path="BASELINE.md") -> dict[str, float]:
-    rows = {}
-    for line in open(path):
-        m = re.match(r"\|\s*(\w+)\s*\|\s*([0-9.]+)\s*\|\s*local\[32\], sf0\.1", line)
-        if m:
-            rows[m.group(1)] = float(m.group(2))
-    return rows
+from bench import baseline_rows, calibration_factor
 
 
-def run_medians(runs_dir="BENCH_RUNS", sf=0.1, cpus=32) -> tuple[dict[str, float], int]:
+def run_medians(
+    runs_dir="BENCH_RUNS", sf=0.1, cpus=32
+) -> tuple[dict[str, float], dict[str, float], int, list[float]]:
     """Same selection as bench._cross_run_medians: NEWEST <= HISTORY runs
     at (sf, cpus) — a divergent all-runs median here would hide a recent
-    regression the graded artifact shows (or false-flag healthy rows)."""
+    regression the graded artifact shows (or false-flag healthy rows).
+    Returns (raw medians, normalized medians, runs merged, calibrations)."""
     history = int(os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "5"))
+    base = baseline_rows()
     snaps = []
     for fn in os.listdir(runs_dir):
         if fn.endswith(".json"):
@@ -37,32 +49,47 @@ def run_medians(runs_dir="BENCH_RUNS", sf=0.1, cpus=32) -> tuple[dict[str, float
             if s.get("sf") == sf and s.get("cpus") == cpus:
                 snaps.append(s)
     snaps.sort(key=lambda s: s.get("ts", 0), reverse=True)
-    runs = [s["queries"] for s in snaps[:history]]
-    names = {q for r in runs for q in r}
-    return {
-        q: statistics.median([r[q] for r in runs if q in r]) for q in names
-    }, len(runs)
+    snaps = snaps[:history]
+    cals = [
+        s.get("calibration") or calibration_factor(s.get("queries", {}), base) or 1.0
+        for s in snaps
+    ]
+    names = {q for s in snaps for q in s["queries"]}
+    raw, norm = {}, {}
+    for q in names:
+        vals = [(s["queries"][q], c) for s, c in zip(snaps, cals) if q in s["queries"]]
+        raw[q] = statistics.median(v for v, _ in vals)
+        norm[q] = statistics.median(v / c for v, c in vals)
+    return raw, norm, len(snaps), cals
 
 
 def main() -> None:
     threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 1.8
     base = baseline_rows()
-    med, n = run_medians()
-    print(f"# {n} runs merged; {len(base)} baseline rows; {len(med)} measured")
+    raw, norm, n, cals = run_medians()
+    print(
+        f"# {n} runs merged; calibrations {[round(c, 3) for c in cals]}; "
+        f"{len(base)} baseline rows; {len(raw)} measured"
+    )
     ratios = sorted(
-        ((med[q] / v, q, med[q], v) for q, v in base.items() if q in med),
+        (
+            (norm[q] / (sec / ecal), raw[q] / sec, q, raw[q], sec)
+            for q, (sec, ecal) in base.items()
+            if q in raw
+        ),
         reverse=True,
     )
     flagged = [r for r in ratios if r[0] >= threshold]
-    for r, q, m, v in ratios[:15]:
-        mark = " <-- FLAG" if r >= threshold else ""
-        print(f"{r:6.2f}x  {q:32s} med={m:8.3f} base={v:8.3f}{mark}")
-    print(f"# flagged >= {threshold}x: {len(flagged)}")
-    missing = sorted(q for q in med if q not in base)
+    print(f"{'norm':>6}  {'raw':>6}  query")
+    for rn, rr, q, m, v in ratios[:15]:
+        mark = " <-- FLAG" if rn >= threshold else ""
+        print(f"{rn:5.2f}x {rr:5.2f}x  {q:32s} med={m:8.3f} base={v:8.3f}{mark}")
+    print(f"# flagged >= {threshold}x normalized: {len(flagged)}")
+    missing = sorted(q for q in raw if q not in base)
     if missing:
-        print("# no baseline row yet (record first-green):")
+        print("# no baseline row yet (record first-green with cal= annotation):")
         for q in missing:
-            print(f"  {q}: median {med[q]:.4f}")
+            print(f"  {q}: median {raw[q]:.4f}")
 
 
 if __name__ == "__main__":
