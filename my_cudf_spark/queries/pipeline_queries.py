@@ -196,12 +196,21 @@ def pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from my_cudf_spark.operators.dedup import md5_hash60
 
-    modeled = feat.filter(
-        T.classifier_logit(
-            F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=md5_hash60
-        )
-        > 0
-    ).drop("toks", "feats")
+    # Persist the logit-scored survivors before filtering: a bare filter
+    # predicate gets pushed THROUGH the toks/feats projections by
+    # substitution, inlining the normalize+split chain into the ngram
+    # lambda (per-element re-eval — measured 17 s vs 3 s at sf0.1).  The
+    # cache boundary keeps the classifier a one-pass projection; the
+    # frame is the heuristic survivors only, and the LRU releases it.
+    scored_logit = _persist(
+        feat.withColumn(
+            "__logit",
+            T.classifier_logit(
+                F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=md5_hash60
+            ),
+        ).drop("toks", "feats")
+    )
+    modeled = scored_logit.filter(F.col("__logit") > 0).drop("__logit")
     w = Window.partitionBy(F.md5(T.normalize_text("text"))).orderBy("doc_id")
     deduped = (
         modeled.withColumn("rk", F.row_number().over(w))

@@ -1323,3 +1323,45 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(toks[i:i+7], chr(31))), 1, 15))::BIGINT AS h
+          FROM t, unnest(range(1, len(toks) - 6)) AS r(i) WHERE len(toks) >= 8),
+    seeds AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+              FROM s a JOIN s b USING (h) WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                                  ORDER BY pos_a) AS grp
+             FROM seeds)
+    SELECT id_a, id_b, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
+           CAST(MIN(pos_b) AS BIGINT) AS pos_b,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+    FROM runs GROUP BY id_a, id_b, pos_a - pos_b, grp
+    HAVING COUNT(*) + 7 >= 12
+    ORDER BY id_a, id_b, pos_a, pos_b
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans across documents
+    (dedup.substring_dup_spans; Lee et al. 2022, arXiv:2107.06499): every
+    maximal verbatim run of ≥ 12 shared tokens between two documents,
+    found by positional 8-shingle hashing + an inverted-index join + a
+    gaps-and-islands diagonal merge — the span-level dedup flavor the
+    set-based pairs (jaccard / minhash / simhash) cannot express.  The
+    md5-derived shingle hash makes every seed match SQL-replicable, so
+    the oracle reproduces the full span set bit-for-bit.  Hot-shingle
+    capping (the 100 TB knob) is unit-tested; the fixture's 8-grams are
+    near-unique so the uncapped run is exact here."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    spans = D.substring_dup_spans(docs, "doc_id", F.col("toks"), k=8, min_len=12)
+    return spans.select(
+        "id_a",
+        "id_b",
+        F.col("pos_a").cast("long").alias("pos_a"),
+        F.col("pos_b").cast("long").alias("pos_b"),
+        "span_len",
+    ).orderBy("id_a", "id_b", "pos_a", "pos_b")

@@ -1,0 +1,262 @@
+"""Incremental (streaming) MinHash-LSH dedup — the BOUNDED-STATE stream
+twin of :func:`my_cudf_spark.operators.dedup.minhash_lsh_pairs`, generic
+over any token-set signature (audio spectral landmarks, text shingles).
+
+Why not an incremental inverted token index: exact streaming Jaccard
+must enumerate every co-token pair, and on a corpus with structurally
+hot tokens that is quadratic no matter how the state is laid out
+(measured on the fixtures: 2.8M of 12.5M possible pairs share a
+landmark at sf0.1 — the partial-intersection design this module
+replaced emitted millions of rows per replay).  MinHash-LSH is the
+standard answer, and it is the only one whose STATE is bounded per
+clip: a fixed ``len(a)``-lane signature (KBs), not the clip's token set.
+
+Keep rule (the operator's contract, a pure function of the final
+corpus): ``keep(x) ⇔ ¬∃ y: y.id < x.id ∧ bandmatch(x, y) ∧
+|{i : sig_x[i] = sig_y[i]}| ≥ min_matches`` where ``bandmatch`` is the
+classic banding collision (≥ 1 of ``bands`` bands of ``rows`` lanes
+fully equal).  Everything is deterministic given the affine lane
+parameters — the md5-derived token hash and the (hv·a+b) mod 2^61−1
+lane permutation are the repo's SQL-replicable minhash conventions
+(dedup.minhash_ngrams_signatures, nvtext minhash.hpp:180-213 parity) —
+so a DuckDB oracle reproduces band collisions AND lane-agreement counts
+bit-for-bit; the estimator-as-contract pattern of dedup_minhash_lsh,
+applied to the stream.  Late-arriving lower ids REVOKE earlier keeps
+(the streaming/phash.py pattern), so the end state is arrival-order
+independent.
+
+State layout: each clip's signature is stored under every
+(band_idx, band_val) it carries, grouped into ``hash(band) % buckets``
+state rows — a distributed LSH bucket table.  Per batch the shuffle
+carries only new clips' band rows; candidate work ∝ band collisions
+(similar clips + the deterministic false-positive floor), never
+corpus².  At 100 TB: state = bands × sig per clip ≈ 100s of bytes/clip
+in RocksDB; an ingest-time watermark bounds it exactly like the other
+streaming dedup ops.
+"""
+
+from __future__ import annotations
+
+import decimal
+from collections.abc import Iterable, Sequence
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from my_cudf_spark.operators.dedup import MERSENNE_PRIME61, md5_hash60
+
+__all__ = ["attach_minhash", "stream_lsh_dedup"]
+
+
+def attach_minhash(
+    df: DataFrame,
+    tokens_col: str,
+    parameter_a: Sequence[int],
+    parameter_b: Sequence[int],
+    out_col: str = "sig",
+) -> DataFrame:
+    """Add an affine-permuted minhash signature column (array<long>, one
+    lane-min per (a, b) pair) computed as pure per-row Column expressions
+    — streaming-legal, no groupBy.  Formula identical to
+    ``dedup.minhash_ngrams_signatures`` (lane i = min over tokens of
+    (md5_hash60(t)·a[i] + b[i]) mod 2^61−1, exact in decimal(38,0));
+    min over a multiset equals min over its set, so no distinct pass is
+    needed.  Rows with NULL/empty token arrays get a NULL signature
+    (nothing to sketch)."""
+    if len(parameter_a) != len(parameter_b) or not parameter_a:
+        raise ValueError("parameter_a and parameter_b must be equal-length, non-empty")
+    dec = lambda v: F.lit(decimal.Decimal(v)).cast("decimal(38,0)")
+    hv = F.transform(
+        F.col(tokens_col), lambda t: md5_hash60(t).cast("decimal(38,0)")
+    )
+    # materialize the hashed array so the 2·len(a) lane traversals read a
+    # stored column, not a re-evaluated md5 chain (lambda re-eval rule)
+    df = df.withColumn("__hv", hv)
+    lanes = [
+        F.array_min(
+            F.transform(
+                F.col("__hv"),
+                lambda h: ((h * dec(a) + dec(b)) % dec(MERSENNE_PRIME61)).cast(
+                    "long"
+                ),
+            )
+        )
+        for a, b in zip(parameter_a, parameter_b)
+    ]
+    return df.withColumn(
+        out_col, F.when(F.size("__hv") > 0, F.array(*lanes))
+    ).drop("__hv")
+
+
+def _band_exprs(sig_col: str, bands: int, rows: int) -> Column:
+    """Band values as unambiguous comma-joined lane strings: band j =
+    lanes [j·rows, (j+1)·rows).  Two band values are equal iff every lane
+    in the band is equal (decimal rendering is injective)."""
+    return F.array(
+        *[
+            F.array_join(
+                F.transform(
+                    F.slice(F.col(sig_col), j * rows + 1, rows),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def stream_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows: int,
+    min_matches: int,
+    buckets: int = 8,
+) -> DataFrame:
+    """Streaming LSH dedup over (id, signature) rows — see module
+    docstring.  Emits ``(id, keep)`` verdicts (one per band bucket an
+    arrival lands in, plus revocations); final snapshot per id =
+    ``bool_and(keep)``.  Batch frames take the equivalent pair rule via a
+    banded self-join — the oracle for the streamed end state."""
+    nlanes = bands * rows
+    if min_matches < 1 or min_matches > nlanes:
+        raise ValueError("min_matches must be in [1, bands*rows]")
+
+    if not df.isStreaming:
+        s = df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).filter(
+            F.col("sig").isNotNull()
+        )
+
+        def banded(tag: str) -> DataFrame:
+            return s.select(
+                F.col("id").alias(f"id_{tag}"),
+                F.col("sig").alias(f"sig_{tag}"),
+                F.posexplode(_band_exprs("sig", bands, rows)).alias(
+                    f"bi_{tag}", f"bv_{tag}"
+                ),
+            )
+
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+            )
+        )
+        dropped = (
+            banded("a")
+            .join(
+                banded("b"),
+                (F.col("bi_a") == F.col("bi_b"))
+                & (F.col("bv_a") == F.col("bv_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .filter(matches >= min_matches)
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+            .withColumn("__dropped", F.lit(True))
+        )
+        return s.join(dropped, ["id"], "left").select(
+            "id",
+            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("keep"),
+        )
+
+    typ = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    id_type = typ[id_col]
+    out_schema = f"id {id_type}, keep boolean"
+    state_schema = (
+        f"bis array<int>, bvs array<string>, ids array<{id_type}>,"
+        " flat array<long>"
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bis, bvs, ids, flat = (list(x) for x in state.get)
+        else:
+            bis, bvs, ids, flat = [], [], [], []
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if not batch:
+            yield pd.DataFrame(columns=["id", "keep"])
+            return
+        new = pd.concat(batch, ignore_index=True)
+        S_old = (
+            np.asarray(flat, dtype=np.int64).reshape(-1, nlanes)
+            if flat
+            else np.empty((0, nlanes), dtype=np.int64)
+        )
+        S_new = (
+            np.asarray([np.asarray(s, dtype=np.int64) for s in new["__sig"]])
+            if len(new)
+            else np.empty((0, nlanes), dtype=np.int64)
+        )
+        old = pd.DataFrame(
+            {
+                "bi": pd.array(bis, dtype="int32"),
+                "bv": pd.array(bvs, dtype="string"),
+                "id": pd.array(ids, dtype="int64"),
+                "row": np.arange(len(ids)),
+                "old": True,
+            }
+        )
+        new_entries = pd.DataFrame(
+            {
+                "bi": new["__bi"].astype("int32"),
+                "bv": new["__bv"].astype("string"),
+                "id": new["__id"].astype("int64"),
+                "row": np.arange(len(new)),
+                "old": False,
+            }
+        )
+        everything = pd.concat([old, new_entries], ignore_index=True)
+        cand = new_entries.merge(everything, on=["bi", "bv"], suffixes=("_a", "_b"))
+        cand = cand[cand["id_a"] != cand["id_b"]]
+        out: dict[int, bool] = {}
+        if len(cand):
+            A = S_new[cand["row_a"].to_numpy()]
+            B = np.empty_like(A)
+            mo = cand["old_b"].to_numpy()
+            rb = cand["row_b"].to_numpy()
+            if mo.any():
+                B[mo] = S_old[rb[mo]]
+            if (~mo).any():
+                B[~mo] = S_new[rb[~mo]]
+            near = (A == B).sum(axis=1) >= min_matches
+            hits = cand[near]
+            higher = np.maximum(
+                hits["id_a"].to_numpy(np.int64), hits["id_b"].to_numpy(np.int64)
+            )
+            for hid in higher:
+                out[int(hid)] = False
+        for nid in new_entries["id"].drop_duplicates():
+            out.setdefault(int(nid), True)
+        bis.extend(int(x) for x in new_entries["bi"])
+        bvs.extend(str(x) for x in new_entries["bv"])
+        ids.extend(int(x) for x in new_entries["id"])
+        flat.extend(int(v) for s in new["__sig"] for v in s)
+        state.update((bis, bvs, ids, flat))
+        yield pd.DataFrame({"id": list(out.keys()), "keep": list(out.values())})
+
+    banded = df.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.posexplode(_band_exprs(sig_col, bands, rows)).alias("__bi", "__bv"),
+    )
+    return (
+        banded.withColumn("__bkt", F.pmod(F.hash("__bi", "__bv"), F.lit(buckets)))
+        .groupBy("__bkt")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

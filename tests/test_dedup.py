@@ -74,3 +74,52 @@ def test_incremental_dedup_null_content_contract(spark):
     # id=1: first NULL row (novel despite corpus NULL); id=2 deduped within
     # batch; id=3 dropped (corpus has 'x'); id=4 novel.
     assert got == [1, 4]
+
+
+def test_substring_dup_spans_planted(spark):
+    """Hand-planted shared passage: docs 1 and 2 share exactly one
+    15-token run (at different offsets), doc 3 shares nothing long
+    enough.  Maximal span boundaries and length are exact."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators.dedup import substring_dup_spans
+
+    shared = [f"s{i}" for i in range(15)]
+    d1 = ["a1", "a2"] + shared + ["a3"]
+    d2 = ["b1", "b2", "b3", "b4"] + shared + ["b5", "b6"]
+    d3 = shared[:9] + ["c1", "c2"]  # only 9 shared tokens < min_len 12
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "id long, toks array<string>"
+    )
+    out = substring_dup_spans(df, "id", F.col("toks"), k=8, min_len=12)
+    rows = [(r.id_a, r.id_b, r.pos_a, r.pos_b, r.span_len) for r in out.collect()]
+    assert rows == [(1, 2, 2, 4, 15)]
+    # min_len = 9 admits the doc-3 prefix overlaps too
+    out9 = substring_dup_spans(df, "id", F.col("toks"), k=8, min_len=9)
+    got = {(r.id_a, r.id_b): r.span_len for r in out9.collect()}
+    assert got == {(1, 2): 15, (1, 3): 9, (2, 3): 9}
+
+
+def test_substring_dup_spans_hot_cap(spark):
+    """max_postings drops ultra-common shingles from seeding: a boilerplate
+    run shared by ALL docs stops seeding when its df exceeds the cap, while
+    a rare 2-doc span survives."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators.dedup import substring_dup_spans
+    import pytest
+
+    boiler = [f"b{i}" for i in range(12)]
+    rare = [f"r{i}" for i in range(12)]
+    rows = [(i, boiler + [f"u{i}"]) for i in range(1, 5)]  # 4 docs of boilerplate
+    rows += [(10, rare + ["x"]), (11, rare + ["y"])]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    full = substring_dup_spans(df, "id", F.col("toks"), k=8, min_len=12)
+    assert full.count() == 6 + 1  # C(4,2) boilerplate pairs + 1 rare pair
+    capped = substring_dup_spans(
+        df, "id", F.col("toks"), k=8, min_len=12, max_postings=3
+    )
+    got = [(r.id_a, r.id_b, r.span_len) for r in capped.collect()]
+    assert got == [(10, 11, 12)]
+    with pytest.raises(ValueError, match="min_len"):
+        substring_dup_spans(df, "id", F.col("toks"), k=8, min_len=4)

@@ -137,3 +137,21 @@ def test_audio_pairs_planted_recall(spark):
         for r in D.neardup_pairs_exact(lms, "doc_id", F.col("lms"), 0.8).collect()
     }
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 0.9
+
+
+def test_video_frame_signatures_and_pairs(spark):
+    """Two clips sharing a 7-frame run at different offsets are paired
+    with exact boundaries; an unrelated clip is not."""
+    from my_cudf_spark.operators import dedup as D
+
+    seg = "".join(chr(65 + (i % 20)) + "0123456789abcde" for i in range(7))  # 7 frames
+    v1 = "X" * 16 + seg + "Y" * 16            # shared run at frame 1
+    v2 = "Z" * 32 + seg                        # shared run at frame 2
+    v3 = "".join(chr(97 + (i % 9)) * 16 for i in range(9))
+    df = _audio_frame(spark, [(1, v1), (2, v2), (3, v3)])
+    sigs = M.video_frame_signatures(df, "doc_id", frame_bytes=16)
+    got = {r["doc_id"]: r["fsigs"] for r in sigs.collect()}
+    assert len(got[1]) == 9 and len(got[2]) == 9 and got[1][1] == got[2][2]
+    spans = D.substring_dup_spans(sigs, "doc_id", F.col("fsigs"), k=2, min_len=6)
+    rows = [(r.id_a, r.id_b, r.pos_a, r.pos_b, r.span_len) for r in spans.collect()]
+    assert rows == [(1, 2, 1, 2, 7)]

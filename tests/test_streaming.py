@@ -885,3 +885,117 @@ def test_stream_phash_dedup_banding_args(spark):
     assert all(offs[i + 1] - offs[i] == 5 for i in range(12))
     xs = np.array([0, 1, 3, (1 << 60) - 1, 0x5555555555555555], dtype=np.int64)
     assert _popcount64(xs).tolist() == [0, 1, 2, 60, 32]
+
+
+
+def test_attach_minhash_matches_grouped_signatures(spark):
+    """Per-row Column-expr minhash (streaming-legal) is lane-for-lane
+    identical to the explode+groupBy operator it mirrors."""
+    from my_cudf_spark.operators import dedup as D
+    from my_cudf_spark.streaming.minhashdd import attach_minhash
+
+    A = [3, 57, 911, 12345]
+    B = [7, 0, 41, 999983]
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "zz"]), (2, ["zz"]), (3, [])],
+        "id long, toks array<string>",
+    )
+    got = {
+        r["id"]: r["sig"]
+        for r in attach_minhash(df, "toks", A, B).select("id", "sig").collect()
+    }
+    sets = D._gram_sets(df, "id", F.col("toks")).filter(F.size("grams") > 0)
+    want = {
+        r["id"]: [r[f"m{i}"] for i in range(4)]
+        for r in D.minhash_ngrams_signatures(sets, A, B).collect()
+    }
+    assert got[1] == want[1] and got[2] == want[2]
+    assert got[3] is None  # empty token set -> NULL signature
+
+
+def test_stream_lsh_dedup_equals_batch_twin(spark):
+    """Replayed audio landmarks through the streaming LSH dedup == the
+    batch banded-join rule, row for row (the audio×stream dedup gate)."""
+    from my_cudf_spark.operators import multimodal as M
+    from my_cudf_spark.queries.streaming_queries import (
+        _ADD_A,
+        _ADD_B,
+        _ADD_BANDS,
+        _ADD_MINMATCH,
+        _ADD_ROWS,
+    )
+    from my_cudf_spark.streaming.minhashdd import attach_minhash, stream_lsh_dedup
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    kw = dict(
+        bands=_ADD_BANDS, rows=_ADD_ROWS, min_matches=_ADD_MINMATCH, buckets=4
+    )
+    batch_sigs = attach_minhash(
+        M.audio_landmarks(
+            M.attach_payload(load_table(spark, SF_DIR, "documents")), "doc_id"
+        ),
+        "lms", _ADD_A, _ADD_B,
+    )
+    twin = stream_lsh_dedup(batch_sigs, "doc_id", "sig", **kw)
+
+    stream, work_dir = replay_documents(spark, SF_DIR, num_chunks=4)
+    try:
+        sigged = attach_minhash(
+            M.audio_landmarks(M.attach_payload(stream), "doc_id"),
+            "lms", _ADD_A, _ADD_B,
+        )
+        drained = S.run_to_memory(
+            stream_lsh_dedup(sigged, "doc_id", "sig", **kw),
+            "audiodd_eq", output_mode="update",
+        )
+        final = drained.groupBy("id").agg(F.bool_and("keep").alias("keep"))
+        assert _rows(final, ["id"]) == _rows(twin, ["id"])
+        kept = sum(1 for r in _rows(final, ["id"]) if r[1])
+        n = final.count()
+        assert 0 < kept < n == 500  # organic near-dups exist
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_lsh_dedup_revokes_on_late_lower_id(spark):
+    """A late-arriving lower-id clip with an identical signature revokes
+    the earlier keep; an unrelated signature stays kept."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from my_cudf_spark.streaming.minhashdd import stream_lsh_dedup
+
+    sig_a = list(range(100, 108))  # 8 lanes (2 bands x 4)
+    sig_far = list(range(900, 908))
+    schema = pa.schema([("doc_id", pa.int64()), ("sig", pa.list_(pa.int64()))])
+    chunks = [
+        {"doc_id": [10, 7], "sig": [sig_a, sig_far]},
+        {"doc_id": [5], "sig": [sig_a]},  # late LOWER id, full match
+    ]
+    work_dir = tempfile.mkdtemp(prefix="lsh_revoke_")
+    _write_chunks(work_dir, schema, chunks)
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, sig array<long>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        drained = S.run_to_memory(
+            stream_lsh_dedup(
+                stream, "doc_id", "sig", bands=2, rows=4, min_matches=6, buckets=2
+            ),
+            "lsh_revoke", output_mode="update",
+        )
+        final = drained.groupBy("id").agg(F.bool_and("keep").alias("keep"))
+        assert _rows(final, ["id"]) == [(5, True), (7, True), (10, False)]
+        votes = [(r["id"], r["keep"]) for r in drained.collect()]
+        assert (10, True) in votes and (10, False) in votes
+        import pytest as _pytest
+
+        from my_cudf_spark.streaming.minhashdd import stream_lsh_dedup as sld
+
+        with _pytest.raises(ValueError, match="min_matches"):
+            sld(stream, "doc_id", "sig", bands=2, rows=4, min_matches=9)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
