@@ -539,3 +539,59 @@ def substring_dup_spans(
         .select("id_a", "id_b", "pos_a", "pos_b", F.col("span_len").cast("long"))
     )
     return spans
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    tokens: Column,
+) -> DataFrame:
+    """APPLY substring dedup (the Lee et al. 2022 action step): given the
+    span pairs :func:`substring_dup_spans` found, cut every duplicated
+    passage from the HIGHER-id document of each pair (lower id keeps the
+    canonical copy — the repo's lower-id-wins convention) and rebuild the
+    cleaned token stream.
+
+    Returns one row per input document:
+    ``(id, n_before, n_after, clean_text)`` — documents untouched by any
+    span pass through with ``n_after = n_before``.
+
+    Plan: spans explode into covered (id, pos) rows (volume ∝ duplicated
+    tokens — exactly the text being deleted, so it cannot dominate the
+    corpus), distinct, one anti-join against the posexploded token
+    stream, one groupBy to reassemble in position order.  No window over
+    whole documents, no collect."""
+    covered = (
+        spans.select(
+            F.col("id_b").alias("id"),
+            F.explode(
+                F.sequence(
+                    F.col("pos_b"), F.col("pos_b") + F.col("span_len") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toked = docs.select(F.col(id_col).alias("id"), tokens.alias("__toks"))
+    positions = toked.select(
+        "id", F.posexplode("__toks").alias("pos", "tok")
+    )
+    survivors = positions.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = survivors.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = toked.select("id", F.size("__toks").cast("long").alias("n_before"))
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        "n_before",
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -795,15 +795,17 @@ import random as _add_random
 _ADD_RNG = _add_random.Random(77)
 _ADD_BANDS, _ADD_ROWS, _ADD_MINMATCH = 6, 4, 17
 _ADD_NLANES = _ADD_BANDS * _ADD_ROWS
-_ADD_A = [_ADD_RNG.randrange(1, (1 << 61) - 1) for _ in range(_ADD_NLANES)]
-_ADD_B = [_ADD_RNG.randrange(0, (1 << 61) - 1) for _ in range(_ADD_NLANES)]
+# 31-bit coefficients: the 28-bit token hash keeps every lane product in
+# BIGINT on both engines (see streaming/minhashdd.attach_minhash)
+_ADD_A = [_ADD_RNG.randrange(1, (1 << 31) - 1) for _ in range(_ADD_NLANES)]
+_ADD_B = [_ADD_RNG.randrange(0, (1 << 31) - 1) for _ in range(_ADD_NLANES)]
 
 
 def _audio_lsh_sql() -> str:
     from my_cudf_spark.queries.multimodal_queries import AUDIO_LM_SQL
 
     lanes = ",\n           ".join(
-        f"MIN(((hv * {a}::HUGEINT + {b}::HUGEINT) % 2305843009213693951::HUGEINT)::BIGINT) AS m{i}"
+        f"MIN((hv * {a} + {b}) % 2147483647) AS m{i}"
         for i, (a, b) in enumerate(zip(_ADD_A, _ADD_B))
     )
     band_or = " OR ".join(
@@ -820,7 +822,7 @@ def _audio_lsh_sql() -> str:
     )
     return f"""
     WITH {AUDIO_LM_SQL},
-    h AS (SELECT doc_id, ('0x' || substr(md5(lm), 1, 15))::BIGINT::HUGEINT AS hv FROM tok),
+    h AS (SELECT doc_id, ('0x' || substr(md5(lm), 1, 7))::BIGINT AS hv FROM tok),
     sig AS (SELECT doc_id,
            {lanes}
            FROM h GROUP BY doc_id)
@@ -840,8 +842,8 @@ def stream_audio_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch audio payloads, spectral landmarks extracted on the
     stream (multimodal.audio_landmarks), each clip sketched into a
     24-lane affine minhash signature by pure Column exprs
-    (streaming-legal, formula parity with dedup.minhash_ngrams_signatures
-    / nvtext minhash.hpp:180-213), and judged against cross-batch LSH
+    (streaming-legal, BIGINT-safe 31-bit lane scheme — see
+    minhashdd.attach_minhash), and judged against cross-batch LSH
     bucket state — dropped when a lower-id clip collides in ≥ 1 of 6
     bands AND agrees on ≥ 17/24 lanes, with late lower ids REVOKING
     earlier keeps.  Every quantity is deterministic given the seeded lane
@@ -868,6 +870,79 @@ def stream_audio_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=8,
     )
     updates = _drain(verdicts, "audiodd", work_dir, output_mode="update")
+    return (
+        updates.groupBy("id")
+        .agg(F.bool_and("keep").alias("keep"))
+        .select(F.col("id").alias("doc_id"), "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _video_lsh_sql() -> str:
+    lanes = ",\n           ".join(
+        f"MIN((hv * {a} + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(zip(_ADD_A, _ADD_B))
+    )
+    band_or = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{j * _ADD_ROWS + r} = b.m{j * _ADD_ROWS + r}"
+            for r in range(_ADD_ROWS)
+        )
+        + ")"
+        for j in range(_ADD_BANDS)
+    )
+    agree = " + ".join(f"(a.m{i} = b.m{i})::INT" for i in range(_ADD_NLANES))
+    return f"""
+    WITH t AS (SELECT doc_id, text, length(text) // 16 AS nf FROM documents),
+    f AS (SELECT doc_id, j - 1 AS fidx, md5(substr(text, (j-1)*16 + 1, 16)) AS fsig
+          FROM t, unnest(range(1, nf + 1)) AS r(j) WHERE nf >= 2),
+    tok AS (SELECT a.doc_id, a.fsig || '|' || b.fsig AS lm
+            FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.fidx = a.fidx + 1),
+    h AS (SELECT doc_id, ('0x' || substr(md5(lm), 1, 7))::BIGINT AS hv FROM tok),
+    sig AS (SELECT doc_id,
+           {lanes}
+           FROM h GROUP BY doc_id)
+    SELECT a.doc_id,
+           NOT EXISTS (SELECT 1 FROM sig b WHERE b.doc_id < a.doc_id
+                       AND ({band_or})
+                       AND ({agree}) >= {_ADD_MINMATCH}) AS keep
+    FROM sig a ORDER BY a.doc_id
+    """
+
+
+@register("stream_video_dedup_replay", sql=_video_lsh_sql())
+def stream_video_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING video dedup via MinHash-LSH over frame-pair shingles
+    (closing the video×stream cell of the dedup matrix): documents
+    replayed as 4 micro-batch video payloads, per-frame md5 signatures
+    extracted on the stream (multimodal.video_frame_signatures), adjacent
+    frames shingled into tokens (functions.text.word_ngrams n=2 over the
+    signature sequence — temporal structure enters the token), each clip
+    sketched into the same bounded 24-lane signature and judged against
+    the cross-batch LSH bucket state as the audio twin.  One streaming
+    operator (streaming/minhashdd.stream_lsh_dedup), three modalities of
+    tokenizer: the batch/stream split lives entirely in the tokenizer +
+    sketch layer."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators import multimodal as M
+    from my_cudf_spark.streaming.minhashdd import attach_minhash, stream_lsh_dedup
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
+    sigs = M.video_frame_signatures(M.attach_payload(stream), "doc_id")
+    toks = sigs.withColumn("lms", T.word_ngrams(F.col("fsigs"), 2, sep="|"))
+    sigged = attach_minhash(toks, "lms", _ADD_A, _ADD_B)
+    verdicts = stream_lsh_dedup(
+        sigged,
+        "doc_id",
+        "sig",
+        bands=_ADD_BANDS,
+        rows=_ADD_ROWS,
+        min_matches=_ADD_MINMATCH,
+        buckets=8,
+    )
+    updates = _drain(verdicts, "videodd", work_dir, output_mode="update")
     return (
         updates.groupBy("id")
         .agg(F.bool_and("keep").alias("keep"))

@@ -1365,3 +1365,49 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_b").cast("long").alias("pos_b"),
         "span_len",
     ).orderBy("id_a", "id_b", "pos_a", "pos_b")
+
+
+@register(
+    "dedup_substring_removal",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(toks[i:i+7], chr(31))), 1, 15))::BIGINT AS h
+          FROM t, unnest(range(1, len(toks) - 6)) AS r(i) WHERE len(toks) >= 8),
+    seeds AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+              FROM s a JOIN s b USING (h) WHERE a.doc_id < b.doc_id),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                                  ORDER BY pos_a) AS grp
+             FROM seeds),
+    spans AS (SELECT id_b, MIN(pos_b) AS pos_b, COUNT(*) + 7 AS span_len
+              FROM runs GROUP BY id_a, id_b, pos_a - pos_b, grp
+              HAVING COUNT(*) + 7 >= 12),
+    cov AS (SELECT DISTINCT id_b AS doc_id, unnest(range(pos_b, pos_b + span_len)) AS pos
+            FROM spans),
+    posi AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+                    unnest(toks) AS tok
+             FROM t),
+    surv AS (SELECT p.doc_id, p.pos, p.tok FROM posi p
+             LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+             WHERE c.pos IS NULL),
+    reb AS (SELECT doc_id, COUNT(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM surv GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+           CAST(COALESCE(reb.n_after, 0) AS BIGINT) AS n_after,
+           COALESCE(reb.clean_text, '') AS clean_text
+    FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED (dedup.remove_dup_spans over
+    substring_dup_spans): every ≥ 12-token passage a document shares with
+    a lower-id document is cut from its token stream and the cleaned text
+    rebuilt — the action step of Lee et al. 2022, whose span finder
+    dedup_substring_spans checks in isolation.  Whole-pipeline oracle:
+    DuckDB recomputes shingles → spans → covered positions → surviving
+    token stream and the driver hash-compares the rebuilt text verbatim."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    spans = D.substring_dup_spans(docs, "doc_id", F.col("toks"), k=8, min_len=12)
+    out = D.remove_dup_spans(docs, spans, "doc_id", F.col("toks"))
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")

@@ -16,11 +16,10 @@ corpus): ``keep(x) ⇔ ¬∃ y: y.id < x.id ∧ bandmatch(x, y) ∧
 |{i : sig_x[i] = sig_y[i]}| ≥ min_matches`` where ``bandmatch`` is the
 classic banding collision (≥ 1 of ``bands`` bands of ``rows`` lanes
 fully equal).  Everything is deterministic given the affine lane
-parameters — the md5-derived token hash and the (hv·a+b) mod 2^61−1
-lane permutation are the repo's SQL-replicable minhash conventions
-(dedup.minhash_ngrams_signatures, nvtext minhash.hpp:180-213 parity) —
-so a DuckDB oracle reproduces band collisions AND lane-agreement counts
-bit-for-bit; the estimator-as-contract pattern of dedup_minhash_lsh,
+parameters — the md5-derived token hash and the BIGINT-safe
+(hv·a+b) mod 2^31−1 lane permutation (see :func:`attach_minhash`) keep
+the sketch SQL-replicable, so a DuckDB oracle reproduces band
+collisions AND lane-agreement counts bit-for-bit; the estimator-as-contract pattern of dedup_minhash_lsh,
 applied to the stream.  Late-arriving lower ids REVOKE earlier keeps
 (the streaming/phash.py pattern), so the end state is arrival-order
 independent.
@@ -37,7 +36,6 @@ streaming dedup ops.
 
 from __future__ import annotations
 
-import decimal
 from collections.abc import Iterable, Sequence
 from typing import Any, Iterator
 
@@ -47,9 +45,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from my_cudf_spark.operators.dedup import MERSENNE_PRIME61, md5_hash60
 
 __all__ = ["attach_minhash", "stream_lsh_dedup"]
+
+
+MERSENNE_PRIME31 = (1 << 31) - 1
 
 
 def attach_minhash(
@@ -61,28 +61,41 @@ def attach_minhash(
 ) -> DataFrame:
     """Add an affine-permuted minhash signature column (array<long>, one
     lane-min per (a, b) pair) computed as pure per-row Column expressions
-    — streaming-legal, no groupBy.  Formula identical to
-    ``dedup.minhash_ngrams_signatures`` (lane i = min over tokens of
-    (md5_hash60(t)·a[i] + b[i]) mod 2^61−1, exact in decimal(38,0));
-    min over a multiset equals min over its set, so no distinct pass is
+    — streaming-legal, no groupBy.
+
+    Lane formula: ``min over tokens of (hv·a[i] + b[i]) mod (2^31 − 1)``
+    where ``hv`` is the first 28 bits of the token's md5.  The 28+31-bit
+    operands keep every product < 2^59 — plain BIGINT arithmetic on both
+    engines (SQL twin: ``('0x' || substr(md5(t), 1, 7))::BIGINT``), which
+    is what makes 24 lanes affordable per row: the 61-bit variant
+    (dedup.minhash_ngrams_signatures, kept for reference formula parity)
+    needs decimal(38,0)/HUGEINT intermediates and measured 9.2 s for the
+    same signatures this computes in ~1 s at sf0.1.  2^31 lane space over
+    ~hundreds of tokens per document keeps min-collisions negligible for
+    sketching.  Require ``a ∈ [1, 2^31−2]``, ``b ∈ [0, 2^31−2]``.
+
+    Min over a multiset equals min over its set, so no distinct pass is
     needed.  Rows with NULL/empty token arrays get a NULL signature
     (nothing to sketch)."""
     if len(parameter_a) != len(parameter_b) or not parameter_a:
         raise ValueError("parameter_a and parameter_b must be equal-length, non-empty")
-    dec = lambda v: F.lit(decimal.Decimal(v)).cast("decimal(38,0)")
+    if not all(1 <= a < MERSENNE_PRIME31 for a in parameter_a) or not all(
+        0 <= b < MERSENNE_PRIME31 for b in parameter_b
+    ):
+        raise ValueError("lane parameters must be in [1, 2^31-2] / [0, 2^31-2]")
     hv = F.transform(
-        F.col(tokens_col), lambda t: md5_hash60(t).cast("decimal(38,0)")
+        F.col(tokens_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
     )
-    # materialize the hashed array so the 2·len(a) lane traversals read a
+    # materialize the hashed array so the len(a) lane traversals read a
     # stored column, not a re-evaluated md5 chain (lambda re-eval rule)
     df = df.withColumn("__hv", hv)
     lanes = [
         F.array_min(
             F.transform(
                 F.col("__hv"),
-                lambda h: ((h * dec(a) + dec(b)) % dec(MERSENNE_PRIME61)).cast(
-                    "long"
-                ),
+                lambda h: (h * F.lit(int(a)) + F.lit(int(b)))
+                % F.lit(MERSENNE_PRIME31),
             )
         )
         for a, b in zip(parameter_a, parameter_b)

@@ -123,3 +123,24 @@ def test_substring_dup_spans_hot_cap(spark):
     assert got == [(10, 11, 12)]
     with pytest.raises(ValueError, match="min_len"):
         substring_dup_spans(df, "id", F.col("toks"), k=8, min_len=4)
+
+
+def test_remove_dup_spans_planted(spark):
+    """The shared 15-token passage is cut from the HIGHER-id doc only;
+    untouched docs pass through; rebuilt text preserves token order."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators.dedup import remove_dup_spans, substring_dup_spans
+
+    shared = [f"s{i}" for i in range(15)]
+    d1 = ["a1", "a2"] + shared + ["a3"]
+    d2 = ["b1", "b2", "b3", "b4"] + shared + ["b5", "b6"]
+    d3 = ["c1"] * 3
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "id long, toks array<string>"
+    )
+    spans = substring_dup_spans(df, "id", F.col("toks"), k=8, min_len=12)
+    out = {r["id"]: r for r in remove_dup_spans(df, spans, "id", F.col("toks")).collect()}
+    assert (out[1]["n_before"], out[1]["n_after"]) == (18, 18)  # lower id keeps all
+    assert out[2]["n_after"] == 6 and out[2]["clean_text"] == "b1 b2 b3 b4 b5 b6"
+    assert out[3]["n_after"] == 3 and out[3]["clean_text"] == "c1 c1 c1"

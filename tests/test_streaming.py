@@ -888,11 +888,14 @@ def test_stream_phash_dedup_banding_args(spark):
 
 
 
-def test_attach_minhash_matches_grouped_signatures(spark):
-    """Per-row Column-expr minhash (streaming-legal) is lane-for-lane
-    identical to the explode+groupBy operator it mirrors."""
-    from my_cudf_spark.operators import dedup as D
-    from my_cudf_spark.streaming.minhashdd import attach_minhash
+def test_attach_minhash_hand_computed(spark):
+    """Per-row Column-expr minhash lanes closed by hand: hv = first 28
+    md5 bits, lane = min((hv*a + b) mod 2^31-1)."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from my_cudf_spark.streaming.minhashdd import MERSENNE_PRIME31, attach_minhash
 
     A = [3, 57, 911, 12345]
     B = [7, 0, 41, 999983]
@@ -904,13 +907,13 @@ def test_attach_minhash_matches_grouped_signatures(spark):
         r["id"]: r["sig"]
         for r in attach_minhash(df, "toks", A, B).select("id", "sig").collect()
     }
-    sets = D._gram_sets(df, "id", F.col("toks")).filter(F.size("grams") > 0)
-    want = {
-        r["id"]: [r[f"m{i}"] for i in range(4)]
-        for r in D.minhash_ngrams_signatures(sets, A, B).collect()
-    }
-    assert got[1] == want[1] and got[2] == want[2]
+    hv = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+    lane = lambda toks, a, b: min((hv(t) * a + b) % MERSENNE_PRIME31 for t in toks)
+    assert got[1] == [lane(["x", "y", "zz"], a, b) for a, b in zip(A, B)]
+    assert got[2] == [lane(["zz"], a, b) for a, b in zip(A, B)]
     assert got[3] is None  # empty token set -> NULL signature
+    with _pytest.raises(ValueError, match="lane parameters"):
+        attach_minhash(df, "toks", [1 << 32], [0])
 
 
 def test_stream_lsh_dedup_equals_batch_twin(spark):
