@@ -93,3 +93,53 @@ def test_baseline_rows_parses_epoch_annotations(tmp_path):
     assert rows["a"] == (1.5, 1.0)
     assert rows["b"] == (2.0, bench.ROUND_EPOCH_CAL[5])
     assert rows["c"] == (0.7, 0.83)
+
+
+def test_ratio_check_normalizes_per_snapshot(tmp_path, monkeypatch):
+    """tools_ratio_check.run_medians divides each run by its own stored
+    calibration: a run on a 2x-slower host contributes the same
+    normalized value as a fast run, so the normalized median is
+    host-weather free while the raw median moves."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location("trc_mod", "tools_ratio_check.py")
+    trc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trc)
+    runs = tmp_path / "runs"
+    runs.mkdir()
+    for i, (cal, t) in enumerate([(1.0, 1.0), (2.0, 2.0), (2.0, 2.0)]):
+        json.dump(
+            {"ts": i, "sf": 0.1, "cpus": 32, "calibration": cal,
+             "queries": {"q1": t}},
+            open(runs / f"run-{i}.json", "w"),
+        )
+    raw, norm, n, cals = trc.run_medians(runs_dir=str(runs))
+    assert n == 3 and sorted(cals) == [1.0, 2.0, 2.0]
+    assert raw["q1"] == 2.0      # host-inflated
+    assert norm["q1"] == 1.0     # weather removed
+
+
+def test_ratio_check_recomputes_missing_calibration(tmp_path):
+    """Pre-calibration snapshots (no stored factor) get a post-hoc
+    sentinel calibration so old runs participate in normalization."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location("trc_mod2", "tools_ratio_check.py")
+    trc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trc)
+    import bench
+
+    sent = {s: 3.0 for s in bench.SENTINELS}  # 3x the baseline values below
+    base = {s: (1.0, 1.0) for s in bench.SENTINELS}
+    trc.baseline_rows = lambda path=None: base
+    runs = tmp_path / "runs"
+    runs.mkdir()
+    json.dump(
+        {"ts": 0, "sf": 0.1, "cpus": 32, "queries": dict(sent, q1=6.0)},
+        open(runs / "run-0.json", "w"),
+    )
+    raw, norm, n, cals = trc.run_medians(runs_dir=str(runs))
+    assert cals == [3.0]
+    assert raw["q1"] == 6.0 and norm["q1"] == 2.0
