@@ -506,3 +506,43 @@ def test_lru_persist_survives_semantic_hash_collision(spark, monkeypatch):
     # identical plan still reuses the persisted frame
     assert pin.lru_persist(spark.range(5).withColumn("x", F.col("id") * 3)) is pb
     pin.release_persisted()
+
+
+def test_classifier_plan_is_pure_codegen(spark):
+    """text_quality_model: zero Python evaluation nodes (the classifier is
+    whole-stage-codegen Column arithmetic), scan pruned to the two
+    consumed columns, and the only exchange is the final presentation
+    sort."""
+    from my_cudf_spark.plans.inspect import physical_plan, read_schemas
+    from my_cudf_spark.queries import load_registry
+
+    df = load_registry()["text_quality_model"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+    schemas = read_schemas(df)
+    assert schemas and all(
+        "doc_id" in s and "text" in s and "source" not in s for s in schemas
+    )
+
+
+def test_lsh_batch_twin_has_no_cartesian(spark):
+    """stream_lsh_dedup's batch leg pairs via the banded equi-join: no
+    cartesian/BNL product in the plan, candidates stream through a hash
+    join on (band_idx, band_val)."""
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.operators import multimodal as M
+    from my_cudf_spark.plans.inspect import has_cartesian, physical_plan
+    from my_cudf_spark.queries.streaming_queries import _ADD_A, _ADD_B
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.minhashdd import attach_minhash, stream_lsh_dedup
+
+    lms = M.audio_landmarks(
+        M.attach_payload(load_table(spark, SF_DIR, "documents")), "doc_id"
+    )
+    sigged = attach_minhash(lms, "lms", _ADD_A, _ADD_B)
+    out = stream_lsh_dedup(sigged, "doc_id", "sig", bands=6, rows=4, min_matches=17)
+    plan = physical_plan(out)
+    assert not has_cartesian(out)
+    assert "BroadcastNestedLoopJoin" not in plan
