@@ -31,6 +31,7 @@ __all__ = [
     "classifier_features",
     "classifier_logit",
     "classifier_logit_bulk",
+    "dsir_log_weights",
     "tokenize",
     "character_tokenize",
     "count_tokens",
@@ -593,5 +594,74 @@ def bm25_scores(
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.round(F.sum("__s"), 6).alias("score"),
+        )
+    )
+
+
+def dsir_log_weights(
+    df,
+    id_cols,
+    feats_col: str,
+    is_target_col: str,
+    n_buckets: int = 64,
+    hash_expr: Callable[[Column], Column] | None = None,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every RAW document by how much more likely its hashed n-gram bag is
+    under the TARGET distribution than under the raw distribution —
+    ``log w(x) = Σ_b c_b(x) · (ln p_target(b) − ln p_raw(b))`` with add-one
+    smoothing over ``n_buckets`` hashed feature buckets.  The standard
+    trained-distribution data-selection stage between heuristic filters
+    and full model scoring (used for e.g. Wikipedia/books-like selection
+    from Common Crawl).
+
+    ``df`` must carry a MATERIALIZED feature-array column (``feats_col``,
+    e.g. :func:`classifier_features` over ``_with_tokens`` output) and a
+    boolean ``is_target_col`` marking the in-domain sample.  Rows with
+    NULL/empty features — and target rows themselves — produce no output.
+
+    Scale: one explode pass feeds (a) the bucket-count aggregation —
+    ``n_buckets`` rows out, map-side combined — and (b) the per-doc score
+    sum keyed by doc id; the bucket→log-ratio table rides back as a
+    ``n_buckets``-row broadcast.  No UDF, no driver loop, nothing
+    corpus-sized ever broadcast.
+
+    ``hash_expr`` defaults to xxhash64; pass ``operators.dedup.md5_hash60``
+    to make every bucket index SQL-replicable (the classifier/SimHash
+    oracle convention).
+
+    Returns ``(*id_cols, n_feat, log_weight)`` for raw rows.
+    """
+    h = hash_expr or F.xxhash64
+    ids = list(id_cols)
+    b = df.select(
+        *ids,
+        F.col(is_target_col).alias("__t"),
+        F.explode(feats_col).alias("__g"),
+    ).select(
+        *ids, "__t", F.pmod(h(F.col("__g")), F.lit(n_buckets)).alias("__b")
+    )
+    counts = b.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__cr"),
+    )
+    totals = counts.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__ct") + 1).cast("double") / (F.col("__tt") + F.lit(n_buckets)))
+            - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + F.lit(n_buckets)))
+        ).alias("__lr"),
+    )
+    return (
+        b.filter(~F.col("__t"))
+        .join(F.broadcast(ratios), "__b")
+        .groupBy(*ids)
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("__lr").alias("log_weight"),
         )
     )

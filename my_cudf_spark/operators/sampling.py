@@ -34,6 +34,9 @@ __all__ = [
     "stratified_sample",
     "mixture_sample",
     "epoch_shuffle",
+    "grouped_topn",
+    "es_priority",
+    "weighted_sample",
 ]
 
 _PREFIX_LEN = 8  # 32 bits of the digest: plenty for sampling resolution
@@ -219,6 +222,30 @@ def epoch_shuffle(
     )
 
 
+def es_priority(
+    key_cols: Sequence[str | Column],
+    weight_col: str | Column,
+    salt: str = "wsample",
+) -> Column:
+    """Efraimidis–Spirakis exponential order key ``-ln(u)/w`` with a
+    content-derived uniform u (md5 of the salted row key, 13 hex digits =
+    52 bits → exact in double, +1 keeps u strictly > 0).  The k smallest
+    keys are a weighted sample without replacement; a pure function of
+    (key, weight) — no RNG — so it is reproducible across runs, cluster
+    sizes AND batch/stream execution (streaming.reservoir relies on that:
+    the reservoir merge is a set-k-smallest fold, order-independent
+    because the priority rides with the row)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    parts: list[Column] = [F.lit(salt)]
+    for c in cols:
+        parts += [F.lit("|"), c.cast("string")]
+    u = (F.conv(F.substring(F.md5(F.concat(*parts)), 1, 13), 16, 10).cast("long") + 1) / F.lit(
+        float(16**13 + 1)
+    )
+    return -F.log(u) / w.cast("double")
+
+
 def weighted_sample(
     df: DataFrame,
     key_cols: Sequence[str | Column],
@@ -243,17 +270,48 @@ def weighted_sample(
     on the driver side of the exchange; nothing global materializes."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    parts: list[Column] = [F.lit(salt)]
-    for c in cols:
-        parts += [F.lit("|"), c.cast("string")]
-    # 13 hex digits = 52 bits: exact in double; +1 keeps u strictly > 0
-    u = (F.conv(F.substring(F.md5(F.concat(*parts)), 1, 13), 16, 10).cast("long") + 1) / F.lit(
-        float(16**13 + 1)
-    )
-    key = -F.log(u) / w.cast("double")
+    key = es_priority(cols, w, salt)
     return (
         df.filter(w.isNotNull() & (w > 0))
         .withColumn(key_out, key)
         .orderBy(key_out, *cols)
         .limit(k)
+    )
+
+
+def grouped_topn(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+    n: int,
+    rank_out: str = "rank",
+) -> DataFrame:
+    """Deterministic top-n rows per group, safe for GIANT groups.
+
+    ``Window.partitionBy(group).orderBy(...)`` sorts each group inside ONE
+    task — fine when groups are query-ids (bounded candidates), fatal when
+    a handful of groups span terabytes (k-means cells, language buckets).
+    Two phases instead:
+
+    1. per-(group, input-partition) local top-n — every task keeps at most
+       n rows per group it sees, so the survivor set is ≤ n × partitions
+       per group (metadata-sized);
+    2. the real per-group window over the survivors only.
+
+    ``order_cols`` must be a total order within each group (ties would make
+    both the pruning and the final rank nondeterministic).  Result is
+    IDENTICAL to the one-window form: any row outside a partition-local
+    top-n is outside the global top-n a fortiori."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    local = Window.partitionBy(*group_cols, "__pid").orderBy(*order)
+    final = Window.partitionBy(*group_cols).orderBy(*order)
+    pruned = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(local))
+        .filter(F.col("__lrn") <= n)
+        .drop("__pid", "__lrn")
+    )
+    return (
+        pruned.withColumn(rank_out, F.row_number().over(final))
+        .filter(F.col(rank_out) <= n)
     )

@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast
 
 __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
-    "ivf_topk", "cosine_pairs_exact", "cosine_neardup_lsh",
+    "ivf_topk", "lloyd_kmeans", "cosine_pairs_exact", "cosine_neardup_lsh",
     "md5_rademacher_planes",
 ]
 
@@ -524,4 +524,106 @@ def filtered_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, *filter_cols, "neighbor_id", "cos", "rank")
+    )
+
+
+def _assign_l2(vecs: DataFrame, centroids: DataFrame, ident: str) -> DataFrame:
+    """(ident, __v, __vd, cid, __dist2) — each vector's nearest centroid by
+    squared L2 distance (ties → lower cid).  ``vecs`` carries a precomputed
+    self-dot ``__vd``; centroids are k rows, so the join is a broadcast and
+    the stage is one narrow O(rows × k × dim) pass."""
+    scored = vecs.crossJoin(broadcast(centroids)).withColumn(
+        "__dist2",
+        F.col("__vd") - 2 * dot(F.col("__v"), F.col("__cv")) + F.col("__cd"),
+    )
+    w = Window.partitionBy(ident).orderBy(F.col("__dist2"), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(ident, "__v", "__vd", "cid", "__dist2")
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the domain /
+    topic clustering stage of a curation pipeline (SemDeDup's cluster step,
+    mixture balancing, cluster-stratified eval sets all start here).
+
+    Per iteration: (1) assignment — broadcast the k centroids over one
+    corpus scan, argmin of squared L2 (ties → lower cid); (2) update —
+    posexplode to (cid, dim, val), per-(cid, dim) mean, rebuild the k
+    centroid arrays.  Two shuffles per iteration, both linear in
+    corpus × dim with map-side partial aggregation; the corpus is never
+    collected and no stage holds more than k × dim rows of centroid state.
+    Iterations are sequential by algorithm (each needs the previous
+    centroids), exactly as on any engine.
+
+    Determinism (the differential-test contract, FIXTURES.md): centroids
+    seed from the k min-id rows; means are decimal-stable
+    (``functions.stable`` — exact, order-independent sums, so Spark's
+    partitioned partial/final aggregation and a single-node engine produce
+    bit-identical centroids); distances evaluate the same expression
+    ``v·v − 2·v·c + c·c`` both sides.  Empty cells keep their previous
+    centroid (the same rule :func:`ivf_topk` uses).
+
+    Returns one row per input id: ``(id_col, cluster_id, dist2)`` under the
+    final centroids.
+    """
+    from my_cudf_spark.functions.stable import DEC
+    from my_cudf_spark.plans.pin import lru_persist
+
+    # The prepared corpus is re-read by every iteration's assignment AND
+    # mean pass (iters + 1 references in the lazy DAG) — persist it once,
+    # exactly as MLlib's KMeans caches its norm-augmented input.
+    v = lru_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        ).withColumn("__vd", dot(F.col("__v"), F.col("__v")))
+    )
+    # Seeding mirrors _seed_centroids: TakeOrderedAndProject on the k
+    # min-id rows, window only over the k-row result.
+    seed = v.orderBy("__id").limit(k)
+    cents = seed.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("__id"))
+    ).select(
+        (F.col("__rn") - 1).alias("cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__vd").alias("__cd"),
+    )
+    for _ in range(iterations):
+        assigned = _assign_l2(v, cents, "__id")
+        means = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum(F.col("val").cast(DEC)).cast("double") / F.count("val")).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x.getField("m"),
+                ).alias("__mv")
+            )
+        )
+        # k rows — persisting truncates the growing lineage so the next
+        # iteration's two references (assign + update join) never replay
+        # this iteration's corpus-wide mean aggregation.
+        cents = lru_persist(
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("__mv", "__cv").alias("__cv"))
+            .withColumn("__cd", dot(F.col("__cv"), F.col("__cv")))
+        )
+    out = _assign_l2(v, cents, "__id")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("__dist2").alias("dist2"),
     )

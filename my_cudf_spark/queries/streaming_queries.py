@@ -949,3 +949,56 @@ def stream_video_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "keep")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_reservoir_replay",
+    sql="""
+    WITH q AS (SELECT event_type, event_id, value FROM events
+               WHERE value IS NOT NULL AND value > 0),
+    s AS (SELECT event_type, event_id,
+            -ln((CAST(('0x' || substr(md5('res|' || CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                / CAST(4503599627370497 AS DOUBLE)) / value AS prio
+          FROM q),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen FROM q GROUP BY 1),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY prio, event_id) AS rank FROM s)
+    SELECT r.event_type, CAST(rank AS INT) AS "rank", event_id AS item,
+           ROUND(prio, 9) AS priority, n_seen
+    FROM r JOIN t USING (event_type) WHERE rank <= 5
+    ORDER BY event_type, "rank"
+    """,
+)
+def stream_reservoir_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted reservoir sampling (streaming/reservoir.py):
+    a value-weighted 5-row sample per event_type maintained ACROSS
+    micro-batches in O(keys × k) state — the incremental form of
+    sample_weighted's Efraimidis–Spirakis draw.  Exact, not approximate:
+    'k smallest content-keyed priorities' is an order-independent fold,
+    so the final reservoir equals the batch draw over the whole fixture
+    and the plain batch SQL is a bit-exact oracle.  The final snapshot
+    per (key, rank) is the update carrying that key's maximal n_seen
+    (strictly increasing per emission — only qualifying rows trigger
+    one)."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.reservoir import weighted_reservoir
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    res = weighted_reservoir(stream, ["event_type"], "event_id", "value", k=5)
+    updates = _drain(res, "reservoir", work_dir, output_mode="update")
+    w = Window.partitionBy("event_type", "rank").orderBy(
+        F.desc("n_seen"), F.asc("priority"), F.asc("item")
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            "rank",
+            "item",
+            F.round("priority", 9).alias("priority"),
+            "n_seen",
+        )
+        .orderBy("event_type", "rank")
+    )

@@ -1411,3 +1411,143 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = D.substring_dup_spans(docs, "doc_id", F.col("toks"), k=8, min_len=12)
     out = D.remove_dup_spans(docs, spans, "doc_id", F.col("toks"))
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+# DSIR importance resampling (Xie et al. 2023): the trained-distribution
+# data-selection stage.  The deterministic 5% md5 slice of the corpus
+# plays the in-domain target sample (the same device text_contamination
+# uses for its eval set); every raw document is scored by the hashed-
+# n-gram log-likelihood ratio and the top-100 (by ROUNDED weight, doc_id
+# tiebreak — cross-engine-stable ordering) are the selected set.
+_DSIR_B = 64
+
+
+@register(
+    "text_dsir_weights",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    f AS (SELECT doc_id,
+                 list_concat(toks, list_transform(range(1, len(toks)),
+                                                  i -> toks[i] || ' ' || toks[i+1])) AS feats,
+                 substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hb
+          FROM t),
+    x AS (SELECT doc_id, hb < '0ccccccc' AS tgt, unnest(feats) AS g FROM f),
+    b AS (SELECT doc_id, tgt,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B} AS b
+          FROM x),
+    counts AS (SELECT b,
+                      SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                      SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+               FROM b GROUP BY b),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+    r AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + {_DSIR_B}))
+                    - ln((cr + 1)::DOUBLE / (tr + {_DSIR_B})) AS lr
+          FROM counts CROSS JOIN tot),
+    d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+                 ROUND(SUM(lr), 6) AS log_weight
+          FROM b JOIN r USING (b) WHERE NOT tgt GROUP BY doc_id),
+    sel AS (SELECT doc_id FROM d ORDER BY log_weight DESC, doc_id LIMIT 100)
+    SELECT d.doc_id, n_feat, log_weight,
+           (d.doc_id IN (SELECT doc_id FROM sel)) AS selected
+    FROM d ORDER BY d.doc_id
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance reweighting (text.dsir_log_weights; Xie et al. 2023
+    arXiv:2302.03169): hashed unigram+bigram bag log-likelihood ratio of
+    target vs raw, add-one smoothed over 64 md5-hashed buckets — every
+    bucket index is SQL-replicable (md5_hash60, the classifier/SimHash
+    convention), so the full importance weight is oracle-exact to 6dp.
+    The selected set is the top-100 by (rounded weight, doc_id):
+    TakeOrderedAndProject + a 100-row semi-join flag, never a global
+    window."""
+    from my_cudf_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    th = _threshold_hex(0.05)
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    # Own persist: the exploded bucket frame is consumed by the bucket-
+    # count aggregation AND the per-doc score sum — without this the
+    # regex+split+ngram feature pass runs twice (the text_minhash_ngrams
+    # lesson).
+    feats = D._persist(
+        docs.select(
+            "doc_id",
+            T.classifier_features(F.col("toks"), max_n=2).alias("feats"),
+            (hash_bucket(["doc_id"]) < th).alias("tgt"),
+        )
+    )
+    # The scored frame feeds both the top-100 draw and the final join —
+    # persist the (narrow, doc-level) result or the explode + two-shuffle
+    # scoring pipeline replays.
+    d = D._persist(
+        T.dsir_log_weights(
+            feats, ["doc_id"], "feats", "tgt",
+            n_buckets=_DSIR_B, hash_expr=D.md5_hash60,
+        ).withColumn("log_weight", F.round("log_weight", 6))
+    )
+    sel = (
+        d.orderBy(F.desc("log_weight"), "doc_id")
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("__sel"))
+    )
+    return (
+        d.join(sel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_feat",
+            "log_weight",
+            F.coalesce("__sel", F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_cluster_safe_split",
+    sql=f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
+    e AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
+          FROM e a JOIN e b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+    pairs AS (SELECT id_a, id_b FROM p
+              WHERE CAST(inter AS DOUBLE)/(n_a + n_b - inter) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 'cccccccc' THEN 'train'
+                WHEN b < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 substr(md5('csplit|' || CAST(cluster_id AS VARCHAR)), 1, 8) AS b
+          FROM lab)
+    ORDER BY doc_id
+    """,
+)
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split keyed on the NEAR-DUP CLUSTER —
+    the stronger form of sample_split_grouped's source-keyed discipline:
+    a row-keyed (or even source-keyed) split still routes near-duplicates
+    of a training document into test; splitting on the connected-component
+    id of the exact near-dup pair graph (the dedup_clusters labeling)
+    cannot, because every member of a cluster shares the key.  Composition
+    of the dedup tier (neardup_pairs_exact → connected_components) with
+    sampling.assign_splits — the split is a pure function of cluster_id,
+    no RNG, stable under re-partitioning; components add O(log n)
+    pointer-jumping rounds on the pair graph only."""
+    from my_cudf_spark.operators import clustering as C
+    from my_cudf_spark.operators.sampling import assign_splits
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    trigrams = T.word_ngrams(F.col("toks"), 3)
+    pairs = D.neardup_pairs_exact(docs, "doc_id", trigrams, threshold=0.5)
+    lab = C.dedup_clusters(docs, pairs, id_col="doc_id")
+    out = assign_splits(lab, [F.col("cluster_id")], 
+                        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="csplit")
+    return out.select("doc_id", "cluster_id", "split").orderBy("doc_id")

@@ -266,3 +266,131 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("cell").cast("int").alias("cell"), "cluster_id", "keep"
     ).orderBy("vec_id")
+
+
+_KM_K = 8
+
+
+def _kmeans_ctes(iters: int, k: int = _KM_K) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — ``e`` (vectors), ``c0``
+    (min-id seeds) … ``c{iters}`` (final centroids).  Mirrors
+    similarity.lloyd_kmeans exactly: squared-L2 argmin with cid tiebreak,
+    decimal-stable per-(cid, dim) means (the functions/stable.py contract —
+    exact sums, so both engines land on bit-identical centroids), empty
+    cells keep their previous centroid."""
+    parts = [
+        "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                          v AS cv
+                   FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k})""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, v, cid FROM (
+                 SELECT e.vec_id, e.v, c.cid,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                            + list_dot_product(c.cv, c.cv), c.cid) AS rn
+                 FROM e CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (SELECT cid, list(m ORDER BY i) AS mv FROM (
+                 SELECT cid, i,
+                        CAST(CAST(SUM(CAST(val AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+                          / COUNT(val) AS m
+                 FROM (SELECT cid, i, v[i] AS val
+                       FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a{i}))
+                 GROUP BY cid, i) GROUP BY cid)"""
+        )
+        parts.append(
+            f"""c{i} AS (SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+                 FROM {prev} c LEFT JOIN m{i} m USING (cid))"""
+        )
+    return ",\n".join(parts)
+
+
+def _kmeans_assign_sql(iters: int, k: int = _KM_K) -> str:
+    return f"""
+    WITH {_kmeans_ctes(iters, k)},
+    fin AS (SELECT vec_id, label, cid, dist2 FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS dist2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN c{iters} c) WHERE rn = 1)
+    """
+
+
+@register(
+    "vec_kmeans",
+    sql=_kmeans_assign_sql(3)
+    + """
+    SELECT vec_id, label, CAST(cid AS INT) AS cluster_id,
+           ROUND(dist2, 6) AS dist2
+    FROM fin ORDER BY vec_id
+    """,
+)
+def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (similarity.lloyd_kmeans): 8 min-id-seeded
+    centroids, 3 refinement iterations, squared-L2 assignment — the domain/
+    topic clustering stage a curation pipeline hangs SemDeDup cells,
+    mixture balancing and cluster-stratified splits on.  Each iteration is
+    one broadcast-assignment scan plus one posexplode mean shuffle (both
+    linear, map-side-combined); decimal-stable means make the centroids —
+    and therefore every assignment — bit-identical to the single-node
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = S.lloyd_kmeans(emb, "vec_id", "embedding", k=_KM_K, iterations=3)
+    return (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.round("dist2", 6).alias("dist2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "vec_cluster_balance",
+    sql=_kmeans_assign_sql(1)
+    + """
+    SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id,
+           CAST(pick AS INT) AS pick
+    FROM (SELECT vec_id, cid AS cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+                   substr(md5('bal|' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS pick
+          FROM fin)
+    WHERE pick <= 25 ORDER BY cluster_id, pick
+    """,
+)
+def vec_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling: an equal content-keyed quota (25) from
+    every k-means cell — the domain-balancing draw (cf. DoReMi-style
+    mixture control) that stops a crawl's majority domain from swamping
+    the training mix.  The per-cell draw uses sampling.grouped_topn: cells
+    are k=8 GIANT groups at corpus scale, so a naive per-cell window would
+    sort terabytes in single tasks — the two-phase (partition-local top-n,
+    then window over ≤ n×partitions survivors) form is identical in result
+    and never sorts a whole cell in one task."""
+    from my_cudf_spark.operators.sampling import grouped_topn, hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = S.lloyd_kmeans(emb, "vec_id", "embedding", k=_KM_K, iterations=1)
+    sel = grouped_topn(
+        asg.withColumn("__b", hash_bucket(["vec_id"], salt="bal")),
+        ["cluster_id"],
+        [F.col("__b"), F.col("vec_id")],
+        n=25,
+        rank_out="pick",
+    )
+    return sel.select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("pick").cast("int").alias("pick"),
+    ).orderBy("cluster_id", "pick")

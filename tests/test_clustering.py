@@ -63,3 +63,19 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
     assert not rows[3]["is_canonical"]
     canon = [r for r in rows.values() if r["is_canonical"]]
     assert {r["doc_id"] for r in canon} == {0, 1, 4, 5, 6, 7, 9}
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """Every near-dup cluster lands wholly in one split (the leakage-safe
+    property sample_cluster_safe_split exists for)."""
+    from my_cudf_spark.queries import load_registry
+    from tests.conftest import SF_DIR
+
+    out = load_registry()["sample_cluster_safe_split"].fn(spark, SF_DIR)
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0

@@ -325,3 +325,46 @@ def test_classifier_bulk_matches_literal(spark):
     a = {r["doc_id"]: (r["n_feat"], r["logit"]) for r in lit.collect()}
     b = {r["doc_id"]: (r["n_feat"], r["logit"]) for r in bulk.collect()}
     assert a == b  # exact float equality: same integer sum, same op order
+
+
+def test_dsir_log_weights_separates_domains(spark):
+    """Raw docs sharing the target domain's vocabulary outscore
+    out-of-domain raw docs; target rows never appear in the output."""
+    from my_cudf_spark.functions.text import classifier_features, dsir_log_weights
+
+    target = [(i, "alpha beta gamma delta alpha beta", True) for i in range(10)]
+    in_dom = [(100 + i, "alpha beta gamma delta", False) for i in range(5)]
+    out_dom = [(200 + i, "zig zag zonk quux blorp", False) for i in range(5)]
+    df = spark.createDataFrame(
+        target + in_dom + out_dom, "doc_id long, text string, tgt boolean"
+    )
+    df = df.withColumn("toks", F.split("text", " ")).withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    )
+    out = dsir_log_weights(df, ["doc_id"], "feats", "tgt", n_buckets=32).collect()
+    w = {r["doc_id"]: r["log_weight"] for r in out}
+    assert set(w) == {100 + i for i in range(5)} | {200 + i for i in range(5)}
+    assert min(w[100 + i] for i in range(5)) > max(w[200 + i] for i in range(5))
+
+
+def test_dsir_log_weights_repartition_invariant(spark):
+    """Weights are a pure function of the corpus (rounded to 6dp across
+    partitionings — float sum order is the only nondeterminism)."""
+    import os
+
+    from my_cudf_spark.functions.text import classifier_features, dsir_log_weights
+    from my_cudf_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    docs = docs.withColumn("toks", F.split(F.trim(F.lower("text")), r"\s+"))
+    docs = docs.withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    ).withColumn("tgt", (F.col("doc_id") % 7) == 0)
+    a = dsir_log_weights(docs, ["doc_id"], "feats", "tgt", n_buckets=32)
+    b = dsir_log_weights(
+        docs.repartition(11), ["doc_id"], "feats", "tgt", n_buckets=32
+    )
+    ra = {r["doc_id"]: (r["n_feat"], round(r["log_weight"], 6)) for r in a.collect()}
+    rb = {r["doc_id"]: (r["n_feat"], round(r["log_weight"], 6)) for r in b.collect()}
+    assert ra == rb

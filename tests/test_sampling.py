@@ -161,3 +161,26 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = weighted_sample(df, ["id"], "w", k=10).collect()
     assert [r["id"] for r in got] == [1]
+
+
+def test_grouped_topn_matches_single_window(spark):
+    """Two-phase grouped top-n is identical to the naive one-window form."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.operators.sampling import grouped_topn
+    from my_cudf_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).repartition(16)
+    got = grouped_topn(
+        df, ["o_orderpriority"], [F.col("o_totalprice").desc(), "o_orderkey"], n=7
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    want = (
+        df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

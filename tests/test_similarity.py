@@ -160,3 +160,54 @@ def test_semantic_dedup_keep_partition_contract(spark):
     bad = per_cluster.filter((F.col("n_keep") != 1) | (F.col("n_cells") != 1)).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_lloyd_kmeans_basic_properties(spark):
+    """Every row assigned exactly once; cluster ids in [0, k); iterating
+    never increases the total within-cluster squared distance."""
+    emb = _emb(spark)
+    n = emb.count()
+    costs = []
+    for iters in (0, 1, 3):
+        out = S.lloyd_kmeans(emb, "vec_id", "embedding", k=4, iterations=iters).cache()
+        assert out.count() == n
+        assert out.select("vec_id").distinct().count() == n
+        cids = [r[0] for r in out.select("cluster_id").distinct().collect()]
+        assert all(0 <= c < 4 for c in cids)
+        costs.append(out.agg(F.sum("dist2")).collect()[0][0])
+        out.unpersist()
+    assert costs[1] <= costs[0] + 1e-9 and costs[2] <= costs[1] + 1e-9
+
+
+def test_lloyd_kmeans_separated_clusters(spark):
+    """Two well-separated blobs recover the planted partition."""
+    rows = [(i, [10.0 + 0.01 * i, 10.0]) for i in range(5)] + [
+        (i, [-10.0 - 0.01 * i, -10.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lloyd_kmeans(df, "vec_id", "embedding", k=2, iterations=2).collect()
+    lab = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert len({lab[i] for i in range(5)}) == 1
+    assert len({lab[i] for i in range(5, 10)}) == 1
+    assert lab[0] != lab[9]
+
+
+def test_lloyd_kmeans_empty_cell_keeps_seed(spark):
+    """k > distinct points: the starving cell keeps its seed centroid and
+    simply attracts nothing — no NULL centroids, no crash."""
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(3, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lloyd_kmeans(df, "vec_id", "embedding", k=3, iterations=2).collect()
+    assert len(out) == 4
+    assert all(r["dist2"] is not None for r in out)
+
+
+def test_lloyd_kmeans_repartition_invariant(spark):
+    """Assignments are a pure function of the data — identical under any
+    input partitioning (the decimal-stable-mean contract)."""
+    emb = _emb(spark)
+    a = S.lloyd_kmeans(emb, "vec_id", "embedding", k=4, iterations=2)
+    b = S.lloyd_kmeans(emb.repartition(13), "vec_id", "embedding", k=4, iterations=2)
+    rows_a = sorted((r["vec_id"], r["cluster_id"]) for r in a.collect())
+    rows_b = sorted((r["vec_id"], r["cluster_id"]) for r in b.collect())
+    assert rows_a == rows_b

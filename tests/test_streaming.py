@@ -1002,3 +1002,151 @@ def test_stream_lsh_dedup_revokes_on_late_lower_id(spark):
             sld(stream, "doc_id", "sig", bands=2, rows=4, min_matches=9)
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_weighted_reservoir_stream_equals_batch(spark):
+    """Final per-key reservoir across 4 micro-batches == the batch draw
+    over the whole fixture (the k-smallest-priorities fold is
+    order-independent, so replay chunking cannot change the result)."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.reservoir import weighted_reservoir
+
+    stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+    try:
+        res = weighted_reservoir(stream, ["event_type"], "event_id", "value", k=5)
+        drained = S.run_to_memory(res, "res_eq", output_mode="update")
+        w = Window.partitionBy("event_type", "rank").orderBy(
+            F.desc("n_seen"), F.asc("priority"), F.asc("item")
+        )
+        final = (
+            drained.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch = weighted_reservoir(
+            _batch_events(spark), ["event_type"], "event_id", "value", k=5
+        )
+        order = ["event_type", "rank"]
+        assert _rows(final, order) == _rows(batch, order)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_weighted_reservoir_chunking_invariant(spark):
+    """2-chunk and 4-chunk replays land on identical final reservoirs."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.reservoir import weighted_reservoir
+
+    def final(n_chunks, tag):
+        stream, work_dir = replay_events(spark, SF_DIR, num_chunks=n_chunks)
+        try:
+            res = weighted_reservoir(
+                stream, ["event_type"], "event_id", "value", k=3
+            )
+            drained = S.run_to_memory(res, tag, output_mode="update")
+            w = Window.partitionBy("event_type", "rank").orderBy(
+                F.desc("n_seen"), F.asc("priority"), F.asc("item")
+            )
+            return _rows(
+                drained.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn"),
+                ["event_type", "rank"],
+            )
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+    assert final(2, "res_c2") == final(4, "res_c4")
+
+
+def test_weighted_reservoir_drops_weightless_rows(spark):
+    """NULL/zero/negative weights carry no mass: they never enter the
+    reservoir and never advance n_seen."""
+    from my_cudf_spark.streaming.reservoir import weighted_reservoir
+
+    rows = [(1, "a", 10.0), (2, "a", None), (3, "a", 0.0), (4, "a", -5.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = weighted_reservoir(df, ["event_type"], "event_id", "value", k=5).collect()
+    assert len(out) == 1
+    assert out[0]["item"] == 1 and out[0]["n_seen"] == 1
+
+
+def test_weighted_reservoir_bucketed_equals_per_key(spark):
+    """The bucketed (high-cardinality) state path lands on the same final
+    reservoirs as the per-key path."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.reservoir import weighted_reservoir
+
+    def final(buckets, tag):
+        stream, work_dir = replay_events(spark, SF_DIR, num_chunks=4)
+        try:
+            res = weighted_reservoir(
+                stream, ["event_type"], "event_id", "value", k=5, buckets=buckets
+            )
+            drained = S.run_to_memory(res, tag, output_mode="update")
+            w = Window.partitionBy("event_type", "rank").orderBy(
+                F.desc("n_seen"), F.asc("priority"), F.asc("item")
+            )
+            return _rows(
+                drained.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn"),
+                ["event_type", "rank"],
+            )
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+    assert final(None, "res_pk") == final(4, "res_bk")
+
+
+def test_weighted_reservoir_bucketed_null_keys(spark):
+    """NULL group keys flow through the bucketed reservoir exactly as
+    through the per-key path (the _norm_nullable contract)."""
+    import tempfile
+
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.reservoir import weighted_reservoir
+
+    schema = pa.schema(
+        [("k", pa.int64()), ("event_id", pa.int64()), ("value", pa.float64())]
+    )
+    chunks = [
+        {"k": [1, None, 1], "event_id": [1, 2, 3], "value": [5.0, 2.0, 9.0]},
+        {"k": [None, None, 1], "event_id": [4, 5, 6], "value": [1.0, None, 4.0]},
+    ]
+
+    def final(buckets, tag):
+        work_dir = tempfile.mkdtemp(prefix="res_nullkey_")
+        _write_chunks(work_dir, schema, chunks)
+        stream = (
+            spark.readStream.schema("k long, event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        try:
+            res = weighted_reservoir(
+                stream, ["k"], "event_id", "value", k=2, buckets=buckets
+            )
+            drained = S.run_to_memory(res, tag, output_mode="update")
+            w = Window.partitionBy("k", "rank").orderBy(
+                F.desc("n_seen"), F.asc("priority"), F.asc("item")
+            )
+            return _rows(
+                drained.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn"),
+                ["k", "rank"],
+            )
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+    rows = final(2, "res_nk_bk")
+    assert rows == final(None, "res_nk_pk")
+    # NULL key kept its own reservoir; event 5 (NULL weight) carried no mass
+    null_rows = [r for r in rows if r[0] is None]
+    assert {r[2] for r in null_rows} == {2, 4} and null_rows[0][4] == 2
