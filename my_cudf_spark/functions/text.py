@@ -340,6 +340,162 @@ def classifier_logit_bulk(
     )
 
 
+def learn_linear_classifier(
+    df,
+    id_col: str,
+    features_col: str,
+    label_col: str,
+    n_buckets: int,
+    n_iters: int,
+    lr: float,
+    hash_expr: Callable[[Column], Column] | None = None,
+):
+    """Distributed TRAINING of the hashed linear classifier —
+    the learning counterpart of :func:`classifier_logit` /
+    :func:`classifier_logit_bulk`, exactly as :func:`bpe.learn_bpe_merges`
+    is the learning counterpart of the BPE apply step.  Full-batch
+    gradient descent with squared loss on the fastText-style model
+    ``pred = bias + mean(weight[bucket(g)])`` (Joulin et al. 2016): the
+    standard distill-the-heuristic stage (CCNet/Llama-style pipelines
+    train a cheap classifier on seed labels, then apply it corpus-wide).
+
+    Cross-engine-deterministic by construction, term by term:
+
+    - per-doc weight sum: exact BIGINT fold (weights are integer
+      micro-units, the classifier_logit convention);
+    - per-doc prediction/residual: one fixed float sequence
+      ``sum/1e6/nf + bias/1e6 - y`` (no cross-row float math);
+    - gradient accumulation: per-doc contributions rounded to 9 decimals
+      and summed as DECIMAL(28,9) — exact, order-independent (the
+      functions.stable convention), so Spark's partial/final shuffle
+      order cannot move a low bit;
+    - weight update: ``w - floor((lr*1e6/N)*grad + 0.5)`` back in integer
+      micro-units — integers in, integers out, every iteration.
+
+    A trained model is therefore a pure function of (corpus, labels,
+    hyperparameters): bit-identical on any engine replicating the
+    formula, which is what makes the registered query SQL-oracle-able.
+
+    Distributed shape (no driver-side weights, unlike classic MLlib
+    loops): the exploded (id, y, nf, bucket) feature frame is built ONCE
+    and persisted (call-owned); each iteration is [broadcast-join the
+    64-row weight frame → per-doc groupBy for predictions → join
+    residuals back → per-bucket groupBy for gradients → 1-row/64-row
+    update frames, eagerly localCheckpoint-ed (tiny) to cut lineage].
+    Two small-key shuffles per iteration, weights never shuffled.  At
+    100 TB the exploded frame is the corpus token stream — the same
+    scale shape as TF-IDF/BM25 — and everything else is O(n_buckets).
+
+    Returns ``(weights_df, bias_df)``: ``weights_df`` = (bucket INT,
+    w_micro BIGINT), ``bias_df`` = one row (b_micro BIGINT, n_docs
+    BIGINT).  Rows with NULL/empty features must be filtered by the
+    caller (they have no gradient)."""
+    from pyspark.sql import DataFrame  # local: avoid cycle at import time
+    from pyspark.storagelevel import StorageLevel
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    h = hash_expr or F.xxhash64
+    spark = df.sparkSession
+
+    ex = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).cast("double").alias("__y"),
+            F.size(features_col).alias("__nf"),
+            F.explode(features_col).alias("__g"),
+        )
+        .withColumn("__bkt", F.pmod(h(F.col("__g")), F.lit(n_buckets)).cast("int"))
+        .drop("__g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Iteration-invariant scalars ride as a 1-row frame (no collect): the
+    # doc count N scales the learning rate.
+    docs = ex.groupBy("__id").agg(F.first("__y").alias("__y"))
+    stats = docs.agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(eager=True)
+
+    weights = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(0).cast("long").alias("w_micro")
+    )
+    bias = stats.select(
+        F.lit(0).cast("long").alias("b_micro"), F.col("__n").cast("long").alias("n_docs")
+    )
+    weights = weights.localCheckpoint(eager=True)
+    bias = bias.localCheckpoint(eager=True)
+    lr6 = float(lr) * 1000000.0
+
+    def _delta(s: Column, n: Column) -> Column:
+        # floor(x+0.5) not ROUND: identical half-handling on every engine.
+        return F.floor((F.lit(lr6) / n) * s.cast("double") + F.lit(0.5)).cast("long")
+
+    try:
+        for it in range(1, n_iters + 1):
+            pred = (
+                ex.join(F.broadcast(weights), ex["__bkt"] == weights["bucket"])
+                .groupBy("__id")
+                .agg(
+                    F.first("__y").alias("__y"),
+                    F.first("__nf").alias("__nf"),
+                    F.sum("w_micro").alias("__sm"),
+                )
+            )
+            resid = pred.crossJoin(F.broadcast(bias.select("b_micro"))).select(
+                "__id",
+                "__nf",
+                (
+                    F.col("__sm").cast("double") / F.lit(1000000.0) / F.col("__nf")
+                    + F.col("b_micro").cast("double") / F.lit(1000000.0)
+                    - F.col("__y")
+                ).alias("__r"),
+            )
+            grad = (
+                ex.join(resid.select("__id", "__r"), "__id")
+                .groupBy("__bkt")
+                .agg(
+                    F.sum(
+                        F.round(F.col("__r") / F.col("__nf"), 9).cast("decimal(28,9)")
+                    ).alias("__s")
+                )
+            )
+            new_w = (
+                weights.join(grad, weights["bucket"] == grad["__bkt"], "left")
+                .crossJoin(F.broadcast(stats))
+                .select(
+                    "bucket",
+                    F.when(
+                        F.col("__s").isNull(), F.col("w_micro")
+                    ).otherwise(
+                        F.col("w_micro") - _delta(F.col("__s"), F.col("__n"))
+                    ).alias("w_micro"),
+                )
+            )
+            bgrad = resid.agg(
+                F.sum(F.round(F.col("__r"), 9).cast("decimal(28,9)")).alias("__s")
+            )
+            new_b = (
+                bias.crossJoin(F.broadcast(bgrad))
+                .crossJoin(F.broadcast(stats))
+                .select(
+                    (F.col("b_micro") - _delta(F.col("__s"), F.col("__n"))).alias(
+                        "b_micro"
+                    ),
+                    "n_docs",
+                )
+            )
+            # Tiny frames, but each iteration references the previous
+            # weights twice (scoring + update) — eager checkpoints keep
+            # the lineage flat no matter how many iterations run.
+            weights = new_w.localCheckpoint(eager=True)
+            bias = new_b.localCheckpoint(eager=True)
+        return weights, bias
+    finally:
+        try:
+            ex.unpersist()
+        except Exception:  # session tearing down — nothing to release
+            pass
+
+
 def dup_token_fraction(tokens: Column) -> Column:
     """Fraction of tokens that are repeats of an earlier token —
     1 - |distinct|/|tokens| (Gopher-style repetition signal; pure Column

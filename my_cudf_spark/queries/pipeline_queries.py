@@ -124,6 +124,102 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SW_EN = "'the','and','of','to','a','in','is','for','on','with'"
+
+DATA_CARD_SQL = f"""
+WITH t AS (
+  SELECT source,
+         {SQL_QUALITY} AS quality,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         sha256(substring({SQL_NORM}, 1, 60)) AS content_key,
+         CASE WHEN len(toks) > 0
+              THEN ROUND(CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE)
+                         / len(toks), 6) ELSE 0.0 END AS sw_en
+  FROM (SELECT source, text, length(text) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+               string_split({SQL_NORM}, ' ') AS toks
+        FROM documents))
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT content_key) AS BIGINT) AS dup_docs,
+       CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+       ROUND(MEDIAN(n_tokens), 6) AS p50_tokens,
+       ROUND(QUANTILE_CONT(n_tokens, 0.95), 6) AS p95_tokens,
+       {sql_dec2dbl('SUM(CAST(quality AS DECIMAL(10,6)))')} / COUNT(*) AS avg_quality,
+       {sql_dec2dbl('SUM(CAST(sw_en AS DECIMAL(10,6)))')} / COUNT(*) AS avg_sw_en
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+@register("pipeline_data_card", sql=DATA_CARD_SQL)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card (Gebru et al. 2021 "Datasheets for Datasets"; the
+    per-source accounting block a release data card publishes): for each
+    source — volume (docs, tokens), exact token-length distribution
+    (p50/p95 via a shared exact-percentile buffer), exact-duplicate count
+    (docs minus distinct content keys, the dedup_exact key), short-doc
+    count, mean heuristic quality, and mean English-stopword ratio (the
+    language-mix signal).
+
+    Plan shape: ONE documents scan → one narrow projection (all doc-level
+    stats are whole-stage-codegen Column arithmetic; the stopword ratio
+    reads a materialized token array, the _with_tokens lesson) → one
+    groupBy(source) with partial aggregation; COUNT(DISTINCT content_key)
+    is the only expand (Spark plans it as a two-phase distinct aggregate
+    on (source, key) — still bounded by corpus cardinality, never
+    all-pairs).  At 100 TB this is the canonical one-pass map-side-combine
+    report: no joins, no windows, output rows = |sources|."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(T.normalize_text("text"), " ")
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "and", "of", "to", "a", "in", "is", "for", "on", "with")])
+    doc = docs.select(
+        "source",
+        T.quality_score("text").alias("quality"),
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+        F.sha2(F.substring(T.normalize_text("text"), 1, 60), 256).alias("content_key"),
+        toks.alias("toks"),
+    ).withColumn(
+        "sw_en",
+        F.when(
+            F.size("toks") > 0,
+            F.round(
+                F.size(F.filter("toks", lambda x: F.array_contains(sw, x)))
+                .cast("double") / F.size("toks"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    agg = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("content_key")).alias("dup_docs"),
+        F.sum(F.when(F.col("n_tokens") < 10, 1).otherwise(0)).cast("long").alias("short_docs"),
+        F.expr("percentile(n_tokens, array(0.5D, 0.95D))").alias("q"),
+        (
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+        (
+            F.sum(F.col("sw_en").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_sw_en"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "dup_docs",
+        "short_docs",
+        F.round(F.element_at("q", 1), 6).alias("p50_tokens"),
+        F.round(F.element_at("q", 2), 6).alias("p95_tokens"),
+        "avg_quality",
+        "avg_sw_en",
+    ).orderBy("source")
+
+
 def _model_pipeline_sql() -> str:
     """PIPELINE_SQL with the model-based quality stage (r7) spliced in
     between the heuristic filter and dedup — same fragments as the

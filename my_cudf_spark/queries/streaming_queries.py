@@ -1002,3 +1002,112 @@ def stream_reservoir_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+def _curation_model_sql() -> str:
+    """The stream_curation_replay oracle with the trained-classifier stage
+    spliced in (same fragments as text_quality_model / the batch
+    pipeline_curation_model oracle): heuristic filter → logit > 0 →
+    distinct (source, text) set → per-source accounting."""
+    from my_cudf_spark.functions.stable import sql_dec2dbl
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN, SQL_QUALITY
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_NBUCKETS,
+        _QM_W_SQL,
+        SQL_NORM,
+    )
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             {SQL_QUALITY} AS quality,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM (SELECT doc_id, source, text, length(text) AS n,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+            FROM documents)
+      WHERE {SQL_QUALITY} >= {QUALITY_MIN}),
+    feats AS (
+      SELECT doc_id,
+             list_concat(toks, list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1])) AS feats
+      FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM scored)),
+    modeled AS (
+      SELECT s.source, s.text, s.quality, s.n_tokens
+      FROM scored s JOIN feats f USING (doc_id)
+      WHERE len(f.feats) > 0
+        AND list_sum(list_transform(f.feats,
+              g -> ({_QM_W_SQL})[(('0x' || substr(md5(g), 1, 15))::BIGINT % {_QM_NBUCKETS}) + 1]))::DOUBLE
+            / 1000000.0 / len(f.feats) + ({_QM_BIAS_MICRO}::DOUBLE / 1000000.0) > 0),
+    d AS (SELECT DISTINCT source, text, quality, n_tokens FROM modeled)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           {sql_dec2dbl('SUM(CAST(quality AS DECIMAL(10,6)))')} / COUNT(*) AS avg_quality
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@register("stream_curation_model_replay", sql=_curation_model_sql())
+def stream_curation_model_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-scored curation pipeline ON A STREAM — the streaming twin
+    of pipeline_curation_model, completing the batch/stream symmetry for
+    the flagship with its trained-classifier stage: heuristic quality
+    filter and hashed-linear-classifier logit run stateless per
+    micro-batch (pure Column exprs — streaming-legal by construction),
+    exact dedup carries (content-hash, source) state across batches, and
+    the per-source accounting aggregates on top (two chained stateful
+    operators, as stream_curation_replay).  Every output value is a pure
+    function of the final distinct (text, source) survivor set, so the
+    result is arrival-order/micro-batch independent and the batch oracle
+    applies to the streaming path.
+
+    Plan note: the logit FILTER sits ABOVE the dedup boundary while the
+    logit PROJECTION sits below it — Catalyst pushes a filter predicate
+    through projections by substitution (which would inline the
+    normalize+split chain into the per-element feature lambda, the
+    pipeline_curation_model 17s-vs-3s lesson; batch uses a persist
+    barrier, streams cannot persist), but it will not push a non-key
+    predicate through a streaming Deduplicate — so the stateful dedup
+    doubles as the projection barrier and the classifier stays a one-pass
+    projection."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.dedup import md5_hash60
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_WEIGHTS,
+        _norm_tokens,
+    )
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
+    scored = stream.select(
+        "source",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+    feat = scored.withColumn("toks", _norm_tokens()).withColumn(
+        "feats", T.classifier_features(F.col("toks"), max_n=2)
+    )
+    logit = feat.withColumn(
+        "__logit",
+        T.classifier_logit(
+            F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=md5_hash60
+        ),
+    ).drop("toks", "feats")
+    deduped = logit.withColumn("h", F.sha2(F.col("text"), 256)).dropDuplicates(
+        ["h", "source"]
+    )
+    modeled = deduped.filter(F.col("__logit") > 0)
+    agg = modeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+    out = _drain(agg, "curation_model", work_dir)
+    return out.orderBy("source")

@@ -408,6 +408,138 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# classifier LEARNING (round 7): hyperparameters shared verbatim by the
+# Spark training loop and the unrolled SQL oracle.
+_CL_NBUCKETS = 32
+_CL_ITERS = 3
+_CL_LR = 0.5
+
+
+def _classifier_learn_sql() -> str:
+    """Unrolled DuckDB twin of text.learn_linear_classifier: every
+    iteration's prediction/gradient/update CTE chain repeats the exact
+    arithmetic the Spark loop runs (integer weight sums, one float
+    residual sequence, DECIMAL(28,9) gradient sums, floor-based integer
+    updates), so the trained model is bit-identical across engines."""
+    from my_cudf_spark.functions.stable import sql_dec2dbl
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN, SQL_QUALITY
+
+    nb = _CL_NBUCKETS
+    lr6 = _CL_LR * 1000000.0
+    its = ""
+    pw, pb = "w0", "b0"
+    for i in range(1, _CL_ITERS + 1):
+        its += f"""
+    p{i} AS (SELECT e.doc_id, ANY_VALUE(e.y) AS y, ANY_VALUE(e.nf) AS nf,
+                    CAST(SUM(w.w_micro) AS BIGINT) AS sm
+             FROM ex e JOIN {pw} w USING (bucket) GROUP BY e.doc_id),
+    r{i} AS (SELECT p.doc_id,
+                    CAST(p.sm AS DOUBLE)/1000000.0/p.nf
+                      + CAST(b.b_micro AS DOUBLE)/1000000.0 - p.y AS r
+             FROM p{i} p, {pb} b),
+    g{i} AS (SELECT e.bucket, SUM(CAST(ROUND(r.r / e.nf, 9) AS DECIMAL(28,9))) AS s
+             FROM ex e JOIN r{i} r USING (doc_id) GROUP BY e.bucket),
+    w{i} AS (SELECT w.bucket,
+                    CASE WHEN g.s IS NULL THEN w.w_micro
+                         ELSE w.w_micro - CAST(FLOOR(({lr6} / st.n) * {sql_dec2dbl('g.s')} + 0.5) AS BIGINT)
+                    END AS w_micro
+             FROM {pw} w CROSS JOIN stats st LEFT JOIN g{i} g ON w.bucket = g.bucket),
+    bg{i} AS (SELECT SUM(CAST(ROUND(r, 9) AS DECIMAL(28,9))) AS s FROM r{i}),
+    b{i} AS (SELECT b.b_micro - CAST(FLOOR(({lr6} / st.n) * {sql_dec2dbl('bg.s')} + 0.5) AS BIGINT) AS b_micro
+             FROM {pb} b, bg{i} bg, stats st),"""
+        pw, pb = f"w{i}", f"b{i}"
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, {SQL_QUALITY} AS q
+      FROM (SELECT doc_id, text, length(text) AS n,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+            FROM documents)),
+    base AS (
+      SELECT doc_id, CASE WHEN q >= {QUALITY_MIN} THEN 1.0 ELSE 0.0 END AS y, feats
+      FROM (SELECT doc_id, q,
+                   list_concat(toks, list_transform(range(1, len(toks)),
+                                                    i -> toks[i] || ' ' || toks[i+1])) AS feats
+            FROM (SELECT doc_id, q, string_split({SQL_NORM}, ' ') AS toks FROM scored))
+      WHERE len(feats) > 0),
+    ex AS (
+      SELECT doc_id, y, nf,
+             CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % {nb} AS INT) AS bucket
+      FROM (SELECT doc_id, y, len(feats) AS nf, unnest(feats) AS g FROM base)),
+    stats AS (SELECT COUNT(*) AS n FROM base),
+    w0 AS (SELECT CAST(range AS INT) AS bucket, 0::BIGINT AS w_micro FROM range({nb})),
+    b0 AS (SELECT 0::BIGINT AS b_micro),{its}
+    cnt AS (SELECT bucket, COUNT(*) AS n_feats FROM ex GROUP BY bucket)
+    SELECT w.bucket, w.w_micro, CAST(COALESCE(c.n_feats, 0) AS BIGINT) AS n_feats
+    FROM {pw} w LEFT JOIN cnt c USING (bucket)
+    UNION ALL
+    SELECT CAST(-1 AS INT), b.b_micro, CAST(st.n AS BIGINT) FROM {pb} b, stats st
+    ORDER BY bucket
+    """
+
+
+@register("text_classifier_learn", sql=_classifier_learn_sql())
+def text_classifier_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINING (text.learn_linear_classifier): distill the
+    heuristic quality labels into a fastText-style hashed linear model by
+    distributed full-batch gradient descent — the learning counterpart of
+    text_quality_model's apply step, exactly as text_bpe_learn is to
+    text_bpe.  Real curation stacks (CCNet, Llama) train this stage on
+    seed labels, then score the corpus with it; this engine owns both
+    halves, and because every update is exact integer/decimal arithmetic
+    the TRAINED WEIGHTS themselves are oracle-checked bit-for-bit, not
+    just spot losses.
+
+    Output: one row per hash bucket (bucket, w_micro, n_feats) after 3
+    iterations, plus the learned bias as bucket = -1 (n_feats = training
+    doc count).  Scale: the exploded feature frame is the corpus token
+    stream (persisted once); each iteration adds two small-key shuffles
+    and an O(n_buckets) update — weights are never shuffled and never
+    touch the driver."""
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
+        .filter(F.size("feats") > 0)
+        .select(
+            "doc_id",
+            (T.quality_score("text") >= QUALITY_MIN).cast("double").alias("y"),
+            "feats",
+        )
+    )
+    weights, bias = T.learn_linear_classifier(
+        base,
+        "doc_id",
+        "feats",
+        "y",
+        n_buckets=_CL_NBUCKETS,
+        n_iters=_CL_ITERS,
+        lr=_CL_LR,
+        hash_expr=D.md5_hash60,
+    )
+    cnt = (
+        base.select(F.explode("feats").alias("g"))
+        .withColumn(
+            "bucket", F.pmod(D.md5_hash60(F.col("g")), F.lit(_CL_NBUCKETS)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_feats"))
+    )
+    out = weights.join(cnt, "bucket", "left").select(
+        "bucket",
+        "w_micro",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+    )
+    bias_row = bias.select(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.col("b_micro").alias("w_micro"),
+        F.col("n_docs").cast("long").alias("n_feats"),
+    )
+    return out.unionByName(bias_row).orderBy("bucket")
+
+
 @register(
     "text_stemmer",
     sql="""

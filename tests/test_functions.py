@@ -368,3 +368,77 @@ def test_dsir_log_weights_repartition_invariant(spark):
     ra = {r["doc_id"]: (r["n_feat"], round(r["log_weight"], 6)) for r in a.collect()}
     rb = {r["doc_id"]: (r["n_feat"], round(r["log_weight"], 6)) for r in b.collect()}
     assert ra == rb
+
+
+def test_learn_classifier_plants_signal(spark):
+    """Training on a planted separable signal learns it: docs containing
+    'quux' are labeled 1, others 0; after a few full-batch GD iterations
+    the learned weights (applied via the broadcast-join scorer) classify
+    the training set correctly at the squared-loss 0.5 threshold."""
+    from my_cudf_spark.functions.text import (
+        classifier_features,
+        classifier_logit_bulk,
+        learn_linear_classifier,
+    )
+
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        body = f"alpha beta{i % 5} gamma" + (" quux" if pos else " zork")
+        rows.append((i, body, 1.0 if pos else 0.0))
+    df = spark.createDataFrame(rows, "doc_id int, text string, y double")
+    df = df.withColumn("toks", F.split("text", " ")).withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    )
+    w, b = learn_linear_classifier(
+        df, "doc_id", "feats", "y", n_buckets=64, n_iters=12, lr=1.5
+    )
+    bias = b.collect()[0]
+    assert bias["n_docs"] == 40
+    scored = classifier_logit_bulk(
+        df, "doc_id", "feats", w, n_buckets=64, bias_micro=int(bias["b_micro"])
+    )
+    got = {r["doc_id"]: r["logit"] > 0.5 for r in scored.collect()}
+    labels = {i: i % 2 == 0 for i in range(40)}
+    acc = sum(got[i] == labels[i] for i in got) / len(got)
+    assert acc == 1.0
+
+
+def test_learn_classifier_loss_decreases_and_guards(spark):
+    """Full-batch GD monotonically reduces squared loss here (1 vs 4
+    iterations), and hyperparameter guards raise."""
+    import pytest
+
+    from my_cudf_spark.functions.text import (
+        classifier_features,
+        classifier_logit_bulk,
+        learn_linear_classifier,
+    )
+
+    rows = [
+        (i, ("good text here" if i % 3 == 0 else "bad noise blob"), 1.0 if i % 3 == 0 else 0.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y double")
+    df = df.withColumn("toks", F.split("text", " ")).withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    )
+
+    def loss(n_iters):
+        w, b = learn_linear_classifier(
+            df, "doc_id", "feats", "y", n_buckets=16, n_iters=n_iters, lr=1.0
+        )
+        bias = int(b.collect()[0]["b_micro"])
+        s = classifier_logit_bulk(df, "doc_id", "feats", w, n_buckets=16, bias_micro=bias)
+        joined = s.join(df.select("doc_id", "y"), "doc_id")
+        return joined.select(
+            F.sum((F.col("logit") - F.col("y")) ** 2).alias("sse")
+        ).collect()[0]["sse"]
+
+    base = 30 * (10 / 30)  # all-zero model: pred 0, 10 positives
+    l1, l4 = loss(1), loss(4)
+    assert l1 < base and l4 < l1
+    with pytest.raises(ValueError, match="n_buckets"):
+        learn_linear_classifier(df, "doc_id", "feats", "y", n_buckets=0, n_iters=1, lr=1.0)
+    with pytest.raises(ValueError, match="n_iters"):
+        learn_linear_classifier(df, "doc_id", "feats", "y", n_buckets=4, n_iters=0, lr=1.0)
