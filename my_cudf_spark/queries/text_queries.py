@@ -500,9 +500,14 @@ def text_classifier_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN
 
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    # Filter BELOW the feature projection: feats ⊇ toks, so
+    # size(feats) > 0 ⟺ size(toks) > 0 (the oracle's len(feats) > 0) —
+    # and a size(feats) predicate ABOVE it would be pushdown-substituted
+    # through the projection, inlining the normalize+split chain into the
+    # per-element ngram lambda (the _with_tokens 15× lesson).
     base = (
-        docs.withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
-        .filter(F.size("feats") > 0)
+        docs.filter(F.size("toks") > 0)
+        .withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
         .select(
             "doc_id",
             (T.quality_score("text") >= QUALITY_MIN).cast("double").alias("y"),
@@ -1683,3 +1688,87 @@ def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = assign_splits(lab, [F.col("cluster_id")], 
                         {"train": 0.8, "val": 0.1, "test": 0.1}, salt="csplit")
     return out.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
+@register(
+    "text_ccnet_buckets",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, source,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                       string_split({SQL_NORM}, ' ') AS tk
+                FROM documents),
+    uni AS (SELECT w, COUNT(*) AS cu
+            FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    bg AS (SELECT doc_id, source, n_tokens, tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, source, n_tokens, tk,
+                        unnest(range(1, len(tk))) AS i FROM tk)),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    sc AS (SELECT doc_id, source, n_tokens,
+                  ROUND(AVG(ln((cb + 0.5) / (cu + 0.5 * v))), 6) AS lp
+           FROM bg JOIN bgc USING (w1, w2) JOIN uni ON bg.w1 = uni.w
+                   CROSS JOIN v
+           GROUP BY 1, 2, 3),
+    th AS (SELECT QUANTILE_CONT(lp, 1.0/3.0) AS t1,
+                  QUANTILE_CONT(lp, 2.0/3.0) AS t2 FROM sc),
+    b AS (SELECT source, n_tokens, lp,
+                 CASE WHEN lp > t2 THEN 'head'
+                      WHEN lp > t1 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM sc CROSS JOIN th)
+    SELECT source, bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS avg_logprob
+    FROM b GROUP BY source, bucket ORDER BY source, bucket
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-bucket selection (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (text.ngram_lm_scores — the
+    text_lm_score signal), split the corpus at the EXACT score terciles
+    into head/middle/tail, and account each (source, bucket) cell — the
+    selection step real CCNet pipelines apply before keeping head+middle.
+
+    Plan shape: the LM scoring subplan (two vocab-bounded count shuffles +
+    per-doc aggregation), then the tercile thresholds reduce to ONE 1-row
+    exact-percentile aggregate that rides a broadcast crossJoin back over
+    the scored frame (no global sort, no single-task window — the same
+    two-pass quantile-threshold shape as frame_quantile_normalize), then
+    one groupBy(source, bucket).  Everything after scoring is O(|docs|)
+    with a 1-row broadcast; at 100 TB the terciles would swap to
+    approx_percentile with no shape change (documented; exact here for
+    the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "source",
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+        T.normalize_text("text").alias("norm"),
+    )
+    sc = T.ngram_lm_scores(norm, ["doc_id", "source", "n_tokens"], "norm")
+    th = sc.agg(
+        F.expr(
+            "percentile(avg_logprob, array(CAST(1.0/3.0 AS DOUBLE),"
+            " CAST(2.0/3.0 AS DOUBLE)))"
+        ).alias("t")
+    )
+    b = sc.crossJoin(F.broadcast(th)).withColumn(
+        "bucket",
+        F.when(F.col("avg_logprob") > F.element_at("t", 2), F.lit("head"))
+        .when(F.col("avg_logprob") > F.element_at("t", 1), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        b.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (
+                F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -394,3 +394,108 @@ def vec_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.col("pick").cast("int").alias("pick"),
     ).orderBy("cluster_id", "pick")
+
+
+@register(
+    "vec_topk_hamming",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id,
+              list_reduce(list_transform(v[1:32],
+                x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+                (a, b) -> a * 2 + b) AS s0,
+              list_reduce(list_transform(v[33:64],
+                x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+                (a, b) -> a * 2 + b) AS s1
+            FROM e),
+    cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    CAST(bit_count(xor(q.s0, c.s0))
+                         + bit_count(xor(q.s1, c.s1)) AS INT) AS hamming
+             FROM sig c JOIN sig q
+               ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    topc AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY hamming, neighbor_id) AS crk
+             FROM cand),
+    scored AS (SELECT t.query_id, t.neighbor_id, t.hamming,
+                      list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))) AS cos
+               FROM topc t JOIN e a ON a.vec_id = t.query_id
+                           JOIN e b ON b.vec_id = t.neighbor_id
+               WHERE t.crk <= 20),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, hamming, ROUND(cos, 6) AS cos,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def vec_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (S.hamming_topk): sign-bit signatures pack each
+    64-dim vector into two BIGINT words (16 bytes, 16× smaller than
+    float32); Hamming distance (xor + popcount, whole-stage codegen)
+    generates 20 candidates per query; exact cosine reranks to top-5.
+
+    Oracle-checkable end to end: the signature fold, the integer Hamming
+    ranking, and the rerank cosine are each deterministic arithmetic both
+    engines replicate bit-for-bit.  Recall vs the exact brute-force top-k
+    is asserted in tests/test_similarity.py.  At 100 TB the stage-1 scan
+    is the 16-byte signature projection — the candidate generator reads
+    ~0.4% of the corpus bytes; full vectors are touched only for the
+    candidates×queries equi-join."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.hamming_topk(emb, queries, "vec_id", "embedding", k=5, dim=64, candidates=20)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "vec_topk_int8",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(FLOOR(x * (127.0 / ma) + 0.5)
+                                              AS BIGINT)) AS q
+           FROM (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) AS ma
+                 FROM e)),
+    n AS (SELECT vec_id, q,
+                 sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS nn
+          FROM qz),
+    scored AS (SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      CAST(list_dot_product(qy.q, c.q) AS DOUBLE)
+                        / (qy.nn * c.nn) AS approx_cos
+               FROM n c JOIN n qy
+                 ON qy.vec_id < 5 AND c.vec_id <> qy.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY approx_cos DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, ROUND(approx_cos, 6) AS approx_cos,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def vec_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized cosine top-k (S.int8_topk): symmetric per-vector int8
+    quantization (floor(x·127/maxabs + 0.5)), then ranking happens
+    entirely in integer space — the integer dot products are exact, so
+    even the APPROXIMATE scores are cross-engine bit-identical and the
+    whole quantized pipeline hash-matches the oracle.  The scan is the
+    int8 corpus: 4× fewer bytes than float32 with near-identical ranking
+    (agreement vs brute force asserted in tests/test_similarity.py)."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.int8_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

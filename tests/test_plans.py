@@ -546,3 +546,24 @@ def test_lsh_batch_twin_has_no_cartesian(spark):
     plan = physical_plan(out)
     assert not has_cartesian(out)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccnet_buckets_no_global_window_threshold_broadcast(spark):
+    # The tercile thresholds must come from a 1-row aggregate riding a
+    # broadcast join — never a global sort or single-task window over the
+    # scored corpus.
+    df = _df(spark, "text_ccnet_buckets")
+    plan = P.physical_plan(df)
+    assert P.global_window_subtrees(df) == [], plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_hamming_topk_candidate_stage_reads_signatures_not_vectors(spark):
+    # Stage 1 (Hamming candidate generation) must scan the 2-word
+    # signature projection; full embedding vectors may be joined back only
+    # AFTER the per-query candidate window. Guard: the windows in the plan
+    # are partitioned by query (no global window), and no cartesian
+    # product appears (the query side is broadcast).
+    df = _df(spark, "vec_topk_hamming")
+    assert P.global_window_subtrees(df) == []
+    assert not P.has_cartesian(df)

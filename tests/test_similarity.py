@@ -211,3 +211,83 @@ def test_lloyd_kmeans_repartition_invariant(spark):
     rows_a = sorted((r["vec_id"], r["cluster_id"]) for r in a.collect())
     rows_b = sorted((r["vec_id"], r["cluster_id"]) for r in b.collect())
     assert rows_a == rows_b
+
+
+def test_binary_signature_known_bits(spark):
+    """Hand-computed signature: MSB-first fold over each 32-dim word."""
+    import pytest
+
+    vec = [0.0] * 64
+    vec[0] = 1.0   # word 0, MSB => 2^31
+    vec[31] = 1.0  # word 0, LSB => 2^0
+    vec[63] = -1.0  # negative: bit stays 0
+    vec[62] = 0.5  # word 1, bit position 30 => 2^1
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    row = df.select(*S.binary_signature(F.col("embedding"), 64)).collect()[0]
+    assert row["sig0"] == (1 << 31) + 1
+    assert row["sig1"] == 2
+    with pytest.raises(ValueError, match="multiple of 32"):
+        S.binary_signature(F.col("embedding"), 48)
+
+
+def test_hamming_topk_finds_planted_neighbor(spark):
+    """A sign-identical near-duplicate must surface at rank 1: its Hamming
+    distance is 0, so stage 1 cannot miss it and the exact rerank puts it
+    on top."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, base), (1, [x * 1.01 for x in base])]  # same signs, cos ~ 1
+    for i in range(2, 30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.hamming_topk(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=3, dim=64, candidates=5,
+    ).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 1
+    assert top["hamming"] == 0
+    assert top["cos"] > 0.999
+
+
+def test_hamming_recall_vs_brute_force(spark):
+    """On the real fixture, binary-quantized top-5 (20 candidates) keeps
+    useful recall of the exact cosine top-5 — the quantization-quality
+    contract, asserted loosely (sign bits keep ~cos similarity order per
+    Charikar's hyperplane bound)."""
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    approx = S.hamming_topk(emb, q, "vec_id", "embedding", k=5, dim=64, candidates=20)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.3
+
+
+def test_int8_quantize_exact_values(spark):
+    """floor(x*127/maxabs + 0.5): hand-checked levels incl. negatives."""
+    df = spark.createDataFrame(
+        [(1, [2.0, -2.0, 1.0, 0.0, -0.5])], "vec_id long, embedding array<double>"
+    )
+    row = df.select(S.int8_quantize(F.col("embedding")).alias("q")).collect()[0]
+    # scale = 127/2 = 63.5: 2->127, -2->floor(-127+.5)=-127, 1->floor(64)=64,
+    # 0->0, -0.5->floor(-31.75+.5)=floor(-31.25)=-32
+    assert row["q"] == [127, -127, 64, 0, -32]
+
+
+def test_int8_topk_agrees_with_brute_force(spark):
+    """SQ8 ranking tracks exact cosine ranking closely on the fixture:
+    top-5 sets overlap >= 60% averaged over the query set."""
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+    approx = S.int8_topk(emb, q, "vec_id", "embedding", k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.6
