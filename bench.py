@@ -72,8 +72,17 @@ SENTINELS = [
     "tpch_q21",
 ]
 # median sentinel calibration of each round's committed snapshots
-# (r5: 8 snapshots, 0.7386; r6: 10 snapshots, 0.7865); r2-r4 = 1.0.
-ROUND_EPOCH_CAL = {5: 0.7386, 6: 0.7865}
+# (r5: 8 snapshots, 0.7386; r6: 10 snapshots, 0.7865).  Rounds 3-4
+# predate snapshots, so their epochs are estimated from the committed
+# cross-run history instead: with cal=1.0 the r3-recorded cohort (n=20)
+# read a median normalized ratio of 1.180 and the r4 cohort (n=17)
+# 1.085, while the r2 (0.939), r5 (0.976) and r7 (1.006) cohorts all sat
+# at ~1.0 on identical hardware — a uniform per-cohort shift is host
+# epoch, not twenty simultaneous plan regressions.  The entries below
+# anchor each cohort's median to 1.0 (ecal = 1/median — conservative: it
+# removes the epoch shift without crediting the cohort with the plan
+# improvements the r2 cohort shows).  r2 defines the 1.0 scale.
+ROUND_EPOCH_CAL = {3: 0.847, 4: 0.922, 5: 0.7386, 6: 0.7865}
 
 
 def baseline_rows(path: str | None = None) -> dict[str, tuple[float, float]]:
