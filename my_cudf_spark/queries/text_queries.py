@@ -415,12 +415,14 @@ _CL_ITERS = 3
 _CL_LR = 0.5
 
 
-def _classifier_learn_sql() -> str:
-    """Unrolled DuckDB twin of text.learn_linear_classifier: every
-    iteration's prediction/gradient/update CTE chain repeats the exact
-    arithmetic the Spark loop runs (integer weight sums, one float
-    residual sequence, DECIMAL(28,9) gradient sums, floor-based integer
-    updates), so the trained model is bit-identical across engines."""
+def _classifier_learn_ctes() -> tuple[str, str, str]:
+    """Unrolled DuckDB twin of text.learn_linear_classifier as a WITH-body
+    prefix shared by the learn and train-apply oracles: every iteration's
+    prediction/gradient/update CTE chain repeats the exact arithmetic the
+    Spark loop runs (integer weight sums, one float residual sequence,
+    DECIMAL(28,9) gradient sums, floor-based integer updates), so the
+    trained model is bit-identical across engines.  Returns (cte_body,
+    final_weights_cte, final_bias_cte)."""
     from my_cudf_spark.functions.stable import sql_dec2dbl
     from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN, SQL_QUALITY
 
@@ -449,19 +451,19 @@ def _classifier_learn_sql() -> str:
              FROM {pb} b, bg{i} bg, stats st),"""
         pw, pb = f"w{i}", f"b{i}"
 
-    return f"""
-    WITH scored AS (
-      SELECT doc_id, text, {SQL_QUALITY} AS q
-      FROM (SELECT doc_id, text, length(text) AS n,
+    body = f"""scored AS (
+      SELECT doc_id, source, text, {SQL_QUALITY} AS q
+      FROM (SELECT doc_id, source, text, length(text) AS n,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
                    length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
             FROM documents)),
     base AS (
-      SELECT doc_id, CASE WHEN q >= {QUALITY_MIN} THEN 1.0 ELSE 0.0 END AS y, feats
-      FROM (SELECT doc_id, q,
+      SELECT doc_id, source,
+             CASE WHEN q >= {QUALITY_MIN} THEN 1.0 ELSE 0.0 END AS y, feats
+      FROM (SELECT doc_id, source, q,
                    list_concat(toks, list_transform(range(1, len(toks)),
                                                     i -> toks[i] || ' ' || toks[i+1])) AS feats
-            FROM (SELECT doc_id, q, string_split({SQL_NORM}, ' ') AS toks FROM scored))
+            FROM (SELECT doc_id, source, q, string_split({SQL_NORM}, ' ') AS toks FROM scored))
       WHERE len(feats) > 0),
     ex AS (
       SELECT doc_id, y, nf,
@@ -469,7 +471,14 @@ def _classifier_learn_sql() -> str:
       FROM (SELECT doc_id, y, len(feats) AS nf, unnest(feats) AS g FROM base)),
     stats AS (SELECT COUNT(*) AS n FROM base),
     w0 AS (SELECT CAST(range AS INT) AS bucket, 0::BIGINT AS w_micro FROM range({nb})),
-    b0 AS (SELECT 0::BIGINT AS b_micro),{its}
+    b0 AS (SELECT 0::BIGINT AS b_micro),{its}"""
+    return body, pw, pb
+
+
+def _classifier_learn_sql() -> str:
+    body, pw, pb = _classifier_learn_ctes()
+    return f"""
+    WITH {body}
     cnt AS (SELECT bucket, COUNT(*) AS n_feats FROM ex GROUP BY bucket)
     SELECT w.bucket, w.w_micro, CAST(COALESCE(c.n_feats, 0) AS BIGINT) AS n_feats
     FROM {pw} w LEFT JOIN cnt c USING (bucket)
@@ -543,6 +552,102 @@ def text_classifier_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_feats"),
     )
     return out.unionByName(bias_row).orderBy("bucket")
+
+
+def _classifier_train_apply_sql() -> str:
+    """Train-then-apply oracle: the shared learning CTE chain, then the
+    final weights score the SAME corpus (the bulk-apply formula
+    sm/1e6/nf + b/1e6) and a per-source distillation-fidelity report."""
+    from my_cudf_spark.functions.stable import sql_dec2dbl
+
+    body, pw, pb = _classifier_learn_ctes()
+    return f"""
+    WITH {body}
+    sc AS (SELECT e.doc_id, ANY_VALUE(e.y) AS y, ANY_VALUE(e.nf) AS nf,
+                  CAST(SUM(w.w_micro) AS BIGINT) AS sm
+           FROM ex e JOIN {pw} w USING (bucket) GROUP BY e.doc_id),
+    lg AS (SELECT s.doc_id, b2.source, s.y,
+                  CAST(s.sm AS DOUBLE)/1000000.0/s.nf
+                    + CAST(b.b_micro AS DOUBLE)/1000000.0 AS logit
+           FROM sc s JOIN base b2 USING (doc_id) CROSS JOIN {pb} b)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN logit > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+           CAST(SUM(CASE WHEN (logit > 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           {sql_dec2dbl('SUM(CAST(ROUND(logit, 6) AS DECIMAL(18,6)))')} / COUNT(*) AS avg_logit
+    FROM lg GROUP BY source ORDER BY source
+    """
+
+
+@register("text_classifier_train_apply", sql=_classifier_train_apply_sql())
+def text_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distill-then-apply loop as ONE lazy DAG (the CCNet/Llama stage
+    pair): train the hashed linear classifier on the heuristic labels
+    (text.learn_linear_classifier) and score the corpus with the LEARNED
+    weights (text.classifier_logit_bulk) — weights flow from training
+    into scoring as a broadcast frame, never through the driver (the
+    learned bias rides a 1-row crossJoin; adding the bulk scorer's 0.0
+    placeholder bias is an exact float no-op, so the composed logit is
+    the oracle's one-shot formula bit-for-bit).  Output: per-source
+    distillation fidelity — docs, predicted-positive count, agreement
+    with the heuristic teacher at the 0.5 squared-loss threshold, mean
+    logit.
+
+    Scale: the labeled feature frame persists ONCE (shared LRU) and
+    feeds training (3 one-job iterations, only the 65-row gradient
+    shuffle each) AND the apply pass (one broadcast join + per-doc
+    groupBy) — the whole train→apply composition adds exactly one
+    corpus-sized shuffle beyond training itself."""
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.filter(F.size("toks") > 0)
+        .withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
+        .select(
+            "doc_id",
+            "source",
+            (T.quality_score("text") >= QUALITY_MIN).cast("double").alias("y"),
+            "feats",
+        )
+    )
+    w, b = T.learn_linear_classifier(
+        base,
+        "doc_id",
+        "feats",
+        "y",
+        n_buckets=_CL_NBUCKETS,
+        n_iters=_CL_ITERS,
+        lr=_CL_LR,
+        hash_expr=D.md5_hash60,
+    )
+    scored = T.classifier_logit_bulk(
+        base, "doc_id", "feats", w, n_buckets=_CL_NBUCKETS, bias_micro=0,
+        hash_expr=D.md5_hash60,
+    )
+    lg = (
+        scored.crossJoin(F.broadcast(b.select("b_micro")))
+        .withColumn(
+            "logit",
+            F.col("logit") + F.col("b_micro").cast("double") / F.lit(1000000.0),
+        )
+        .join(base.select("doc_id", "source", "y"), "doc_id")
+    )
+    pos = F.col("logit") > 0.5
+    return (
+        lg.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pred_pos"),
+            F.sum(F.when(pos == (F.col("y") == 1.0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+            (
+                F.sum(F.round("logit", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logit"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(
