@@ -442,3 +442,27 @@ def test_learn_classifier_loss_decreases_and_guards(spark):
         learn_linear_classifier(df, "doc_id", "feats", "y", n_buckets=0, n_iters=1, lr=1.0)
     with pytest.raises(ValueError, match="n_iters"):
         learn_linear_classifier(df, "doc_id", "feats", "y", n_buckets=4, n_iters=0, lr=1.0)
+
+
+def test_learn_classifier_repartition_invariant(spark):
+    """Trained weights are a pure function of (corpus, labels, hparams) —
+    identical under any input partitioning (the DECIMAL-gradient
+    contract that makes training SQL-oracle-able)."""
+    from my_cudf_spark.functions.text import classifier_features, learn_linear_classifier
+
+    rows = [(i, f"tok{i % 7} alpha beta{i % 3}", float(i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y double")
+    df = df.withColumn("toks", F.split("text", " ")).withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    )
+
+    def run(frame):
+        w, b = learn_linear_classifier(
+            frame, "doc_id", "feats", "y", n_buckets=16, n_iters=3, lr=0.7
+        )
+        ws = sorted((r["bucket"], r["w_micro"]) for r in w.collect())
+        return ws, b.collect()[0]["b_micro"]
+
+    a = run(df)
+    bres = run(df.repartition(17))
+    assert a == bres

@@ -291,3 +291,23 @@ def test_int8_topk_agrees_with_brute_force(spark):
     ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(ex & ap) / len(ex) >= 0.6
+
+
+def test_hamming_topk_full_candidates_equals_brute_force(spark):
+    """With candidates >= |corpus| stage 1 passes everything through, so
+    the exact-cosine rerank must reproduce brute-force top-k EXACTLY
+    (same neighbors, same ranks, same cosines) — the equivalence that
+    pins the two-stage plumbing."""
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = S.brute_force_topk(emb, q, "vec_id", "embedding", k=4)
+    full = S.hamming_topk(
+        emb, q, "vec_id", "embedding", k=4, dim=64, candidates=10**9
+    )
+    ex = sorted((r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
+                for r in exact.collect())
+    fu = sorted((r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
+                for r in full.collect())
+    assert ex == fu
