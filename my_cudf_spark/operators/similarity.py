@@ -26,7 +26,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
     "ivf_topk", "lloyd_kmeans", "cosine_pairs_exact", "cosine_neardup_lsh",
     "md5_rademacher_planes", "binary_signature", "hamming_topk",
-    "int8_quantize", "int8_topk",
+    "int8_quantize", "int8_topk", "power_iteration_pca",
 ]
 
 
@@ -781,3 +781,148 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "approx_cos", "rank")
     )
+
+
+def power_iteration_pca(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iterations: int = 6,
+):
+    """Distributed first-principal-component extraction: mean-center,
+    build the d×d covariance as ONE map-side-combined aggregation over
+    the exploded pair frame, run ``iterations`` power-iteration steps
+    (von Mises–Pollaczek-Geiringer; the MLlib RowMatrix PCA shape with
+    the eigensolve replaced by a fixed, engine-replicable iteration),
+    and project every vector onto the resulting direction.
+
+    Bit-exact across engines by the same contract as lloyd_kmeans and
+    learn_linear_classifier: every cross-row float sum is per-term
+    quantized (the corpus-sized covariance to exact BIGINT nano-units
+    via floor(x·1e9 + 0.5); the tiny iteration sums to round(·,9) +
+    DECIMAL(28,9)) — order independent either way, so partitioning
+    cannot move a low bit — and every within-row reduction is a
+    sequential left fold both engines share.
+    The fixed iteration count (not a convergence test) is what makes the
+    result a pure function of the input, i.e. SQL-oracle-able.
+
+    Scale: the covariance pass explodes dim² terms per row (the standard
+    dense-covariance cost, fine for embedding dims up to ~1k); the
+    iteration loop touches only the d²-row covariance and a d-row vector
+    (eagerly checkpointed, one tiny job per step); the projection is one
+    narrow pass over the corpus with the centered direction riding a
+    1-row broadcast.  Corpus is scanned twice total (covariance +
+    projection).
+
+    Returns ``(component_df, projected_df)``: component_df = (pos INT,
+    val DOUBLE) — the unit direction after the final step; projected_df =
+    (id_col, pc1 DOUBLE) — the centered projection per input row."""
+    from pyspark.storagelevel import StorageLevel
+
+    DEC = "decimal(28,9)"
+    spark = corpus.sparkSession
+    n_f = F.count(F.lit(1))
+
+    ex = corpus.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("pos", "x")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mu = ex.groupBy("pos").agg(
+        (F.sum(F.col("x").cast(DEC)).cast("double") / n_f).alias("mu")
+    )
+    xc = ex.join(F.broadcast(mu), "pos").select(
+        "__id", "pos", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a = xc.select("__id", F.col("pos").alias("i"), F.col("xc").alias("xi"))
+    b = xc.select("__id", F.col("pos").alias("j"), F.col("xc").alias("xj"))
+    # The d²-per-row pair sum is the hot loop: per-term exact INTEGER
+    # nano-units (floor(x·1e9 + 0.5) — the floor-not-ROUND half-handling
+    # convention) sum as BIGINT far faster than DECIMAL with the same
+    # order-independence, and symmetry halves the terms — (i,j) and (j,i)
+    # share an identical term multiset, so mirroring the upper triangle
+    # reproduces the full matrix bit-for-bit.
+    covh = (
+        a.join(b, "__id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("xi") * F.col("xj") * F.lit(1000000000.0) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1000000000.0)
+                / n_f
+            ).alias("c")
+        )
+    )
+    cov = covh.unionByName(
+        covh.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint(eager=True)
+
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"),
+        F.lit(1.0 / float(dim) ** 0.5).alias("val"),
+    )
+    v = v.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        w = (
+            cov.join(
+                v.select(F.col("pos").alias("__j"), "val"), cov["j"] == F.col("__j")
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("c") * F.col("val"), 9).cast(DEC))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 9).cast(DEC)).cast("double")
+            ).alias("n")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(F.col("i").alias("pos"), (F.col("w") / F.col("n")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+
+    mu_arr = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+            lambda s: s.getField("mu"),
+        ).alias("__mu")
+    )
+    v_arr = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            lambda s: s.getField("val"),
+        ).alias("__v")
+    )
+    proj = (
+        corpus.crossJoin(F.broadcast(mu_arr))
+        .crossJoin(F.broadcast(v_arr))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(F.col(vec_col), F.col("__mu"), lambda x, m: x - m),
+                    F.col("__v"),
+                    lambda d, vv: d * vv,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("pc1"),
+        )
+    )
+    try:
+        return v, proj
+    finally:
+        try:
+            ex.unpersist()
+        except Exception:  # session tearing down — nothing to release
+            pass

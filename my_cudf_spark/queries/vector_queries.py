@@ -499,3 +499,76 @@ def vec_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("approx_cos", 6).alias("approx_cos"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+_PCA_ITERS = 6
+
+
+def _pca_sql() -> str:
+    """Unrolled DuckDB twin of similarity.power_iteration_pca: centering,
+    the DECIMAL-summed covariance, every power-iteration matvec+normalize
+    as its own CTE pair, and the per-vector sequential-fold projection —
+    the same per-term round(…,9) DECIMAL(28,9) discipline as the k-means
+    and classifier-training oracles, so the iterative result is
+    bit-identical across engines."""
+    its = ""
+    pv = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        its += f"""
+    w{k} AS (SELECT c.i, CAST(CAST(SUM(CAST(ROUND(c.c * v.val, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS w
+             FROM cov c JOIN {pv} v ON c.j = v.pos GROUP BY c.i),
+    n{k} AS (SELECT sqrt(CAST(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)) AS n FROM w{k}),
+    v{k} AS (SELECT w.i AS pos, w.w / n.n AS val FROM w{k} w, n{k} n),"""
+        pv = f"v{k}"
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    st AS (SELECT COUNT(*) AS n FROM e),
+    ex AS (SELECT vec_id, d.d AS pos, v[d.d + 1] AS x
+           FROM e CROSS JOIN range(64) d(d)),
+    mu AS (SELECT pos,
+                  CAST(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
+                    / (SELECT n FROM st) AS mu
+           FROM ex GROUP BY pos),
+    xc AS (SELECT ex.vec_id, ex.pos, ex.x - mu.mu AS xc
+           FROM ex JOIN mu USING (pos)),
+    covh AS (SELECT a.pos AS i, b.pos AS j,
+                    CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1000000000 / (SELECT n FROM st) AS c
+             FROM xc a JOIN xc b USING (vec_id) WHERE a.pos <= b.pos
+             GROUP BY 1, 2),
+    cov AS (SELECT i, j, c FROM covh
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM covh WHERE i < j),
+    v0 AS (SELECT CAST(range AS INT) AS pos, 0.125 AS val FROM range(64)),{its}
+    mua AS (SELECT list(mu ORDER BY pos) AS mu FROM mu),
+    va AS (SELECT list(val ORDER BY pos) AS vv FROM {pv})
+    SELECT e.vec_id,
+           ROUND(list_aggregate(list_transform(range(1, 65),
+                   i -> (e.v[i] - mua.mu[i]) * va.vv[i]), 'sum'), 6) AS pc1
+    FROM e, mua, va ORDER BY e.vec_id
+    """
+
+
+@register("vec_pca_project", sql=_pca_sql())
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection by distributed power iteration
+    (similarity.power_iteration_pca) — the linear-algebra tier of the
+    embedding pipeline (decorrelation, 1-D curriculum ordering, whitening
+    prep), done the MLlib RowMatrix way but with the eigensolve replaced
+    by a FIXED engine-replicable iteration: mean-center, one
+    map-side-combined d² covariance aggregation, six matvec+normalize
+    steps on d²/d-row frames (one tiny eager job each), one narrow
+    projection pass.  Corpus scanned twice; nothing corpus-sized ever
+    broadcasts or sorts globally.
+
+    The whole iterative pipeline is oracle-checked BIT-FOR-BIT (not
+    recall-style): every cross-row sum rides the round(·,9)+DECIMAL(28,9)
+    order-independence contract, every within-row reduction is the shared
+    sequential fold — the same discipline that made vec_kmeans and
+    text_classifier_learn exactly reproducible in SQL."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    _, proj = S.power_iteration_pca(
+        emb, "vec_id", "embedding", dim=64, iterations=_PCA_ITERS
+    )
+    return proj.select("vec_id", F.round("pc1", 6).alias("pc1")).orderBy("vec_id")

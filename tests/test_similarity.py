@@ -311,3 +311,45 @@ def test_hamming_topk_full_candidates_equals_brute_force(spark):
     fu = sorted((r["query_id"], r["rank"], r["neighbor_id"], round(r["cos"], 9))
                 for r in full.collect())
     assert ex == fu
+
+
+def test_power_iteration_pca_matches_numpy_direction(spark):
+    """On planted anisotropic data the fixed-iteration PC1 projection must
+    align with numpy's exact top eigenvector (|correlation| > 0.99 —
+    power iteration after 6 steps on a dominant-gap spectrum)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    direction = rng.randn(64); direction /= np.linalg.norm(direction)
+    X = (
+        np.outer(rng.randn(200) * 5.0, direction)  # strong axis
+        + rng.randn(200, 64) * 0.3                 # isotropic noise
+    )
+    rows = [(i, [float(x) for x in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, proj = S.power_iteration_pca(df, "vec_id", "embedding", dim=64, iterations=6)
+    got = {r["vec_id"]: r["pc1"] for r in proj.collect()}
+    spark_pc1 = np.array([got[i] for i in range(200)])
+
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(X)
+    vals, vecs = np.linalg.eigh(C)
+    ref = Xc @ vecs[:, -1]
+    corr = np.corrcoef(spark_pc1, ref)[0, 1]
+    assert abs(corr) > 0.99, corr
+
+
+def test_power_iteration_pca_repartition_invariant(spark):
+    """PC1 projections are a pure function of the data — identical under
+    any input partitioning (the DECIMAL-sum contract that makes the
+    iterative pipeline SQL-oracle-able)."""
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    _, p1 = S.power_iteration_pca(emb, "vec_id", "embedding", dim=64, iterations=3)
+    _, p2 = S.power_iteration_pca(
+        emb.repartition(13), "vec_id", "embedding", dim=64, iterations=3
+    )
+    a = sorted((r["vec_id"], round(r["pc1"], 9)) for r in p1.collect())
+    b = sorted((r["vec_id"], round(r["pc1"], 9)) for r in p2.collect())
+    assert a == b
