@@ -567,3 +567,12 @@ def test_hamming_topk_candidate_stage_reads_signatures_not_vectors(spark):
     df = _df(spark, "vec_topk_hamming")
     assert P.global_window_subtrees(df) == []
     assert not P.has_cartesian(df)
+
+
+def test_pca_no_corpus_global_window_no_cartesian(spark):
+    # The PCA pipeline must keep corpus work distributed: no global
+    # (unpartitioned) window anywhere, and the direction/mean arrays ride
+    # 1-row broadcasts (BroadcastNestedLoopJoin), never a cartesian.
+    df = _df(spark, "vec_pca_project")
+    assert P.global_window_subtrees(df) == []
+    assert not P.has_cartesian(df)
