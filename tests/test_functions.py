@@ -466,3 +466,30 @@ def test_learn_classifier_repartition_invariant(spark):
     a = run(df)
     bres = run(df.repartition(17))
     assert a == bres
+
+
+def test_learn_classifier_single_doc_and_constant_labels(spark):
+    """Degenerate corpora stay well-defined: one document converges toward
+    its own label; all-equal labels move the bias toward that label."""
+    from my_cudf_spark.functions.text import classifier_features, learn_linear_classifier
+
+    one = spark.createDataFrame(
+        [(1, "only doc here", 1.0)], "doc_id int, text string, y double"
+    ).withColumn("toks", F.split("text", " ")).withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    )
+    w, b = learn_linear_classifier(one, "doc_id", "feats", "y", n_buckets=8, n_iters=5, lr=1.0)
+    bias = b.collect()[0]
+    assert bias["n_docs"] == 1
+    total_w = sum(r["w_micro"] for r in w.collect())
+    # gradient of (pred-1)^2 at pred=0 pushes weights/bias POSITIVE
+    assert bias["b_micro"] > 0 and total_w > 0
+
+    const = spark.createDataFrame(
+        [(i, f"doc {i} words", 1.0) for i in range(6)],
+        "doc_id int, text string, y double",
+    ).withColumn("toks", F.split("text", " ")).withColumn(
+        "feats", classifier_features(F.col("toks"), max_n=2)
+    )
+    _, b2 = learn_linear_classifier(const, "doc_id", "feats", "y", n_buckets=8, n_iters=5, lr=1.0)
+    assert b2.collect()[0]["b_micro"] > 0

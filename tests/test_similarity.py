@@ -353,3 +353,44 @@ def test_power_iteration_pca_repartition_invariant(spark):
     a = sorted((r["vec_id"], round(r["pc1"], 9)) for r in p1.collect())
     b = sorted((r["vec_id"], round(r["pc1"], 9)) for r in p2.collect())
     assert a == b
+
+
+def test_binary_signature_scale_invariant_and_single_word(spark):
+    """Sign-bit signatures are invariant under positive scaling (only the
+    sign matters — the Charikar property), and dim=32 packs into exactly
+    one word."""
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(1, base), (2, [x * 7.5 for x in base])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = df.select("vec_id", *S.binary_signature(F.col("embedding"), 64)).collect()
+    sigs = {r["vec_id"]: (r["sig0"], r["sig1"]) for r in out}
+    assert sigs[1] == sigs[2]
+
+    df32 = spark.createDataFrame([(1, base[:32])], "vec_id long, embedding array<double>")
+    cols = S.binary_signature(F.col("embedding"), 32)
+    assert len(cols) == 1
+    row = df32.select(*cols).collect()[0]
+    assert 0 <= row["sig0"] < 2**32
+
+
+def test_hamming_and_int8_topk_k_exceeds_corpus(spark):
+    """k larger than the corpus returns every non-self neighbor exactly
+    once — no padding, no duplicates."""
+    rows = [(i, [float(i + d) for d in range(32)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    ham = S.hamming_topk(df, q, "vec_id", "embedding", k=50, dim=32, candidates=50)
+    i8 = S.int8_topk(df, q, "vec_id", "embedding", k=50)
+    for out in (ham, i8):
+        got = [r["neighbor_id"] for r in out.collect()]
+        assert sorted(got) == [1, 2, 3]
+
+
+def test_int8_quantize_constant_vector(spark):
+    """All-equal positive vector quantizes to all 127 (scale = 127/|x|)."""
+    df = spark.createDataFrame([(1, [0.4, 0.4, 0.4])], "vec_id long, embedding array<double>")
+    row = df.select(S.int8_quantize(F.col("embedding")).alias("q")).collect()[0]
+    assert row["q"] == [127, 127, 127]
