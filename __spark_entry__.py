@@ -56,16 +56,45 @@ def _last_verified_round() -> dict[str, int]:
 # budget on unchanged backlog.  The boost EXPIRES once the driver
 # re-verifies at/after _PLAN_CHANGED_ROUND (a static set would otherwise
 # preempt the stale backlog forever); bump the round and refresh the set
-# whenever a green query's plan changes again.  (All r5/r6 names were
-# driver-re-verified in r06, so the r6 set is cleared.)
-_PLAN_CHANGED_ROUND = 7
+# whenever a green query's plan changes again.  (Both r7 names were
+# driver-re-verified in r07, so the r7 set is cleared.)
+_PLAN_CHANGED_ROUND = 8
 _PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
     {
-        # r7 edits: t-digest bucketed-state restore now _norm_nullable-
-        # normalizes keys (Python fn rides in the plan), and
-        # cdc_merge_bucketed's warehouse-path setup was URI-hardened
-        "stream_quantile_replay",
-        "cdc_merge_bucketed",
+        # r8: the small-source parallelism guard (sources/tables.py
+        # ensure_min_parallelism) adds a conditional round-robin Exchange
+        # to every query reading the documents/embeddings corpora — the
+        # exact set below was computed by instrumenting load_table over
+        # the full registry (the three pinned text SENTINELS excluded by
+        # design).  Also carries the r8 ADVICE fixes riding the same
+        # names: vec_pca_project (mu checkpoint), vec_topk_int8 (all-zero
+        # quantize guard), text_dsir_weights (order-independent decimal
+        # log-weight sum).
+        "corpus_overlap", "dedup_clusters", "dedup_exact",
+        "dedup_incremental", "dedup_minhash_lsh", "dedup_neardup_pairs",
+        "dedup_simhash", "dedup_substring_removal", "dedup_substring_spans",
+        "io_text_roundtrip", "mm_audio_pairs", "mm_phash_pairs",
+        "mm_phash_signatures", "mm_video_pairs", "multimodal_features",
+        "multimodal_frames", "pack_documents", "pipeline_curation",
+        "pipeline_curation_model", "pipeline_data_card",
+        "sample_cluster_safe_split", "sample_epoch_shuffle",
+        "sample_mixture", "sample_split", "sample_split_grouped",
+        "sample_stratified", "stream_audio_dedup_replay",
+        "stream_curation_model_replay", "stream_curation_replay",
+        "stream_phash_replay", "stream_semantic_dedup_replay",
+        "stream_video_dedup_replay", "text_bm25", "text_bpe_learn",
+        "text_ccnet_buckets", "text_chunk_documents",
+        "text_classifier_learn", "text_classifier_train_apply",
+        "text_contamination", "text_dsir_weights", "text_edit_matrix",
+        "text_fingerprint", "text_lm_score", "text_minhash_ngrams",
+        "text_ngrams", "text_pii_redact", "text_quality_filter",
+        "text_quality_model", "text_stemmer", "text_subword",
+        "text_token_ops", "text_tokenize", "text_vocab_build",
+        "text_vocab_tokenize", "vec_cluster_balance", "vec_filtered_topk",
+        "vec_kmeans", "vec_neardup_pairs", "vec_pca_project",
+        "vec_semantic_dedup", "vec_stats", "vec_topk_cosine",
+        "vec_topk_hamming", "vec_topk_int8", "vec_topk_ivf",
+        "vec_topk_lsh",
     }
 )
 

@@ -70,6 +70,17 @@ SENTINELS = [
     "ndsh_q9",
     "tpch_q18",
     "tpch_q21",
+    # r8 basket rebalance (r7 verdict #2): the original all-join/agg basket
+    # speeds up ~2.7% MORE on fast-host epochs than the regex/string-heavy
+    # cohort, so calibration over-penalized exactly the text_* family
+    # (normalized ≫ raw for text rows only).  These three are r2-recorded,
+    # never re-planned, ≥ 1.1 s, and regex/string-bound — the basket now
+    # spans both execution profiles.  Calibrations are recomputed from raw
+    # snapshot timings with the CURRENT basket (see _cross_run_medians), so
+    # the whole committed history is self-consistent under this change.
+    "text_quality_lang",
+    "text_repetition",
+    "text_tfidf",
 ]
 # median sentinel calibration of each round's committed snapshots
 # (r5: 8 snapshots, 0.7386; r6: 10 snapshots, 0.7865).  Rounds 3-4
@@ -82,7 +93,56 @@ SENTINELS = [
 # anchor each cohort's median to 1.0 (ecal = 1/median — conservative: it
 # removes the epoch shift without crediting the cohort with the plan
 # improvements the r2 cohort shows).  r2 defines the 1.0 scale.
-ROUND_EPOCH_CAL = {3: 0.847, 4: 0.922, 5: 0.7386, 6: 0.7865}
+# r8 re-fit on the EXPANDED basket (three text sentinels added — see
+# SENTINELS note): r6 = median recomputed calibration of its 17 committed
+# snapshots (was 0.7865 on the old basket's 10); r5 snapshots were pruned
+# before r8, so its measured 0.7386 is scaled by the median new/old basket
+# offset across all 36 committed snapshots (1.0269); r3/r4 re-fitted with
+# the same cohort-median-to-1.0 anchoring over new-basket calibrations
+# (was 0.847 / 0.922).
+ROUND_EPOCH_CAL = {3: 0.8836, 4: 0.9339, 5: 0.7585, 6: 0.7999}
+# The r3/r4 factors are FITTED (cohort median anchored to 1.0), not
+# measured from that round's own sentinel snapshots like r5/r6 — so by
+# construction they would absorb a genuinely uniform cohort regression
+# (r7 advisor).  Independent validation (r8, from committed BENCH_RUNS,
+# no refit): (a) the r3 cohort's ecal=1.0 ratio distribution is a pure
+# DISPLACEMENT of the r2 reference cohort measured in the SAME runs —
+# median 1.163 vs 0.970 (shift 1.20 ≈ 1/0.847 within 2%) with relative
+# IQR 0.241 vs the r2 cohort's 0.254: twenty heterogeneous plan shapes
+# (aggs, joins, text, windows) regressing independently by the SAME
+# magnitude with no widening of spread is not a plausible alternative;
+# (b) the r5 cohort, whose factor IS measured, lands at 1.01 normalized
+# — the method is confirmed where it can be cross-checked.  The residual
+# risk (a uniform regression hiding inside the fitted factor) is bounded
+# by flagging rows recorded in ESTIMATED_EPOCH_ROUNDS at a TIGHTER
+# threshold in tools_ratio_check.
+ESTIMATED_EPOCH_ROUNDS = frozenset({3, 4})
+
+
+def baseline_epoch_rounds(path: str | None = None) -> dict[str, int | None]:
+    """BASELINE.md rows → {query: recording round}, None when the row
+    carries an explicit measured ``cal=`` annotation (r7+) or is r2-era
+    (the 1.0 reference epoch).  Rows whose round is in
+    ESTIMATED_EPOCH_ROUNDS ride a fitted, not measured, epoch factor."""
+    import re
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    rounds: dict[str, int | None] = {}
+    for line in open(path):
+        m = re.match(
+            r"\|\s*(\w+)\s*\|\s*([0-9.]+)\s*\|\s*local\[32\], sf0\.1[^|]*\|([^|]*)\|",
+            line,
+        )
+        if not m:
+            continue
+        note = m.group(3)
+        if re.search(r"cal=([0-9.]+)", note):
+            rounds[m.group(1)] = None
+            continue
+        mr = re.search(r"(?:re-)?recorded r(\d+)", note)
+        rounds[m.group(1)] = int(mr.group(1)) if mr else None
+    return rounds
 
 
 def baseline_rows(path: str | None = None) -> dict[str, tuple[float, float]]:
@@ -184,8 +244,14 @@ def _cross_run_medians(
         runs.extend(candidates[: HISTORY - 1])
     except OSError:
         pass
+    # Recompute each run's calibration from its RAW timings with the
+    # current sentinel basket (stored factors are kept for provenance but
+    # measure the basket of their day — recomputing keeps the whole
+    # history on one scale when the basket changes, e.g. the r8 text-row
+    # rebalance).  Stored value is the fallback for protocol-test runs
+    # with too few sentinels.
     cals = [
-        r.get("calibration") or calibration_factor(r.get("queries", {}), base) or 1.0
+        calibration_factor(r.get("queries", {}), base) or r.get("calibration") or 1.0
         for r in runs
     ]
     merged = {}

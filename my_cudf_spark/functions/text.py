@@ -835,12 +835,18 @@ def dsir_log_weights(
             - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + F.lit(n_buckets)))
         ).alias("__lr"),
     )
+    # Per-doc sum via round(·,9) + DECIMAL(28,9): plain double F.sum is
+    # order-dependent, and callers rank/select on the ROUNDED weight — a
+    # sum landing on a rounding boundary could flip across partitionings
+    # or engines (the classifier/PCA order-independent-sum convention).
     return (
         b.filter(~F.col("__t"))
         .join(F.broadcast(ratios), "__b")
         .groupBy(*ids)
         .agg(
             F.count(F.lit(1)).alias("n_feat"),
-            F.sum("__lr").alias("log_weight"),
+            F.sum(F.round(F.col("__lr"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("log_weight"),
         )
     )

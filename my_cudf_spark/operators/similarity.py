@@ -732,11 +732,16 @@ def int8_quantize(vec: Column) -> Column:
     + 0.5)`` (the FAISS/Milvus SQ8 scheme): 4× smaller than float32,
     integer dot products thereafter.  floor(+0.5) not ROUND — identical
     half-handling on every engine; the scale ``127.0/maxabs`` is one
-    float divide both engines evaluate identically."""
+    float divide both engines evaluate identically.  An all-zero vector
+    (maxabs = 0) quantizes to all zeros — without the guard 127/0 = Inf
+    and 0·Inf = NaN would turn every entry NULL and the downstream norms
+    NaN, with engine-divergent 0/0 semantics."""
     maxabs = F.array_max(F.transform(vec, F.abs))
     scale = F.lit(127.0) / maxabs
-    return F.transform(
-        vec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    return F.when(
+        maxabs == F.lit(0.0), F.transform(vec, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(vec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
     )
 
 
@@ -862,6 +867,11 @@ def power_iteration_pca(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
         )
     ).localCheckpoint(eager=True)
+    # Pin mu (d rows) NOW, while ex is still persisted: the lazily
+    # returned projection reads mu after this function unpersists ex, and
+    # an uncheckpointed mu would silently re-run the corpus posexplode —
+    # a third corpus scan the docstring promises not to make.
+    mu = mu.localCheckpoint(eager=True)
 
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("pos"),

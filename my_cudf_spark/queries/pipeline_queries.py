@@ -325,3 +325,190 @@ def pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _pretrain_sql() -> str:
+    """Whole-pipeline DuckDB twin of pipeline_pretrain: the curation CTEs
+    of _model_pipeline_sql (heuristic quality → trained-model filter →
+    exact keep-first dedup), then vocabulary tokenization, the epoch-1
+    deterministic shuffle key, windowed global offsets in shuffle order,
+    and 512-token pack assignment — per-document output so every stage's
+    arithmetic is value-checked end to end."""
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_NBUCKETS,
+        _QM_W_SQL,
+        VOCAB,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         {SQL_QUALITY} AS quality,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM (SELECT doc_id, source, text, length(text) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+        FROM documents)
+  WHERE {SQL_QUALITY} >= {QUALITY_MIN}),
+feats AS (
+  SELECT doc_id,
+         list_concat(toks, list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])) AS feats
+  FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM scored)),
+modeled AS (
+  SELECT s.* FROM scored s JOIN feats f USING (doc_id)
+  WHERE len(f.feats) > 0
+    AND list_sum(list_transform(f.feats,
+          g -> ({_QM_W_SQL})[(('0x' || substr(md5(g), 1, 15))::BIGINT % {_QM_NBUCKETS}) + 1]))::DOUBLE
+        / 1000000.0 / len(f.feats) + ({_QM_BIAS_MICRO}::DOUBLE / 1000000.0) > 0),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM})
+                                 ORDER BY doc_id) AS rk
+    FROM modeled) WHERE rk = 1),
+tok AS (
+  SELECT doc_id, source, n_tokens,
+         array_to_string(list_transform(string_split({SQL_NORM}, ' '),
+           x -> CAST(COALESCE(list_position({VOCAB!r}, x) - 1, -1) AS VARCHAR)),
+           ',') AS ids,
+         substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS ek
+  FROM deduped),
+ordered AS (
+  SELECT doc_id, source, n_tokens, ids,
+         CAST(ROW_NUMBER() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT) AS pos,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY ek, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM tok)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, ids, pos,
+       start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS end_pack_id,
+       (start_offset + n_tokens - 1) // 512 > start_offset // 512 AS straddle
+FROM ordered ORDER BY doc_id
+"""
+
+
+def _pretrain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline_pretrain DAG up to (not including) the sized sink —
+    factored out so tests/test_plans.py asserts the shuffle shape of the
+    exact shipped plan."""
+    from my_cudf_spark.operators.dedup import md5_hash60
+    from my_cudf_spark.operators.packing import global_cumsum
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_WEIGHTS,
+        _norm_tokens,
+        VOCAB,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.quality_score("text").alias("quality"),
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("quality") >= QUALITY_MIN)
+    feat = scored.withColumn("toks", _norm_tokens()).withColumn(
+        "feats", T.classifier_features(F.col("toks"), max_n=2)
+    )
+    # Persist boundary before the logit filter (the pipeline_curation_model
+    # lesson): keeps the classifier a one-pass projection instead of
+    # inlining the normalize+split chain into the ngram lambda.  ``toks``
+    # survives the boundary — the tokenizer stage reads it after dedup.
+    scored_logit = _persist(
+        feat.withColumn(
+            "__logit",
+            T.classifier_logit(
+                F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=md5_hash60
+            ),
+        ).drop("feats")
+    )
+    modeled = scored_logit.filter(F.col("__logit") > 0).drop("__logit")
+    w = Window.partitionBy(F.md5(T.normalize_text("text"))).orderBy("doc_id")
+    deduped = (
+        modeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    ids = T.tokens_to_vocab_ids(F.col("toks"), VOCAB)
+    # Persist the doc-level METADATA frame (no text, no toks) before the
+    # cumsums: global_cumsum reads its input three times (bounds, bucket
+    # totals, output join) and runs twice here — without this boundary the
+    # classifier+dedup text shuffle would re-execute per reference instead
+    # of once (the same call-owned persist convention as the logit stage).
+    tok = _persist(deduped.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids"),
+        # epoch-1 deterministic shuffle key (sampling.epoch_shuffle
+        # convention): 60-bit md5 prefix as a numeric order key — hex
+        # lexicographic order == numeric order, so the DuckDB twin orders
+        # by the hex string.
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("epoch1"), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__ek"),
+    ))
+    # Global offsets in shuffle order: two deterministic-bucket cumsum
+    # passes over doc-level metadata (rank-of-ones → pos, token cumsum →
+    # start_offset); neither touches text.
+    offs = global_cumsum(tok, ["__ek", "doc_id"], "n_tokens", out_col="start_offset")
+    offs = global_cumsum(
+        offs.withColumn("__one", F.lit(1)), ["__ek", "doc_id"], "__one", out_col="pos"
+    )
+    end = F.col("start_offset") + F.col("n_tokens") - 1
+    final = offs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "ids",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.floor(F.col("start_offset") / 512).cast("long").alias("pack_id"),
+        F.floor(end / 512).cast("long").alias("end_pack_id"),
+        (F.floor(end / 512) > F.floor(F.col("start_offset") / 512)).alias("straddle"),
+    )
+    return final
+
+
+@register("pipeline_pretrain", sql=_pretrain_sql())
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-batch flagship (r7 verdict #1): curation
+    (heuristic quality → trained-classifier filter → exact keep-first
+    dedup) → vocabulary tokenization → deterministic epoch-1 shuffle →
+    512-token sequence packing → SIZED parquet write, then read back for
+    the whole-pipeline oracle compare.  Every stage is the operator its
+    standalone query proves in isolation; the value proven here is the
+    COMPOSITION: one lazy DAG from scan to sink that Catalyst optimizes
+    end to end.
+
+    Scale shape: ONE corpus-text-carrying shuffle total (the dedup hash
+    partition — the model filter is pure codegen arithmetic and the
+    tokenizer a literal-map projection, the 17s-vs-3s projection-barrier
+    lesson applied via the same persist boundary as
+    pipeline_curation_model); downstream of dedup only doc-level METADATA
+    moves — the two global_cumsum passes (shuffle rank + token offsets)
+    exchange (digest, doc_id, n_tokens) rows, never text, and the sized
+    write repartitions the already-narrow output.  Plan-guarded in
+    tests/test_plans.py::test_pipeline_pretrain_one_text_shuffle.
+
+    Sized sink (sources/io.write_sized): the curation output lands as
+    near-target-size files — the small-files guard a 100 TB pipeline
+    needs at the write; read back so the oracle checks the full
+    scan→sink→scan roundtrip."""
+    from my_cudf_spark.queries.io_queries import _stage
+    from my_cudf_spark.sources import io as IO
+
+    final = _pretrain_frame(spark, sf_dir)
+    path = _stage("pretrain", sf_dir)
+    IO.write_sized(final, path, target_file_bytes=512 << 10)
+    return spark.read.parquet(path).orderBy("doc_id")

@@ -116,7 +116,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length/alpha/word-length heuristics) + stopword-ratio
     language signal (north star text analysis)."""
-    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    # SENTINEL PROBE (bench.SENTINELS): plan pinned to the r2 single-split
+    # scan — parallelize=False — so its baseline stays a valid host-speed
+    # reference and the basket keeps a single-core-profile component.
+    docs = _with_tokens(load_table(spark, sf_dir, "documents", parallelize=False))
     return docs.select(
         "doc_id",
         T.quality_score("text").alias("quality"),
@@ -1159,7 +1162,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size and the per-term df dim — no all-pairs, no collect; the
     df table is |vocab|-sized (bounded, Zipf-concentrated) so its join
     broadcast-sizes at any corpus scale."""
-    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    # SENTINEL PROBE (bench.SENTINELS): plan pinned — see text_quality_lang.
+    docs = _with_tokens(load_table(spark, sf_dir, "documents", parallelize=False))
     t = docs.select("doc_id", F.explode("toks").alias("token"))
     tc = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1220,7 +1224,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two hash aggregations, linear in corpus size).  These are
     the standard pre-training repetition filters (e.g. Gopher table A1);
     the reference's nvtext surface stops at n-gram generation."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # SENTINEL PROBE (bench.SENTINELS): plan pinned — see text_quality_lang.
+    docs = load_table(spark, sf_dir, "documents", parallelize=False).select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("l")
     )
     ex = docs.select(
@@ -1686,7 +1691,8 @@ _DSIR_B = 64
                     - ln((cr + 1)::DOUBLE / (tr + {_DSIR_B})) AS lr
           FROM counts CROSS JOIN tot),
     d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
-                 ROUND(SUM(lr), 6) AS log_weight
+                 ROUND(CAST(CAST(SUM(CAST(ROUND(lr, 9) AS DECIMAL(28,9)))
+                                 AS VARCHAR) AS DOUBLE), 6) AS log_weight
           FROM b JOIN r USING (b) WHERE NOT tgt GROUP BY doc_id),
     sel AS (SELECT doc_id FROM d ORDER BY log_weight DESC, doc_id LIMIT 100)
     SELECT d.doc_id, n_feat, log_weight,

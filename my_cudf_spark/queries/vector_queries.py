@@ -461,8 +461,10 @@ def vec_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     qz AS (SELECT vec_id,
-                  list_transform(v, x -> CAST(FLOOR(x * (127.0 / ma) + 0.5)
-                                              AS BIGINT)) AS q
+                  CASE WHEN ma = 0
+                       THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(FLOOR(x * (127.0 / ma) + 0.5)
+                                                        AS BIGINT)) END AS q
            FROM (SELECT vec_id, v,
                         list_max(list_transform(v, x -> abs(x))) AS ma
                  FROM e)),

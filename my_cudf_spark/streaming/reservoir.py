@@ -79,8 +79,15 @@ def weighted_reservoir(
             qualified, keys, [F.col("__prio"), F.col(item_col)], k, rank_out="rank"
         )
         totals = qualified.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_seen"))
-        return out.join(totals, keys).select(
-            *keys,
+        # Null-SAFE equi-join: the streaming state path keys NULL group
+        # keys like any other value, so the batch oracle must too (a plain
+        # equi-join would silently drop NULL-keyed reservoirs).
+        cond = None
+        for c in keys:
+            term = out[c].eqNullSafe(totals[c])
+            cond = term if cond is None else cond & term
+        return out.join(totals, cond).select(
+            *[out[c] for c in keys],
             F.col("rank").cast("int").alias("rank"),
             F.col(item_col).alias("item"),
             F.col("__prio").alias("priority"),

@@ -576,3 +576,61 @@ def test_pca_no_corpus_global_window_no_cartesian(spark):
     df = _df(spark, "vec_pca_project")
     assert P.global_window_subtrees(df) == []
     assert not P.has_cartesian(df)
+
+
+def test_small_source_parallelism_guard(spark):
+    # Compute-heavy corpora (documents/embeddings) must not run their
+    # expensive projections as ONE task when the fixture arrives as a
+    # single scan split: load_table inserts a round-robin Exchange sized
+    # to the session parallelism.  The guard is conditional on the actual
+    # split count, so at cluster scale (thousands of splits) no Exchange
+    # enters the plan.
+    from pyspark.sql import functions as F
+
+    from my_cudf_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert docs.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # Predicate pushdown and column pruning must survive the Exchange:
+    # the filter lands in the parquet scan, below the repartition.
+    plan = P.physical_plan(docs.filter(F.col("doc_id") < 100).select("doc_id"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+    # Sentinel probes opt out: their plan stays the raw single-split scan.
+    pinned = load_table(spark, SF_DIR, "documents", parallelize=False)
+    assert "Exchange" not in P.physical_plan(pinned)
+
+
+def test_pipeline_pretrain_one_text_shuffle(spark):
+    # The pretraining flagship moves corpus TEXT through exactly one hash
+    # exchange (the dedup partition).  Everything downstream — epoch-rank
+    # and token-offset cumsums, pack arithmetic — exchanges doc-level
+    # metadata only; the only single-partition windows are the bounded
+    # __pid-prefix sums of the deterministic-bucket cumsum.  Round-robin
+    # exchanges (the small-source scan guard) are excluded: conditional,
+    # absent at cluster scale.
+    import re
+
+    from my_cudf_spark.queries.pipeline_queries import _pretrain_frame
+
+    df = _pretrain_frame(spark, SF_DIR)
+    plan = P.physical_plan(df)
+    # String plans repeat shared subtrees (the persisted dedup output is
+    # referenced by both cumsum branches), so dedupe exchanges by plan_id.
+    pairs = {
+        pid: key
+        for key, pid in re.findall(
+            r"Exchange hashpartitioning\((\w+)#[^\n]*\[plan_id=(\d+)\]", plan
+        )
+    }
+    keys = list(pairs.values())
+    # exactly one hash exchange on the dedup window key (_w0 = md5 of
+    # normalized text) — the single corpus-text shuffle; every other hash
+    # exchange is keyed on cumsum metadata (__pid bucket ids)
+    assert sum(1 for k in keys if k.startswith("_w")) == 1, keys
+    assert all(k.startswith(("_w", "__pid", "__ek")) for k in keys), keys
+    assert not P.has_cartesian(df)
+    for sub in P.global_window_subtrees(df):
+        assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub

@@ -394,3 +394,13 @@ def test_int8_quantize_constant_vector(spark):
     df = spark.createDataFrame([(1, [0.4, 0.4, 0.4])], "vec_id long, embedding array<double>")
     row = df.select(S.int8_quantize(F.col("embedding")).alias("q")).collect()[0]
     assert row["q"] == [127, 127, 127]
+
+
+def test_int8_quantize_all_zero_vector(spark):
+    """maxabs = 0 guard: an all-zero vector quantizes to all zeros — not
+    NULLs via 127/0 = Inf, 0*Inf = NaN, floor(NaN) = NULL."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = df.select(S.int8_quantize(F.col("embedding")).alias("q")).collect()[0]
+    assert row["q"] == [0, 0, 0]

@@ -1150,3 +1150,21 @@ def test_weighted_reservoir_bucketed_null_keys(spark):
     # NULL key kept its own reservoir; event 5 (NULL weight) carried no mass
     null_rows = [r for r in rows if r[0] is None]
     assert {r[2] for r in null_rows} == {2, 4} and null_rows[0][4] == 2
+
+    # Batch-path oracle: the eqNullSafe n_seen join must keep the NULL-keyed
+    # reservoir (a plain equi-join drops it), landing on the stream's state.
+    flat = {"k": [], "event_id": [], "value": []}
+    for c in chunks:
+        for col in flat:
+            flat[col].extend(c[col])
+    batch = weighted_reservoir(
+        spark.createDataFrame(
+            list(zip(flat["k"], flat["event_id"], flat["value"])),
+            "k long, event_id long, value double",
+        ),
+        ["k"],
+        "event_id",
+        "value",
+        k=2,
+    )
+    assert _rows(batch, ["k", "rank"]) == rows

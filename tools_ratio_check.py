@@ -30,7 +30,19 @@ import os
 import statistics
 import sys
 
-from bench import baseline_rows, calibration_factor
+from bench import (
+    ESTIMATED_EPOCH_ROUNDS,
+    baseline_epoch_rounds,
+    baseline_rows,
+    calibration_factor,
+)
+
+# Rows recorded in ESTIMATED_EPOCH_ROUNDS (r3/r4) ride a FITTED epoch
+# factor (cohort median anchored to 1.0) that would absorb a uniform
+# cohort regression by construction — so they flag at this tighter
+# normalized threshold (r7 advisor; validation note at bench.py
+# ESTIMATED_EPOCH_ROUNDS).
+ESTIMATED_THRESHOLD = 1.5
 
 
 def run_medians(
@@ -50,8 +62,12 @@ def run_medians(
                 snaps.append(s)
     snaps.sort(key=lambda s: s.get("ts", 0), reverse=True)
     snaps = snaps[:history]
+    # Recompute-first with the CURRENT sentinel basket (bench.py
+    # _cross_run_medians convention): stored factors measure the basket
+    # of their day; recomputing keeps history on one scale across basket
+    # changes.  Stored value is the fallback for sparse protocol runs.
     cals = [
-        s.get("calibration") or calibration_factor(s.get("queries", {}), base) or 1.0
+        calibration_factor(s.get("queries", {}), base) or s.get("calibration") or 1.0
         for s in snaps
     ]
     names = {q for s in snaps for q in s["queries"]}
@@ -66,11 +82,18 @@ def run_medians(
 def main() -> None:
     threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 1.8
     base = baseline_rows()
+    rounds = baseline_epoch_rounds()
     raw, norm, n, cals = run_medians()
     print(
         f"# {n} runs merged; calibrations {[round(c, 3) for c in cals]}; "
         f"{len(base)} baseline rows; {len(raw)} measured"
     )
+
+    def q_threshold(q: str) -> float:
+        if rounds.get(q) in ESTIMATED_EPOCH_ROUNDS:
+            return min(threshold, ESTIMATED_THRESHOLD)
+        return threshold
+
     ratios = sorted(
         (
             (norm[q] / (sec / ecal), raw[q] / sec, q, raw[q], sec)
@@ -79,12 +102,17 @@ def main() -> None:
         ),
         reverse=True,
     )
-    flagged = [r for r in ratios if r[0] >= threshold]
+    flagged = [r for r in ratios if r[0] >= q_threshold(r[2])]
     print(f"{'norm':>6}  {'raw':>6}  query")
     for rn, rr, q, m, v in ratios[:15]:
-        mark = " <-- FLAG" if rn >= threshold else ""
-        print(f"{rn:5.2f}x {rr:5.2f}x  {q:32s} med={m:8.3f} base={v:8.3f}{mark}")
-    print(f"# flagged >= {threshold}x normalized: {len(flagged)}")
+        est = "*" if rounds.get(q) in ESTIMATED_EPOCH_ROUNDS else ""
+        mark = " <-- FLAG" if rn >= q_threshold(q) else ""
+        print(f"{rn:5.2f}x {rr:5.2f}x  {q:32s}{est} med={m:8.3f} base={v:8.3f}{mark}")
+    print(
+        f"# flagged >= {threshold}x normalized"
+        f" (estimated-epoch rows * >= {min(threshold, ESTIMATED_THRESHOLD)}x):"
+        f" {len(flagged)}"
+    )
     missing = sorted(q for q in raw if q not in base)
     if missing:
         print("# no baseline row yet (record first-green with cal= annotation):")
