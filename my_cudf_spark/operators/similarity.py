@@ -26,7 +26,7 @@ __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
     "ivf_topk", "lloyd_kmeans", "cosine_pairs_exact", "cosine_neardup_lsh",
     "md5_rademacher_planes", "binary_signature", "hamming_topk",
-    "int8_quantize", "int8_topk", "power_iteration_pca",
+    "int8_quantize", "int8_topk", "power_iteration_pca", "pq_topk",
 ]
 
 
@@ -794,13 +794,23 @@ def power_iteration_pca(
     vec_col: str,
     dim: int,
     iterations: int = 6,
+    components: int = 1,
 ):
-    """Distributed first-principal-component extraction: mean-center,
+    """Distributed top-r principal-component extraction: mean-center,
     build the d×d covariance as ONE map-side-combined aggregation over
     the exploded pair frame, run ``iterations`` power-iteration steps
     (von Mises–Pollaczek-Geiringer; the MLlib RowMatrix PCA shape with
     the eigensolve replaced by a fixed, engine-replicable iteration),
-    and project every vector onto the resulting direction.
+    and project every vector onto the resulting directions.
+
+    ``components > 1`` extracts successive directions by HOTELLING
+    DEFLATION: after each converged direction v the covariance is
+    replaced by C - λ·v·vᵀ (λ = the final iteration's matvec norm — the
+    Rayleigh-quotient estimate the fixed iteration itself produces) and
+    the same iteration reruns on the deflated d²-row checkpoint.  The
+    CORPUS IS NEVER RESCANNED per component — deflation is d² arithmetic
+    on the checkpointed matrix, each element one exactly-rounded IEEE
+    sequence (c - (λ·vᵢ)·vⱼ) both engines replicate.
 
     Bit-exact across engines by the same contract as lloyd_kmeans and
     learn_linear_classifier: every cross-row float sum is per-term
@@ -820,9 +830,11 @@ def power_iteration_pca(
     1-row broadcast.  Corpus is scanned twice total (covariance +
     projection).
 
-    Returns ``(component_df, projected_df)``: component_df = (pos INT,
-    val DOUBLE) — the unit direction after the final step; projected_df =
-    (id_col, pc1 DOUBLE) — the centered projection per input row."""
+    Returns ``(component_df, projected_df)``: with ``components=1``
+    (legacy shape) component_df = (pos INT, val DOUBLE) — the unit
+    direction after the final step — and projected_df = (id_col, pc1
+    DOUBLE); with ``components=r`` component_df = (component INT, pos
+    INT, val DOUBLE) and projected_df = (id_col, pc1 … pcr DOUBLE)."""
     from pyspark.storagelevel import StorageLevel
 
     DEC = "decimal(28,9)"
@@ -873,33 +885,69 @@ def power_iteration_pca(
     # a third corpus scan the docstring promises not to make.
     mu = mu.localCheckpoint(eager=True)
 
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("pos"),
-        F.lit(1.0 / float(dim) ** 0.5).alias("val"),
-    )
-    v = v.localCheckpoint(eager=True)
-    for _ in range(iterations):
-        w = (
-            cov.join(
-                v.select(F.col("pos").alias("__j"), "val"), cov["j"] == F.col("__j")
+    def iterate(cov_k):
+        """Fixed power iteration on one (possibly deflated) covariance
+        checkpoint; returns (unit direction, final matvec-norm frame)."""
+        v = spark.range(dim).select(
+            F.col("id").cast("int").alias("pos"),
+            F.lit(1.0 / float(dim) ** 0.5).alias("val"),
+        )
+        v = v.localCheckpoint(eager=True)
+        nrm = None
+        for _ in range(iterations):
+            w = (
+                cov_k.join(
+                    v.select(F.col("pos").alias("__j"), "val"),
+                    cov_k["j"] == F.col("__j"),
+                )
+                .groupBy("i")
+                .agg(
+                    F.sum(F.round(F.col("c") * F.col("val"), 9).cast(DEC))
+                    .cast("double")
+                    .alias("w")
+                )
             )
-            .groupBy("i")
-            .agg(
-                F.sum(F.round(F.col("c") * F.col("val"), 9).cast(DEC))
-                .cast("double")
-                .alias("w")
+            nrm = w.agg(
+                F.sqrt(
+                    F.sum(F.round(F.col("w") * F.col("w"), 9).cast(DEC)).cast(
+                        "double"
+                    )
+                ).alias("n")
+            ).localCheckpoint(eager=True)
+            v = (
+                w.crossJoin(F.broadcast(nrm))
+                .select(
+                    F.col("i").alias("pos"), (F.col("w") / F.col("n")).alias("val")
+                )
+                .localCheckpoint(eager=True)
             )
-        )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(F.round(F.col("w") * F.col("w"), 9).cast(DEC)).cast("double")
-            ).alias("n")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(F.col("i").alias("pos"), (F.col("w") / F.col("n")).alias("val"))
-            .localCheckpoint(eager=True)
-        )
+        return v, nrm
+
+    vs = []
+    cov_k = cov
+    for k in range(components):
+        v, lam = iterate(cov_k)
+        vs.append(v)
+        if k + 1 < components:
+            # Hotelling deflation on the d²-row checkpoint: each element
+            # is one exactly-rounded IEEE sequence c - (λ·vᵢ)·vⱼ — no
+            # accumulation, so no decimal discipline needed, and the
+            # corpus is not touched.
+            vi = v.select(F.col("pos").alias("i"), F.col("val").alias("__vi"))
+            vj = v.select(F.col("pos").alias("j"), F.col("val").alias("__vj"))
+            cov_k = (
+                cov_k.join(F.broadcast(vi), "i")
+                .join(F.broadcast(vj), "j")
+                .crossJoin(F.broadcast(lam.select(F.col("n").alias("__lam"))))
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.col("c") - F.col("__lam") * F.col("__vi") * F.col("__vj")
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
 
     mu_arr = mu.agg(
         F.transform(
@@ -907,32 +955,221 @@ def power_iteration_pca(
             lambda s: s.getField("mu"),
         ).alias("__mu")
     )
-    v_arr = v.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "val"))),
-            lambda s: s.getField("val"),
-        ).alias("__v")
-    )
-    proj = (
-        corpus.crossJoin(F.broadcast(mu_arr))
-        .crossJoin(F.broadcast(v_arr))
-        .select(
-            F.col(id_col),
+    proj = corpus.crossJoin(F.broadcast(mu_arr))
+    for k, v in enumerate(vs):
+        v_arr = v.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias(f"__v{k}")
+        )
+        proj = proj.crossJoin(F.broadcast(v_arr))
+    proj = proj.select(
+        F.col(id_col),
+        *[
             F.aggregate(
                 F.zip_with(
                     F.zip_with(F.col(vec_col), F.col("__mu"), lambda x, m: x - m),
-                    F.col("__v"),
+                    F.col(f"__v{k}"),
                     lambda d, vv: d * vv,
                 ),
                 F.lit(0.0),
                 lambda acc, t: acc + t,
-            ).alias("pc1"),
-        )
+            ).alias(f"pc{k + 1}")
+            for k in range(components)
+        ],
     )
+    if components == 1:
+        comp_df = vs[0]
+    else:
+        comp_df = None
+        for k, v in enumerate(vs):
+            tagged = v.select(
+                F.lit(k).cast("int").alias("component"), "pos", "val"
+            )
+            comp_df = tagged if comp_df is None else comp_df.unionByName(tagged)
     try:
-        return v, proj
+        return comp_df, proj
     finally:
         try:
             ex.unpersist()
         except Exception:  # session tearing down — nothing to release
             pass
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    candidates: int | None = None,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Product-quantization approximate cosine top-k (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search") — the third
+    quantized-ANN tier next to the sign-bit (:func:`hamming_topk`) and SQ8
+    (:func:`int8_topk`) paths: split each vector into ``m`` subspaces of
+    ``dim // m`` dims, quantize each sub-vector to its nearest of
+    ``n_codes`` per-subspace centroids (deterministic seeding — the
+    ``n_codes`` smallest-id corpus rows' sub-vectors, the ivf_topk
+    convention), and score queries against the RECONSTRUCTED vectors via
+    the asymmetric-distance (ADC) table: approx_cos(q, x) =
+    Σₛ dot(qₛ, c[s, codeₛ(x)]) / (‖q‖ · ‖x̂‖), where every per-subspace
+    dot is the shared sequential fold and both cross-subspace sums ride
+    the round(·,9)+DECIMAL(28,9) order-independence contract — so the
+    whole approximate pipeline is bit-identical across engines and
+    hash-oracle-able, like its two siblings.
+
+    Scale: the codebook is m × n_codes rows and always broadcasts; encode
+    is one narrow projection + broadcast join + per-(vector, subspace)
+    argmin (min_by, deterministic code tie-break); the search scan reads
+    the m-byte code column (dim·4 / m compression — 32× at dim=64, m=8),
+    and scoring joins codes to the per-query ADC table (m·n_codes rows
+    per query, broadcast) — never the float corpus.  Recall vs brute
+    force is asserted in tests/test_similarity.py."""
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    sub_d = dim // m
+    DEC = "decimal(28,9)"
+    sdot = lambda a, b: F.aggregate(  # noqa: E731  (shared sequential fold)
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+    # per-subspace codebook from the n_codes smallest-id rows
+    seed = corpus.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"))
+    seed = seed.orderBy("__sid").limit(n_codes)
+    w_seed = Window.orderBy("__sid")
+    seed = seed.withColumn("cid", F.row_number().over(w_seed) - 1)
+    subs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("__v", s * sub_d + 1, sub_d).alias("cvec"),
+            )
+            for s in range(m)
+        ])
+    )
+    cents = seed.select("cid", subs.alias("__s")).select(
+        "cid", F.col("__s.sub").alias("sub"), F.col("__s.cvec").alias("cvec")
+    )
+
+    # encode: nearest centroid per (vector, subspace); L2 on sub-vectors,
+    # ties broken by smallest cid via min_by on (dist2, cid)
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(vec_col, s * sub_d + 1, sub_d).alias("xvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__s"),
+    ).select("neighbor_id", F.col("__s.sub").alias("sub"), F.col("__s.xvec").alias("xvec"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("xvec"), F.col("cvec"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    codes = (
+        cs.join(F.broadcast(cents), "sub")
+        .select("neighbor_id", "sub", "cid", d2.alias("__d2"))
+        .groupBy("neighbor_id", "sub")
+        .agg(F.min_by("cid", F.struct("__d2", "cid")).alias("code"))
+    )
+    # reconstructed norm²: Σ_s ‖c[s, code_s]‖² (order-independent sum)
+    cnorm2 = cents.select(
+        "sub", F.col("cid").alias("code"), sdot(F.col("cvec"), F.col("cvec")).alias("__cn2")
+    )
+    recon = (
+        codes.join(F.broadcast(cnorm2), ["sub", "code"])
+        .groupBy("neighbor_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(F.col("__cn2"), 9).cast(DEC)).cast("double")
+            ).alias("__rn")
+        )
+    )
+
+    # per-query ADC table: dot(q_s, c[s, cid]) for every (sub, cid)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    qsubs = q.select(
+        query_id,
+        "__qn",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__qv", s * sub_d + 1, sub_d).alias("qvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__s"),
+    ).select(query_id, "__qn", F.col("__s.sub").alias("sub"), F.col("__s.qvec").alias("qvec"))
+    adc = qsubs.join(F.broadcast(cents), "sub").select(
+        query_id, "__qn", "sub", F.col("cid").alias("code"),
+        sdot(F.col("qvec"), F.col("cvec")).alias("__dt"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .groupBy(query_id, "neighbor_id")
+        .agg(
+            F.first("__qn").alias("__qn"),
+            F.sum(F.round(F.col("__dt"), 9).cast(DEC)).cast("double").alias("__ip"),
+        )
+        .join(recon, "neighbor_id")
+        .withColumn("approx_cos", F.col("__ip") / (F.col("__qn") * F.col("__rn")))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    if candidates is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "neighbor_id", "approx_cos", "rank")
+        )
+    # two-stage: ADC generates `candidates` per query, exact cosine
+    # reranks to top-k — the hamming_topk shape; full vectors are touched
+    # only for the candidates × queries equi-join
+    cand = scored.withColumn("__crk", F.row_number().over(w)).filter(
+        F.col("__crk") <= candidates
+    )
+    cfull = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    qfull = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qfv"),
+        l2_norm(F.col(vec_col)).alias("__qfn"),
+    )
+    reranked = (
+        cand.select(query_id, "neighbor_id", "approx_cos")
+        .join(cfull, "neighbor_id")
+        .join(broadcast(qfull), query_id)
+        .withColumn(
+            "cos",
+            dot(F.col("__qfv"), F.col("__cv")) / (F.col("__qfn") * F.col("__cn")),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "approx_cos", "cos", "rank")
+    )

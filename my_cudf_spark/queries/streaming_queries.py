@@ -1111,3 +1111,67 @@ def stream_curation_model_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(agg, "curation_model", work_dir)
     return out.orderBy("source")
+
+
+# Streaming substring-passage dedup parameters: 12-token passages (the
+# dedup_substring_spans min_len), posting-rank cap 8 (the online df-cap —
+# both the state bound and part of the keep-rule contract the oracle
+# replicates).
+_SUB_LEN, _SUB_MAXDF = 12, 8
+
+
+def _substring_replay_sql() -> str:
+    from my_cudf_spark.queries.text_queries import SQL_NORM
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    s AS (SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(array_to_string(toks[i:i+{_SUB_LEN - 1}], chr(31))), 1, 15))::BIGINT AS h
+          FROM t, unnest(range(1, len(toks) - {_SUB_LEN - 2})) AS r(i)
+          WHERE len(toks) >= {_SUB_LEN}),
+    r AS (SELECT doc_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+          FROM s),
+    d AS (SELECT DISTINCT b.doc_id FROM r b
+          JOIN r a ON a.h = b.h AND a.doc_id < b.doc_id
+          WHERE b.rk <= {_SUB_MAXDF})
+    SELECT t.doc_id, t.doc_id NOT IN (SELECT doc_id FROM d) AS keep
+    FROM t ORDER BY t.doc_id
+    """
+
+
+@register("stream_substring_replay", sql=_substring_replay_sql())
+def stream_substring_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact substring-passage dedup (streaming/substring — the
+    incremental leg of dedup_substring_spans, extending the span flavor to
+    a corpus arriving as micro-batches): documents replayed as 4
+    id-ordered chunks; each arrival's DISTINCT 12-token positional shingle
+    hashes (the identical md5 formula as the batch operator, computed
+    JVM-side on the stream) are routed to a hash(h)%8-bucketed inverted
+    posting index held as cross-batch state; a document is dropped when a
+    lower-id document already holds one of its shingles under the
+    posting-rank cap (r(h, b) <= 8 — the online df-cap that is also the
+    state bound), with late lower ids REVOKING earlier keeps.  Per-bucket
+    verdicts fold with bool_and; shingle-less documents (< 12 tokens or
+    NULL text) default to keep.  The oracle replicates the posting-rank
+    keep rule exactly."""
+    from my_cudf_spark.queries.text_queries import _norm_tokens
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.sources import replay_documents
+    from my_cudf_spark.streaming.substring import stream_substring_dedup
+
+    stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
+    toked = stream.withColumn("toks", _norm_tokens())
+    verdicts = stream_substring_dedup(
+        toked, "doc_id", "toks", min_len=_SUB_LEN, max_df=_SUB_MAXDF, buckets=8
+    )
+    updates = _drain(verdicts, "substr", work_dir, output_mode="update")
+    folded = updates.groupBy("id").agg(F.bool_and("keep").alias("__keep"))
+    # documents with no qualifying shingle never reach the state operator
+    # and default to keep = true
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        all_docs.join(folded, all_docs["doc_id"] == folded["id"], "left")
+        .select("doc_id", F.coalesce("__keep", F.lit(True)).alias("keep"))
+        .orderBy("doc_id")
+    )

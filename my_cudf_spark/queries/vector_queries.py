@@ -574,3 +574,178 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=64, iterations=_PCA_ITERS
     )
     return proj.select("vec_id", F.round("pc1", 6).alias("pc1")).orderBy("vec_id")
+
+
+_PCA_TOPR = 2
+
+
+def _pca_topr_sql(components: int = _PCA_TOPR) -> str:
+    """Unrolled DuckDB twin of power_iteration_pca(components=r): the
+    _pca_sql covariance + iteration CTEs, repeated per component on the
+    HOTELLING-DEFLATED matrix — cov{k+1} = cov{k} - λ·v·vᵀ with λ the
+    final iteration's matvec norm, each element one exactly-rounded IEEE
+    sequence (c - (λ·vᵢ)·vⱼ) shared with the Spark plan — then one
+    projection column per component."""
+    body = ""
+    for c in range(components):
+        pv = f"v{c}_0"
+        body += f"""
+    {pv} AS (SELECT CAST(range AS INT) AS pos, 0.125 AS val FROM range(64)),"""
+        for t in range(1, _PCA_ITERS + 1):
+            body += f"""
+    w{c}_{t} AS (SELECT c.i, CAST(CAST(SUM(CAST(ROUND(c.c * v.val, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS w
+             FROM cov{c} c JOIN {pv} v ON c.j = v.pos GROUP BY c.i),
+    n{c}_{t} AS (SELECT sqrt(CAST(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)) AS n FROM w{c}_{t}),
+    v{c}_{t} AS (SELECT w.i AS pos, w.w / n.n AS val FROM w{c}_{t} w, n{c}_{t} n),"""
+            pv = f"v{c}_{t}"
+        if c + 1 < components:
+            body += f"""
+    cov{c + 1} AS MATERIALIZED (SELECT c.i, c.j,
+                   c.c - (SELECT n FROM n{c}_{_PCA_ITERS}) * a.val * b.val AS c
+                   FROM cov{c} c
+                   JOIN {pv} a ON c.i = a.pos JOIN {pv} b ON c.j = b.pos),"""
+    vas = ",".join(
+        f"""
+    va{c} AS (SELECT list(val ORDER BY pos) AS vv FROM v{c}_{_PCA_ITERS})"""
+        for c in range(components)
+    )
+    pcs = ",\n           ".join(
+        f"""ROUND(list_aggregate(list_transform(range(1, 65),
+                   i -> (e.v[i] - mua.mu[i]) * va{c}.vv[i]), 'sum'), 6) AS pc{c + 1}"""
+        for c in range(components)
+    )
+    froms = ", ".join(f"va{c}" for c in range(components))
+    return f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    st AS (SELECT COUNT(*) AS n FROM e),
+    ex AS (SELECT vec_id, d.d AS pos, v[d.d + 1] AS x
+           FROM e CROSS JOIN range(64) d(d)),
+    mu AS MATERIALIZED (SELECT pos,
+                  CAST(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
+                    / (SELECT n FROM st) AS mu
+           FROM ex GROUP BY pos),
+    xc AS (SELECT ex.vec_id, ex.pos, ex.x - mu.mu AS xc
+           FROM ex JOIN mu USING (pos)),
+    covh AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+                    CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 1000000000 / (SELECT n FROM st) AS c
+             FROM xc a JOIN xc b USING (vec_id) WHERE a.pos <= b.pos
+             GROUP BY 1, 2),
+    cov0 AS MATERIALIZED (SELECT i, j, c FROM covh
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM covh WHERE i < j),{body}
+    mua AS (SELECT list(mu ORDER BY pos) AS mu FROM mu),{vas}
+    SELECT e.vec_id,
+           {pcs}
+    FROM e, mua, {froms} ORDER BY e.vec_id
+    """
+
+
+@register("vec_pca_topr", sql=_pca_topr_sql())
+def vec_pca_topr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-r principal-component projection by power iteration + Hotelling
+    deflation (similarity.power_iteration_pca(components=2)) — the
+    whitening / SemDeDup-preprocessing / visualization tier that needs
+    more than PC1.  After each converged direction the d²-row covariance
+    CHECKPOINT is deflated in place (C - λ·v·vᵀ); the corpus is still
+    scanned exactly twice regardless of r.  Bit-exact across engines by
+    the vec_pca_project contract — the deflation adds only per-element
+    exactly-rounded IEEE multiply/subtract, no new accumulations — so the
+    full two-component iterative pipeline hash-matches the unrolled-CTE
+    oracle.  Eigenbasis alignment vs numpy is asserted in
+    tests/test_similarity.py."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    _, proj = S.power_iteration_pca(
+        emb, "vec_id", "embedding", dim=64, iterations=_PCA_ITERS,
+        components=_PCA_TOPR,
+    )
+    return proj.select(
+        "vec_id",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "vec_topk_pq",
+    sql="""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seed AS (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+             FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    cents AS MATERIALIZED (
+      SELECT cid, CAST(s.s AS INT) AS sub, v[s.s*8+1 : s.s*8+8] AS cvec
+      FROM seed CROSS JOIN range(8) s(s)),
+    cs AS (SELECT vec_id AS neighbor_id, CAST(s.s AS INT) AS sub,
+                  v[s.s*8+1 : s.s*8+8] AS xvec
+           FROM e CROSS JOIN range(8) s(s)),
+    dist AS (SELECT neighbor_id, sub, cid,
+                    list_aggregate(list_transform(range(1, 9),
+                      i -> (xvec[i] - cvec[i]) * (xvec[i] - cvec[i])), 'sum') AS d2
+             FROM cs JOIN cents USING (sub)),
+    codes AS MATERIALIZED (
+      SELECT neighbor_id, sub, cid AS code FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub
+                                 ORDER BY d2, cid) = 1),
+    cn2 AS (SELECT sub, cid AS code, list_dot_product(cvec, cvec) AS cn2 FROM cents),
+    recon AS (SELECT neighbor_id,
+                     sqrt(CAST(CAST(SUM(CAST(ROUND(cn2, 9) AS DECIMAL(28,9)))
+                               AS VARCHAR) AS DOUBLE)) AS rn
+              FROM codes JOIN cn2 USING (sub, code) GROUP BY neighbor_id),
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id < 5),
+    adc AS (SELECT query_id, qn, sub, cid AS code,
+                   list_dot_product(qv[sub*8+1 : sub*8+8], cvec) AS dt
+            FROM q CROSS JOIN cents),
+    sc AS (SELECT a.query_id, c.neighbor_id, a.qn,
+                  CAST(CAST(SUM(CAST(ROUND(a.dt, 9) AS DECIMAL(28,9)))
+                       AS VARCHAR) AS DOUBLE) AS ip
+           FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+           WHERE c.neighbor_id <> a.query_id
+           GROUP BY 1, 2, 3),
+    sc2 AS (SELECT query_id, neighbor_id, ip / (qn * rn) AS approx_cos
+            FROM sc JOIN recon USING (neighbor_id)),
+    cand AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cos DESC, neighbor_id) AS crk
+      FROM sc2) WHERE crk <= 100),
+    rr AS (SELECT t.query_id, t.neighbor_id, t.approx_cos,
+                  list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM cand t JOIN e a ON a.vec_id = t.query_id
+                       JOIN e b ON b.vec_id = t.neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rr)
+    SELECT query_id, neighbor_id, ROUND(approx_cos, 6) AS approx_cos,
+           ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def vec_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (S.pq_topk; Jégou et al. 2011) — completes
+    the quantized tier next to the sign-bit (vec_topk_hamming) and SQ8
+    (vec_topk_int8) paths: 8 subspaces × 16 deterministic per-subspace
+    centroids, each vector stored as 8 codes (32× compression); the
+    broadcast ADC table ranks reconstructed vectors to 100 candidates per
+    query, exact cosine reranks to top-5 (the hamming_topk two-stage
+    shape — full vectors touched only for the candidates×queries join).
+    The whole approximate pipeline is hash-exact: the codebook seeding is
+    the ivf_topk smallest-id convention, the per-subspace encode argmin
+    tie-breaks on code id, and both cross-subspace sums (reconstructed
+    norm, inner product) ride the round(·,9)+DECIMAL(28,9) contract.
+    Recall vs brute force asserted in tests/test_similarity.py."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, m=8, n_codes=16,
+        candidates=100,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"),
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

@@ -634,3 +634,14 @@ def test_pipeline_pretrain_one_text_shuffle(spark):
     assert not P.has_cartesian(df)
     for sub in P.global_window_subtrees(df):
         assert re.search(r"keys=\[__pid|TakeOrderedAndProject|GlobalLimit", sub), sub
+
+
+def test_pca_topr_no_corpus_global_window_no_cartesian(spark):
+    # Deflated two-component PCA keeps the vec_pca_project contract: no
+    # global (unpartitioned) window, direction/mean arrays ride 1-row
+    # broadcasts, and deflation is d²-row checkpoint arithmetic — the
+    # corpus subtree must appear at most twice (covariance + projection),
+    # never once per component.
+    df = _df(spark, "vec_pca_topr")
+    assert P.global_window_subtrees(df) == []
+    assert not P.has_cartesian(df)

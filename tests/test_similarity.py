@@ -404,3 +404,81 @@ def test_int8_quantize_all_zero_vector(spark):
     )
     row = df.select(S.int8_quantize(F.col("embedding")).alias("q")).collect()[0]
     assert row["q"] == [0, 0, 0]
+
+
+def test_power_iteration_pca_topr_matches_numpy_eigenbasis(spark):
+    """Two-component deflated PCA on planted two-axis data: each projection
+    aligns with numpy's corresponding exact eigenvector (|corr| > 0.99),
+    and the extracted directions are near-orthogonal (the Hotelling
+    deflation property)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    d1 = rng.randn(64); d1 /= np.linalg.norm(d1)
+    d2 = rng.randn(64); d2 -= (d2 @ d1) * d1; d2 /= np.linalg.norm(d2)
+    X = (
+        np.outer(rng.randn(200) * 6.0, d1)     # dominant axis
+        + np.outer(rng.randn(200) * 3.0, d2)   # second axis
+        + rng.randn(200, 64) * 0.2             # isotropic noise
+    )
+    rows = [(i, [float(x) for x in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comp, proj = S.power_iteration_pca(
+        df, "vec_id", "embedding", dim=64, iterations=6, components=2
+    )
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
+    spark_pc = np.array([got[i] for i in range(200)])
+
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(X)
+    vals, vecs = np.linalg.eigh(C)
+    for k in range(2):
+        ref = Xc @ vecs[:, -1 - k]
+        corr = np.corrcoef(spark_pc[:, k], ref)[0, 1]
+        assert abs(corr) > 0.99, (k, corr)
+
+    cr = comp.collect()
+    v1 = np.array([r["val"] for r in sorted(cr, key=lambda r: r["pos"])
+                   if r["component"] == 0])
+    v2 = np.array([r["val"] for r in sorted(cr, key=lambda r: r["pos"])
+                   if r["component"] == 1])
+    assert abs(float(v1 @ v2)) < 0.02, float(v1 @ v2)
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ-ADC ranking recovers most exact top-5 neighbors on the fixture
+    (8 subspaces x 16 codes on 64-dim — a coarse 32x-compression codebook,
+    so the bar is recall, not equality)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    approx = S.pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, m=8, n_codes=16,
+        candidates=100,
+    ).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.6, f"PQ recall@5 too low: {recall}"
+
+
+def test_pq_topk_contract(spark):
+    """Ranks contiguous from 1, no self-matches, scores in [-1, 1]+eps,
+    and encode determinism: repartitioning the corpus does not move a
+    single rounded score (the decimal-sum contract)."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.pq_topk(emb, queries, "vec_id", "embedding", k=4, dim=64).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 - 1e-6 <= r["approx_cos"] <= 1.0 + 1e-6
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    out2 = S.pq_topk(
+        emb.repartition(13), queries, "vec_id", "embedding", k=4, dim=64
+    ).collect()
+    a = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out)
+    b = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out2)
+    assert a == b

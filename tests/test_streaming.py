@@ -1168,3 +1168,101 @@ def test_weighted_reservoir_bucketed_null_keys(spark):
         k=2,
     )
     assert _rows(batch, ["k", "rank"]) == rows
+
+
+def _substr_docs():
+    """Synthetic corpus with planted shared 12-token passages: the word
+    stream is unique per doc except the planted passage."""
+    passage = " ".join(f"shared{i}" for i in range(14))  # 14 > min_len 12
+    docs = []
+    for i in range(8):
+        filler = " ".join(f"w{i}x{j}" for j in range(20))
+        text = filler if i % 3 else f"{filler} {passage}"
+        docs.append((i, text))  # docs 0, 3, 6 share the passage
+    return docs
+
+
+def _substr_final(spark, chunks, tag, min_len=12, max_df=8):
+    import tempfile
+
+    import pyarrow as pa
+
+    from my_cudf_spark.streaming.substring import stream_substring_dedup
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    work_dir = tempfile.mkdtemp(prefix="substr_")
+    _write_chunks(
+        work_dir, schema,
+        [{"doc_id": [d[0] for d in c], "text": [d[1] for d in c]} for c in chunks],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work_dir)
+    )
+    try:
+        toked = stream.withColumn("toks", F.split(F.trim("text"), " "))
+        v = stream_substring_dedup(
+            toked, "doc_id", "toks", min_len=min_len, max_df=max_df, buckets=4
+        )
+        drained = S.run_to_memory(v, tag, output_mode="update")
+        return {
+            r["id"]: r["keep"]
+            for r in drained.groupBy("id")
+            .agg(F.bool_and("keep").alias("keep"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_substring_equals_batch(spark):
+    """Chunked replay lands on the batch leg's posting-rank rule, under
+    any chunking."""
+    from my_cudf_spark.streaming.substring import stream_substring_dedup
+
+    docs = _substr_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "toks", F.split(F.trim("text"), " ")
+    )
+    batch = {
+        r["id"]: r["keep"]
+        for r in stream_substring_dedup(
+            df, "doc_id", "toks", min_len=12, max_df=8, buckets=4
+        ).collect()
+    }
+    assert batch[0] and not batch[3] and not batch[6]  # lower id wins
+    assert all(batch[i] for i in (1, 2, 4, 5, 7))      # unique docs kept
+    for nc, tag in ((1, "sub_eq1"), (3, "sub_eq3")):
+        chunks = [docs[i::nc] for i in range(nc)] if nc > 1 else [docs]
+        # re-sort chunk contents by id (id-ordered ingest within chunks)
+        chunks = [sorted(c) for c in chunks]
+        assert _substr_final(spark, chunks, tag) == batch
+
+
+def test_stream_substring_revocation(spark):
+    """A late-arriving LOWER-id holder of a passage revokes the earlier
+    keep of the higher id (keep flags only flip true -> false)."""
+    docs = dict(_substr_docs())
+    late_low = [(0, docs[0])]                   # doc 0 holds the passage
+    first = sorted((i, t) for i, t in docs.items() if i != 0)
+    out = _substr_final(spark, [first, late_low], "sub_revoke")
+    # during batch 1, doc 3 was the lowest passage holder and kept; doc 0
+    # arriving late must flip nothing for itself and revoke doc 3
+    assert out[0] is True and out[3] is False and out[6] is False
+
+
+def test_stream_substring_df_cap_freezes_shingle(spark):
+    """Once a shingle's posting rank crosses max_df it stops seeding:
+    later holders of ONLY that passage are kept (boilerplate immunity),
+    and its postings leave state."""
+    passage = " ".join(f"bp{i}" for i in range(12))
+    docs = [
+        (i, f"{' '.join(f'u{i}q{j}' for j in range(15))} {passage}")
+        for i in range(6)
+    ]
+    out = _substr_final(spark, [sorted(docs)], "sub_cap", max_df=3)
+    # ranks 1..3 seed: docs 1, 2 dropped by doc 0; rank > 3 (docs 3, 4, 5)
+    # arrive after the freeze and are kept
+    assert out[0] and not out[1] and not out[2]
+    assert out[3] and out[4] and out[5]
