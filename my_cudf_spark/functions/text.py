@@ -777,6 +777,78 @@ def bm25_scores(
     )
 
 
+def bm25_scores_multi(
+    df,
+    id_cols,
+    text_col,
+    query_terms,
+    query_id: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """:func:`bm25_scores` generalized to a PER-QUERY term table — the
+    multi-query lexical-retrieval leg of a hybrid RAG stack: ``query_terms``
+    is a (query_id, term) frame and the result scores every document
+    against every query's term set in one pass.
+
+    Same Robertson/Sparck-Jones form and corpus statistics as
+    :func:`bm25_scores` (idf/N/avgdl are corpus-global, shared across
+    queries).  Returns ``(query_id, *id_cols, n_terms, score)`` for
+    (query, doc) pairs matching ≥ 1 term, with ``score`` an exact
+    DECIMAL(38,9) sum of per-term contributions rounded to 9dp — callers
+    RANK on this column, so the sum must be order-independent (the repo's
+    decimal convention; a raw double sum would tie-break differently
+    across partitionings and engines).
+
+    Scale: one (doc, term) tf aggregation over term hits only (the
+    distinct-term table — |queries| × terms rows — broadcasts into the
+    token explode), df/idf is |terms| rows broadcast back, and the
+    query↔term fan-out joins AFTER aggregation on the hit set, never on
+    the raw token stream."""
+    from my_cudf_spark.plans.pin import lru_persist
+
+    id_cols = list(id_cols)
+    qt = query_terms.select(
+        F.col(query_id).alias("__qid"), F.col(term_col).alias("__w")
+    )
+    tk = lru_persist(
+        df.select(*id_cols, F.split(_c(text_col), " ").alias("__tk"))
+    )
+    lens = tk.select(*id_cols, F.size("__tk").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    terms = qt.select("__w").distinct()
+    tf = (
+        tk.select(*id_cols, F.explode("__tk").alias("__w"))
+        .join(F.broadcast(terms), "__w")
+        .groupBy(*id_cols, "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(qt), "__w")
+        .join(F.broadcast(dfreq), "__w")
+        .join(lens, id_cols)
+        .join(F.broadcast(stats), F.lit(True), "left")
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    norm = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    term_score = idf * F.col("__tf") * (k1 + 1.0) / norm
+    return (
+        scored.withColumn("__s", F.round(term_score, 9).cast("decimal(28,9)"))
+        .groupBy(F.col("__qid").alias(query_id), *id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__s").alias("score"),
+        )
+    )
+
+
 def dsir_log_weights(
     df,
     id_cols,

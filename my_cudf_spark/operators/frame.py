@@ -22,6 +22,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Sentinel: shift/unique_consecutive demand an explicit partitioning
+# decision — a key (distributed) or a literal None (global single-task
+# window, bounded frames only).  See the round-7 review note on silent
+# scale-unsafe defaults.
+_PARTITION_REQUIRED: object = object()
+
 __all__ = [
     "distinct",
     "slice_rows",
@@ -103,16 +109,24 @@ def unique_consecutive(
     df: DataFrame,
     subset: Sequence[str],
     order_by: Sequence[str | Column],
-    partition_by: Sequence[str] | None = None,
+    partition_by: "Sequence[str] | None" = _PARTITION_REQUIRED,
 ) -> DataFrame:
     """Keep the first row of each run of equal ``subset`` values along
     ``order_by`` (stream_compaction.hpp:258 ``unique``).
 
-    Pass ``partition_by`` whenever runs cannot cross a partition key (e.g.
-    per-user event streams): the lag window then distributes.  Without it
-    the window is global — a single task sees every row, acceptable only
-    for bounded frames (prefer a partition key on scale-growing input).
+    ``partition_by`` is REQUIRED: pass a key whenever runs cannot cross it
+    (e.g. per-user event streams) so the lag window distributes, or an
+    explicit ``partition_by=None`` to opt in to the GLOBAL window — one
+    task sees every row, acceptable only for bounded frames.  Omitting the
+    argument raises instead of silently planning the single-task path
+    (scale-unsafe defaults should be visible choices).
     """
+    if partition_by is _PARTITION_REQUIRED:
+        raise TypeError(
+            "unique_consecutive: pass partition_by=<keys> (distributed) or "
+            "an explicit partition_by=None to opt in to the single-task "
+            "global window (bounded frames only)"
+        )
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*_cols(order_by))
     else:
@@ -189,16 +203,23 @@ def shift(
     cols: Sequence[str],
     periods: int,
     order_by: Sequence[str | Column],
-    partition_by: Sequence[str] | None = None,
+    partition_by: "Sequence[str] | None" = _PARTITION_REQUIRED,
     fill_value=None,
 ) -> DataFrame:
     """Column shift along an explicit order (copying.hpp:423; grouped
     variant = groupby.shift, cudf groupby.py).
 
-    Without ``partition_by`` the lag/lead window is GLOBAL (one task holds
-    the whole frame) — pass a partition key on any scale-growing input;
-    the grouped form distributes on it.
+    ``partition_by`` is REQUIRED: a key distributes the lag/lead window;
+    an explicit ``partition_by=None`` opts in to the GLOBAL window (one
+    task holds the whole frame — bounded frames only).  Omitting the
+    argument raises instead of silently planning the single-task path.
     """
+    if partition_by is _PARTITION_REQUIRED:
+        raise TypeError(
+            "shift: pass partition_by=<keys> (distributed) or an explicit "
+            "partition_by=None to opt in to the single-task global window "
+            "(bounded frames only)"
+        )
     w = Window.orderBy(*_cols(order_by))
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*_cols(order_by))

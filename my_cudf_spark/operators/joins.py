@@ -30,6 +30,7 @@ __all__ = [
     "equi_join", "theta_join", "mixed_join", "asof_join", "salted_join",
     "range_join",
     "fuzzy_join",
+    "pit_join",
 ]
 
 _HOW = {
@@ -425,3 +426,106 @@ def fuzzy_join(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def pit_join(
+    spine: DataFrame,
+    features: "dict[str, DataFrame]",
+    on: str,
+    by: Sequence[str],
+) -> DataFrame:
+    """Multi-feature point-in-time join — the feature-store retrieval
+    shape (absent in the reference like ``asof_join``; cudf/pandas stop at
+    single-table ``merge_asof``, python/cudf/cudf/core/reshape.py): for
+    every spine row, attach the latest at-or-before-``on`` payload from
+    EACH feature frame in one pass.
+
+    Each value of ``features`` is a frame carrying ``by`` + ``on`` +
+    payload columns; every payload column ``c`` of feature ``f`` lands in
+    the output as ``{f}_{c}``.  A spine row with no feature row at or
+    before its ``on`` keeps NULLs for that feature (left semantics,
+    matching chained DuckDB ``ASOF LEFT JOIN``s — the oracle).
+
+    Scale: chaining N ``asof_join``s exchanges the (growing) spine N
+    times; this instead unions ALL sides once and computes one
+    ``last(ignorenulls)`` per feature over the SAME window spec, so
+    Catalyst plans a single hash-partition Exchange on ``by`` and a
+    single sort/WindowExec regardless of feature count.  Within equal
+    ``on``, feature rows order before spine rows (at-or-before includes
+    exact ties, DuckDB ``>=`` semantics); ``(by, on)`` must be unique
+    within each feature frame or the tie payload is partitioning-
+    dependent (same contract as ``asof_join``).
+    """
+    from pyspark.sql import types as T
+
+    if not features:
+        raise ValueError("pit_join needs at least one feature frame")
+    by = list(by)
+    names = list(features)
+    spine_payload = [c for c in spine.columns if c not in by and c != on]
+    fpayload = {
+        f: [c for c in df.columns if c not in by and c != on]
+        for f, df in features.items()
+    }
+    for f, cols in fpayload.items():
+        if not cols:
+            raise ValueError(f"feature {f!r} has no payload columns")
+
+    def _struct_type(df: DataFrame, cols: Sequence[str]) -> T.StructType:
+        return T.StructType([df.schema[c] for c in cols])
+
+    l_type = _struct_type(spine, spine_payload)
+    f_types = {f: _struct_type(features[f], fpayload[f]) for f in names}
+
+    def _null(t: T.StructType) -> Column:
+        return F.lit(None).cast(t)
+
+    spine_row = spine.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in spine_payload]).alias("__l"),
+        *[_null(f_types[f]).alias(f"__f_{i}") for i, f in enumerate(names)],
+    )
+    parts = [spine_row]
+    for i, f in enumerate(names):
+        df = features[f]
+        parts.append(
+            df.select(
+                *by,
+                F.col(on),
+                F.lit(0).alias("__is_left"),
+                _null(l_type).alias("__l"),
+                *[
+                    (
+                        F.struct(*[F.col(c) for c in fpayload[f]])
+                        if j == i
+                        else _null(f_types[g])
+                    ).alias(f"__f_{j}")
+                    for j, g in enumerate(names)
+                ],
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned.select(
+        "*",
+        *[
+            F.last(f"__f_{i}", ignorenulls=True).over(w).alias(f"__m_{i}")
+            for i in range(len(names))
+        ],
+    ).filter(F.col("__is_left") == 1)
+    sel: list[Column] = [F.col(c) for c in by] + [F.col(on)]
+    sel += [F.col("__l").getField(c).alias(c) for c in spine_payload]
+    for i, f in enumerate(names):
+        sel += [
+            F.col(f"__m_{i}").getField(c).alias(f"{f}_{c}") for c in fpayload[f]
+        ]
+    return out.select(*sel)

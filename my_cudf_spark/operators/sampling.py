@@ -37,6 +37,7 @@ __all__ = [
     "grouped_topn",
     "es_priority",
     "weighted_sample",
+    "negative_samples",
 ]
 
 _PREFIX_LEN = 8  # 32 bits of the digest: plenty for sampling resolution
@@ -314,4 +315,102 @@ def grouped_topn(
     return (
         pruned.withColumn(rank_out, F.row_number().over(final))
         .filter(F.col(rank_out) <= n)
+    )
+
+
+def negative_samples(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    anchor_col: str,
+    id_col: str,
+    k: int,
+    exclusions: DataFrame | None = None,
+    pad: int = 4,
+    bucket_chars: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic consistent-hash negative sampling — the contrastive-
+    training counterpart of ``hash_sample``: for every anchor, ``k``
+    pseudo-random corpus ids, reproducible on any cluster and any
+    partitioning because each draw is a pure function of (anchor, slot).
+
+    Mechanism (consistent hashing): every corpus id gets a position
+    ``h = md5(salt|id)`` on a 60-bit ring sharded into ``16^bucket_chars``
+    buckets by digest prefix; each (anchor, slot) pair hashes to a probe
+    point and draws the first corpus position at-or-after it within the
+    point's bucket, wrapping to the bucket's minimum.  md5 uniformity
+    makes the draw distribution uniform over the bucket's members and the
+    buckets uniform over ids.  The anchor itself, any (anchor, id) pair in
+    ``exclusions`` (first column = anchor id, second = excluded id), and
+    repeat draws are discarded; ``k + pad`` slots are drawn so discards
+    rarely under-fill.  Output: ``(anchor_col, rank 1..k, neg_<id_col>)``
+    — fewer than ``k`` rows for an anchor only if discards exhaust the
+    padding (deterministic either way; the oracle replicates exactly).
+
+    Scale: the probe is ``asof_join`` (forward) keyed on the bucket — one
+    sort-merge-shaped window pass per side, never an anchors × corpus
+    expansion; the wraparound rides a ``16^bucket_chars``-row broadcast of
+    per-bucket minima; dedup/rank windows partition by anchor over
+    ≤ k+pad rows.  Size ``bucket_chars`` so one bucket's corpus slice fits
+    a task (2 → 256 buckets; 100 TB corpora want 3-4); a bucket with no
+    corpus member drops the slot, so keep ``16^bucket_chars`` well under
+    corpus cardinality.
+    """
+    from my_cudf_spark.operators.joins import asof_join
+
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError(f"bucket_chars must be in [1,8], got {bucket_chars}")
+    m_c = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    corp = corpus.select(
+        F.substring(m_c, 1, bucket_chars).alias("__bkt"),
+        F.conv(F.substring(m_c, 1, 15), 16, 10).cast("long").alias("__pos"),
+        F.col(id_col).alias("__neg"),
+    )
+    m_p = F.md5(
+        F.concat(
+            F.lit(salt + "q|"),
+            F.col("__anchor").cast("string"),
+            F.lit("|"),
+            F.col("__s").cast("string"),
+        )
+    )
+    points = (
+        anchors.select(F.col(anchor_col).alias("__anchor"))
+        .select("__anchor", F.explode(F.sequence(F.lit(0), F.lit(k + pad - 1))).alias("__s"))
+        .select(
+            "__anchor",
+            "__s",
+            F.substring(m_p, 1, bucket_chars).alias("__bkt"),
+            F.conv(F.substring(m_p, 1, 15), 16, 10).cast("long").alias("__pos"),
+        )
+    )
+    probed = asof_join(points, corp, on="__pos", by=["__bkt"], direction="forward")
+    wrap = corp.groupBy("__bkt").agg(F.min(F.struct("__pos", "__neg")).alias("__w"))
+    cand = (
+        probed.join(F.broadcast(wrap), "__bkt", "left")
+        .select(
+            "__anchor",
+            "__s",
+            F.coalesce(F.col("__neg"), F.col("__w").getField("__neg")).alias("__neg"),
+        )
+        .filter(F.col("__neg").isNotNull() & (F.col("__neg") != F.col("__anchor")))
+    )
+    if exclusions is not None:
+        ea, ee = exclusions.columns[:2]
+        ex = exclusions.select(
+            F.col(ea).alias("__anchor"), F.col(ee).alias("__neg")
+        )
+        cand = cand.join(ex, ["__anchor", "__neg"], "left_anti")
+    w_dedup = Window.partitionBy("__anchor", "__neg").orderBy("__s")
+    w_rank = Window.partitionBy("__anchor").orderBy("__s")
+    return (
+        cand.withColumn("__rd", F.row_number().over(w_dedup))
+        .filter(F.col("__rd") == 1)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__anchor").alias(anchor_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("__neg").alias(f"neg_{id_col}"),
+        )
     )

@@ -212,6 +212,68 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_pit_multi",
+    sql="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+                FROM events),
+         p AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts, value,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts) AS n
+               FROM ev WHERE event_type = 'click'),
+         s AS (SELECT user_id, ts,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts) AS n
+               FROM ev WHERE event_type = 'signup')
+    SELECT p.event_id,
+           v.value AS view_value,
+           c.value AS click_value,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_signups
+    FROM p
+    ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature point-in-time join (operators/joins.pit_join) — the
+    feature-store training-data shape: for every purchase, the user's
+    latest view value, latest click value, and RUNNING click/signup
+    counts, all as of the purchase timestamp.  Three feature frames (one
+    a windowed cumulative-count derivation) resolve in ONE union + ONE
+    window pass — a single hash Exchange on user_id regardless of feature
+    count, where chained as-of joins would re-shuffle the spine per
+    feature.  Oracle: three chained DuckDB ASOF LEFT JOINs."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .withColumn("n", F.count(F.lit(1)).over(wcum))
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+        .withColumn("n", F.count(F.lit(1)).over(wcum))
+    )
+    out = j.pit_join(p, {"view": v, "click": c, "signup": s}, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        F.col("view_value"),
+        F.col("click_value"),
+        F.coalesce(F.col("click_n"), F.lit(0)).cast("long").alias("n_clicks"),
+        F.coalesce(F.col("signup_n"), F.lit(0)).cast("long").alias("n_signups"),
+    ).orderBy("event_id")
+
+
+@register(
     "distinct_keep_first",
     sql="""
     SELECT o_custkey, o_orderkey, o_orderdate FROM (

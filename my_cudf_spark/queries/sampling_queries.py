@@ -205,3 +205,72 @@ def sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source")
     )
+
+
+@register(
+    "sample_negatives",
+    sql=f"""
+    WITH h AS (SELECT doc_id, source, {SQL_BUCKET} AS b FROM documents),
+    anch AS (SELECT doc_id, source FROM h WHERE b < '{_threshold_hex(0.10)}'),
+    cm AS (SELECT doc_id, md5('neg|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+    corp AS (SELECT doc_id, substr(m, 1, 1) AS bkt,
+                    ('0x' || substr(m, 1, 15))::BIGINT AS hh FROM cm),
+    slots AS (SELECT anch.doc_id AS anchor_id, anch.source, r.s
+              FROM anch CROSS JOIN range(8) r(s)),
+    pm AS (SELECT anchor_id, source, s,
+                  md5('negq|' || CAST(anchor_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)) AS m
+           FROM slots),
+    pts AS (SELECT anchor_id, source, s, substr(m, 1, 1) AS bkt,
+                   ('0x' || substr(m, 1, 15))::BIGINT AS p FROM pm),
+    cand AS (SELECT pts.anchor_id, pts.source, pts.s, corp.doc_id AS neg_id,
+                    ROW_NUMBER() OVER (PARTITION BY pts.anchor_id, pts.s
+                        ORDER BY CASE WHEN corp.hh >= pts.p THEN corp.hh - pts.p
+                                      ELSE corp.hh - pts.p + 1152921504606846976 END,
+                                 corp.doc_id) AS rn
+             FROM pts JOIN corp USING (bkt)),
+    hit AS (SELECT anchor_id, source, s, neg_id FROM cand WHERE rn = 1),
+    ok AS (SELECT hit.anchor_id, hit.s, hit.neg_id
+           FROM hit JOIN documents d ON d.doc_id = hit.neg_id
+           WHERE hit.neg_id <> hit.anchor_id AND d.source <> hit.source),
+    ded AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, neg_id ORDER BY s) AS rd
+            FROM ok),
+    rk AS (SELECT anchor_id, neg_id,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY s) AS rank
+           FROM ded WHERE rd = 1)
+    SELECT anchor_id, CAST(rank AS INT) AS rank, neg_id
+    FROM rk WHERE rank <= 4 ORDER BY anchor_id, rank
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic consistent-hash negative sampling
+    (sampling.negative_samples) — contrastive-training data prep: each
+    anchor (a 10% hash slice) draws 4 pseudo-random negatives from the
+    corpus ring, EXCLUDING itself and any document from its own source
+    (the standard same-crawl leakage guard), with repeat draws deduped.
+    Membership is a pure function of (anchor, slot) — any cluster, any
+    partitioning, any engine draws the identical negatives, which is what
+    makes the training set reproducible.  The exclusion constraint rides
+    the operator's generic (anchor, excluded) pair-list API; the oracle
+    applies the same rule as a predicate.
+
+    Scale: probe = forward as-of join per digest bucket (sort-merge
+    within bucket, never anchors × corpus); wraparound = 16-row
+    broadcast of bucket minima; dedup/rank windows are per-anchor over
+    ≤ 8 rows.  The oracle's bucket-join + wrapped-distance argmin is the
+    as-of probe's algebraic twin (oracle-only expansion, fine at fixture
+    scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    anch = S.hash_sample(docs, ["doc_id"], 0.10).select("doc_id", "source")
+    excl = (
+        anch.select(F.col("doc_id").alias("a"), "source")
+        .join(docs.select(F.col("doc_id").alias("e"), "source"), "source")
+        .select("a", "e")
+    )
+    out = S.negative_samples(
+        anch, docs, "doc_id", "doc_id", k=4, exclusions=excl, pad=4, bucket_chars=1
+    )
+    return out.select(
+        F.col("doc_id").alias("anchor_id"),
+        "rank",
+        F.col("neg_doc_id").alias("neg_id"),
+    ).orderBy("anchor_id", "rank")

@@ -8,7 +8,7 @@ bit-identical cosines; displayed values rounded to 6dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_cudf_spark.operators import similarity as S
@@ -749,3 +749,142 @@ def vec_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos", 6).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "rag_hybrid_rrf",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm
+          FROM documents JOIN e ON doc_id = vec_id),
+    tk AS (SELECT doc_id, string_split(norm, ' ') AS tk FROM d),
+    lens AS (SELECT doc_id, len(tk) AS dl FROM tk),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+    qt AS (SELECT doc_id AS query_id, t AS term,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t) AS tr
+           FROM (SELECT DISTINCT doc_id, unnest(tk) AS t FROM tk WHERE doc_id < 5)
+           WHERE len(t) >= 4 QUALIFY tr <= 8),
+    terms AS (SELECT DISTINCT term FROM qt),
+    hits AS (SELECT doc_id, w AS term, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS w FROM tk) x
+             JOIN terms ON x.w = terms.term GROUP BY doc_id, w),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+    lex AS (SELECT qt.query_id, h.doc_id,
+                   SUM(CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                            * h.tf * (1.2 + 1.0)
+                            / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 9)
+                        AS DECIMAL(28,9))) AS score
+            FROM qt JOIN hits h USING (term) JOIN dfreq USING (term)
+                 JOIN lens ON lens.doc_id = h.doc_id CROSS JOIN stats
+            WHERE h.doc_id <> qt.query_id
+            GROUP BY qt.query_id, h.doc_id),
+    lrank AS (SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank_lex
+              FROM lex QUALIFY rank_lex <= 50),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    s AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM e c, q WHERE c.vec_id <> q.vec_id),
+    drank AS (SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, doc_id) AS rank_dense
+              FROM s QUALIFY rank_dense <= 50),
+    fused AS (SELECT COALESCE(l.query_id, dr.query_id) AS query_id,
+                     COALESCE(l.doc_id, dr.doc_id) AS doc_id,
+                     l.rank_lex, dr.rank_dense,
+                     COALESCE(CAST(1.0 AS DOUBLE) / (60 + dr.rank_dense), 0.0)
+                       + COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex), 0.0) AS rrf
+              FROM lrank l FULL JOIN drank dr
+                   ON l.query_id = dr.query_id AND l.doc_id = dr.doc_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+           ROUND(rrf, 6) AS rrf_score,
+           CAST(rank_dense AS INT) AS rank_dense,
+           CAST(rank_lex AS INT) AS rank_lex
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009)
+    — the standard RAG stack: a sparse BM25 leg (functions/text.
+    bm25_scores_multi; each query doc's first 8 alphabetical ≥4-char
+    distinct tokens as its term set) and a dense cosine leg (similarity.
+    brute_force_topk), top-50 each, fused by ``Σ 1/(60+rank)`` and cut to
+    top-10 per query.  The fixture's embeddings.vec_id indexes
+    documents.doc_id, so the corpus is the embedded document slice on
+    both legs and the fused candidate universe is consistent.
+
+    Determinism: lexical ranking orders on the DECIMAL(28,9) per-term-
+    rounded BM25 sum (order-independent); RRF is a two-term double sum in
+    fixed leg order; all rank ties break on doc_id.
+
+    Scale: the lexical leg shuffles only term HITS (terms broadcast into
+    the token explode); per-query rank windows ride grouped_topn's
+    giant-group-safe two phases; the dense leg is the brute-force
+    baseline (LSH/IVF/PQ variants are the registered scale paths); the
+    fusion join and final window touch ≤ 100 candidate rows per query."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.sampling import grouped_topn
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", T.normalize_text("text").alias("norm"))
+
+    qt = (
+        corpus.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.split("norm", " "))).alias("term"),
+        )
+        .filter(F.length("term") >= 4)
+        .withColumn(
+            "tr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("term")
+            ),
+        )
+        .filter(F.col("tr") <= 8)
+        .select("query_id", "term")
+    )
+    lex = T.bm25_scores_multi(corpus, ["doc_id"], "norm", qt).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    lrank = grouped_topn(
+        lex.select("query_id", "doc_id", "score"),
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id")],
+        50,
+        rank_out="rank_lex",
+    ).select("query_id", "doc_id", "rank_lex")
+
+    dense = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=50
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_dense")
+    )
+
+    fused = lrank.join(dense, ["query_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_dense")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rank_dense").cast("int").alias("rank_dense"),
+            F.col("rank_lex").cast("int").alias("rank_lex"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -493,3 +493,30 @@ def test_learn_classifier_single_doc_and_constant_labels(spark):
     )
     _, b2 = learn_linear_classifier(const, "doc_id", "feats", "y", n_buckets=8, n_iters=5, lr=1.0)
     assert b2.collect()[0]["b_micro"] > 0
+
+
+def test_bm25_scores_multi_matches_single_query_form(spark):
+    """bm25_scores_multi with one query's term table == bm25_scores with
+    the same fixed term list (same corpus stats, same formula; the multi
+    form sums 9dp-rounded decimals so compare at 1e-6)."""
+    from my_cudf_spark.functions.text import bm25_scores, bm25_scores_multi, normalize_text
+    from my_cudf_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    terms = ["join", "vector", "slow", "customer", "merge"]
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", normalize_text("text").alias("norm")
+    )
+    single = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_scores(docs, ["doc_id"], "norm", terms).collect()
+    }
+    qt = spark.createDataFrame([(7, t) for t in terms], "query_id int, term string")
+    multi = {
+        r["doc_id"]: (r["n_terms"], float(r["score"]))
+        for r in bm25_scores_multi(docs, ["doc_id"], "norm", qt).collect()
+    }
+    assert set(single) == set(multi)
+    for d, (n, s) in single.items():
+        assert multi[d][0] == n
+        assert abs(multi[d][1] - s) < 1e-5, (d, multi[d], (n, s))

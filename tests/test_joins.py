@@ -177,3 +177,70 @@ def test_asof_join_rejects_mixed_on_type_families(spark):
     )
     with pytest.raises(ValueError, match="type families differ"):
         asof_join(left, right, on="t")
+
+
+# ---------------------------------------------------------------------------
+# pit_join (multi-feature point-in-time)
+# ---------------------------------------------------------------------------
+
+
+def _pit_fixture(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spine = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, 5, "d")],
+        "uid int, t int, tag string",
+    ).repartition(4)
+    f1 = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 10, 2.0), (2, 11, 3.0), (3, 1, 4.0)],
+        "uid int, t int, x double",
+    ).repartition(3)
+    f2 = spark.createDataFrame(
+        [(1, 9, 7), (3, 20, 8), (4, 6, 9)],
+        "uid int, t int, y int",
+    ).repartition(2)
+    return spine, f1, f2
+
+
+def test_pit_join_matches_chained_asof(spark):
+    """One-pass pit_join == two chained asof_joins (the naive form)."""
+    from my_cudf_spark.operators.joins import asof_join, pit_join
+
+    spine, f1, f2 = _pit_fixture(spark)
+    got = pit_join(spine, {"f1": f1, "f2": f2}, on="t", by=["uid"])
+
+    want = asof_join(spine, f1.withColumnRenamed("x", "f1_x"), on="t", by=["uid"])
+    want = asof_join(want, f2.withColumnRenamed("y", "f2_y"), on="t", by=["uid"])
+    got_rows = sorted(map(tuple, got.select("uid", "t", "tag", "f1_x", "f2_y").collect()))
+    want_rows = sorted(map(tuple, want.select("uid", "t", "tag", "f1_x", "f2_y").collect()))
+    assert got_rows == want_rows
+    # Equal-ts feature rows match (uid=1 t=10 → x=2.0; uid=3 t=20 → y=8),
+    # and a spine row before every feature row keeps NULLs (uid=4: f1 has
+    # nothing for uid 4, f2's only row is at t=6 > 5).
+    by_uid = {r["uid"]: r for r in got.collect()}
+    assert by_uid[1]["f1_x"] == 2.0 and by_uid[1]["f2_y"] == 7
+    assert by_uid[3]["f2_y"] == 8
+    assert by_uid[4]["f1_x"] is None and by_uid[4]["f2_y"] is None
+
+
+def test_pit_join_single_exchange(spark):
+    """N feature frames resolve over ONE hash Exchange + ONE Window."""
+    from my_cudf_spark.operators.joins import pit_join
+
+    spine, f1, f2 = _pit_fixture(spark)
+    out = pit_join(spine, {"f1": f1, "f2": f2}, on="t", by=["uid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_pit_join_requires_payload(spark):
+    import pytest as _pytest
+
+    from my_cudf_spark.operators.joins import pit_join
+
+    spine, f1, _ = _pit_fixture(spark)
+    with _pytest.raises(ValueError):
+        pit_join(spine, {"f1": f1.select("uid", "t")}, on="t", by=["uid"])
+    with _pytest.raises(ValueError):
+        pit_join(spine, {}, on="t", by=["uid"])

@@ -184,3 +184,66 @@ def test_grouped_topn_matches_single_window(spark):
         df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 7)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# negative_samples (consistent-hash negative sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_negative_samples_deterministic_across_partitionings(spark):
+    from my_cudf_spark.operators.sampling import negative_samples
+
+    corpus = spark.range(0, 200).withColumnRenamed("id", "doc")
+    anchors = spark.range(0, 20).withColumnRenamed("id", "doc")
+    a = negative_samples(anchors, corpus, "doc", "doc", k=3, bucket_chars=1)
+    b = negative_samples(
+        anchors.repartition(7), corpus.repartition(13), "doc", "doc", k=3,
+        bucket_chars=1,
+    )
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert len(ra) == 20 * 3  # padding absorbed every discard
+
+
+def test_negative_samples_contract(spark):
+    """No self-draws, no excluded pairs, no repeats, ranks contiguous."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from my_cudf_spark.operators.sampling import negative_samples
+
+    corpus = spark.range(0, 100).withColumnRenamed("id", "doc")
+    anchors = spark.range(0, 30).withColumnRenamed("id", "doc")
+    # Exclude every even candidate for every anchor.
+    excl = (
+        anchors.select(F.col("doc").alias("a"))
+        .crossJoin(corpus.select(F.col("doc").alias("e")))
+        .filter(F.col("e") % 2 == 0)
+    )
+    out = negative_samples(
+        anchors, corpus, "doc", "doc", k=3, exclusions=excl, pad=8,
+        bucket_chars=1,
+    ).collect()
+    per_anchor: dict[int, list] = {}
+    for r in out:
+        assert r["neg_doc"] != r["doc"]
+        assert r["neg_doc"] % 2 == 1  # exclusions honored
+        per_anchor.setdefault(r["doc"], []).append(r)
+    for rows in per_anchor.values():
+        negs = [r["neg_doc"] for r in rows]
+        assert len(set(negs)) == len(negs)  # dedup
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+
+
+def test_negative_samples_distribution_roughly_uniform(spark):
+    """Consistent hashing draws ~uniformly over the corpus (no hot ids)."""
+    from my_cudf_spark.operators.sampling import negative_samples
+
+    corpus = spark.range(0, 50).withColumnRenamed("id", "doc")
+    anchors = spark.range(1000, 1400).withColumnRenamed("id", "doc")
+    out = negative_samples(anchors, corpus, "doc", "doc", k=5, bucket_chars=1)
+    counts = [r["n"] for r in out.groupBy("neg_doc").count().withColumnRenamed("count", "n").collect()]
+    # 2000 draws over 50 ids → mean 40; no id should dominate wildly.
+    assert max(counts) < 40 * 6
