@@ -1175,3 +1175,73 @@ def stream_substring_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("__keep", F.lit(True)).alias("keep"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_pit_replay",
+    sql="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+                FROM events),
+         p AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts, value,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts) AS n
+               FROM ev WHERE event_type = 'click'),
+         s AS (SELECT user_id, ts,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts) AS n
+               FROM ev WHERE event_type = 'signup')
+    SELECT p.event_id,
+           v.value AS view_value,
+           c.value AS click_value,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_signups
+    FROM p
+    ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+)
+def stream_pit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time enrichment (streaming/pit.py — the stream
+    twin of join_pit_multi): the events fixture replayed as 4 micro-
+    batches of interleaved purchases and view/click/signup history; every
+    batch that touches a user re-emits that user's purchases enriched
+    over the full feature history seen so far with a per-user monotone
+    version, so the max-version emission per purchase equals the batch
+    PIT join over complete history — arrival-order independent by
+    CORRECTION, the revocation idea applied to values (a late-arriving
+    feature with an earlier event time retroactively fixes the earlier
+    emission).  State per user = its spine + requested feature rows
+    (watermark compaction is the production bound — see module doc);
+    enrichment is vectorized numpy searchsorted inside the Arrow batch.
+    Oracle: the same three chained DuckDB ASOF LEFT JOINs that prove the
+    batch leg."""
+    from my_cudf_spark.streaming.pit import stream_pit_enrich
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    enriched = stream_pit_enrich(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        kind_col="event_type",
+        id_col="event_id",
+        value_col="value",
+        spine_kind="purchase",
+        value_kinds=["view", "click"],
+        count_kinds=["click", "signup"],
+    )
+    updates = _drain(enriched, "pit", work_dir, output_mode="update")
+    final = updates.groupBy("event_id").agg(
+        F.max_by(
+            F.struct("view_value", "click_value", "n_click", "n_signup"),
+            "version",
+        ).alias("s")
+    )
+    return final.select(
+        "event_id",
+        F.col("s.view_value").alias("view_value"),
+        F.col("s.click_value").alias("click_value"),
+        F.col("s.n_click").alias("n_clicks"),
+        F.col("s.n_signup").alias("n_signups"),
+    ).orderBy("event_id")

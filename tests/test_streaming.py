@@ -1266,3 +1266,117 @@ def test_stream_substring_df_cap_freezes_shingle(spark):
     # arrive after the freeze and are kept
     assert out[0] and not out[1] and not out[2]
     assert out[3] and out[4] and out[5]
+
+
+# ---------------------------------------------------------------------------
+# streaming point-in-time enrichment (streaming/pit.py)
+# ---------------------------------------------------------------------------
+
+
+def _pit_final(drained):
+    final = drained.groupBy("event_id").agg(
+        F.max_by(
+            F.struct("view_value", "n_click"), "version"
+        ).alias("s")
+    )
+    return sorted(
+        (r["event_id"], r["s"]["view_value"], r["s"]["n_click"])
+        for r in final.collect()
+    )
+
+
+def test_stream_pit_enrich_equals_batch_under_chunkings(spark):
+    """Final max-version enrichment == batch pit_join twin under two
+    different micro-batch chunkings (arrival-order independence)."""
+    from my_cudf_spark.streaming.pit import stream_pit_enrich
+    from my_cudf_spark.streaming.sources import replay_events
+
+    batch = load_table(spark, SF_DIR, "events")
+    want_df = stream_pit_enrich(
+        batch.withColumn("ts", F.col("ts").cast("timestamp")),
+        key_col="user_id", ts_col="ts", kind_col="event_type",
+        id_col="event_id", value_col="value",
+        spine_kind="purchase", value_kinds=["view"], count_kinds=["click"],
+    )
+    want = sorted(
+        (r["event_id"], r["view_value"], r["n_click"])
+        for r in want_df.collect()
+    )
+    for chunks in (2, 5):
+        stream, work_dir = replay_events(spark, SF_DIR, num_chunks=chunks)
+        try:
+            drained = S.run_to_memory(
+                stream_pit_enrich(
+                    stream, key_col="user_id", ts_col="ts",
+                    kind_col="event_type", id_col="event_id",
+                    value_col="value", spine_kind="purchase",
+                    value_kinds=["view"], count_kinds=["click"],
+                ),
+                f"pit_eq_{chunks}", output_mode="update",
+            )
+            assert _pit_final(drained) == want, f"chunks={chunks}"
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_pit_enrich_late_feature_corrects(spark):
+    """A feature row arriving AFTER the spine row it should inform (its
+    event time is earlier) triggers a corrected re-emission; the final
+    snapshot reflects full history."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from my_cudf_spark.streaming.pit import stream_pit_enrich
+
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64())]
+    )
+    t = lambda s: pd.Timestamp(f"2026-01-01 00:00:{s:02d}")
+    chunks = [
+        # batch 1: the purchase arrives first — no view history yet
+        {"event_id": [100], "ts": [t(30)], "user_id": [1],
+         "event_type": ["purchase"], "value": [9.9]},
+        # batch 2: a LATE view with EARLIER event time, plus a view after
+        # the purchase (must NOT be used), plus a click before it
+        {"event_id": [101, 102, 103],
+         "ts": [t(10), t(40), t(20)],
+         "user_id": [1, 1, 1],
+         "event_type": ["view", "view", "click"],
+         "value": [1.5, 7.7, 0.0]},
+    ]
+    work_dir = tempfile.mkdtemp(prefix="pit_late_")
+    _write_chunks(work_dir, schema, chunks)
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work_dir)
+        )
+        drained = S.run_to_memory(
+            stream_pit_enrich(
+                stream, key_col="user_id", ts_col="ts",
+                kind_col="event_type", id_col="event_id",
+                value_col="value", spine_kind="purchase",
+                value_kinds=["view"], count_kinds=["click"],
+            ),
+            "pit_late", output_mode="update",
+        )
+        rows = {
+            (r["event_id"], r["version"]): (r["view_value"], r["n_click"])
+            for r in drained.collect()
+        }
+        # version 1: no history → NULL view, 0 clicks; version 2: corrected
+        assert rows[(100, 1)] == (None, 0)
+        assert rows[(100, 2)] == (1.5, 1)
+        assert _pit_final(drained) == [
+            (100, 1.5, 1)
+        ]
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
