@@ -681,3 +681,53 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_pit_window",
+    sql="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+                FROM events),
+         p AS (SELECT event_id, ts, user_id FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts) AS n
+               FROM ev WHERE event_type = 'click'),
+         cs AS (SELECT user_id, ts + INTERVAL 6 HOUR AS ts, n FROM c)
+    SELECT p.event_id,
+           CAST(COALESCE(c.n, 0) - COALESCE(cs.n, 0) AS BIGINT) AS clicks_6h
+    FROM p
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN cs ON p.user_id = cs.user_id AND p.ts >= cs.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_pit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window point-in-time feature ('clicks in the 6 h before the
+    purchase') — the rolling-feature shape every feature store needs,
+    expressed WITHOUT a range self-join: windowed count(≤T) minus
+    count(≤T−6h), where the second term is the SAME cumulative frame
+    joined through pit_join with its timestamps shifted +6h (a click at t
+    becomes visible to the shifted lookup only once T ≥ t+6h).  Both
+    lookups ride the one-Exchange pit_join union; the oracle is two
+    chained DuckDB ASOF joins on the raw and shifted cum frames."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .withColumn("n", F.count(F.lit(1)).over(wcum))
+    )
+    cs = c.withColumn("ts", F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+    out = j.pit_join(p, {"cum": c, "cumshift": cs}, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        (
+            F.coalesce(F.col("cum_n"), F.lit(0))
+            - F.coalesce(F.col("cumshift_n"), F.lit(0))
+        ).cast("long").alias("clicks_6h"),
+    ).orderBy("event_id")
