@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["contamination_report"]
+__all__ = ["contamination_report", "bloom_filter_bits", "bloom_contamination"]
 
 
 def contamination_report(
@@ -49,4 +49,122 @@ def contamination_report(
         .agg(F.count("__hit").alias("n_overlap"))
         .withColumn("ratio", F.col("n_overlap") / F.col("n_grams"))
         .withColumn("contaminated", F.col("ratio") >= F.lit(threshold))
+    )
+
+
+def bloom_filter_bits(
+    bench_grams: DataFrame,
+    m_bits: int = 32768,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom bitmap of a gram set as a (word_idx int, bits long) frame —
+    ``ceil(m_bits / 63)`` rows, 63 payload bits per word (shifts stay in
+    [0, 62] so ``1 << bit`` is positive BIGINT on every engine).
+
+    Positions are ``md5(salt<j>|gram) % m_bits`` for j in [0, k) — pure
+    column math, so DuckDB rebuilds the identical bitmap and membership
+    tests (false positives included) agree bit-for-bit across engines.
+
+    Scale: this is the decontamination shape for LARGE eval suites — the
+    bitmap is ~m_bits/8 bytes regardless of gram count (32 KB default vs
+    megabytes of raw grams), always broadcastable; build cost is one
+    explode + one ``bit_or`` aggregation over k·|grams| rows."""
+    pos = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col("gram"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for j in range(k)
+    ]
+    return (
+        bench_grams.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            (F.col("pos") / 63).cast("int").alias("word_idx"),
+            (F.col("pos") % 63).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).alias(
+                "bits"
+            )
+        )
+    )
+
+
+def bloom_contamination(
+    doc_grams: DataFrame,
+    bloom_bits: DataFrame,
+    m_bits: int = 32768,
+    k: int = 3,
+    salt: str = "bloom",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """:func:`contamination_report` with the benchmark side compressed to
+    a broadcast Bloom bitmap (:func:`bloom_filter_bits`) — the 100 TB
+    decontamination path: the corpus never joins raw benchmark grams,
+    only a ~m_bits/63-row bitmap frame; a gram counts as overlapping when
+    ALL k probe bits are set (false-positive rate is the explicit
+    contract knob, identical across engines because the hashes are).
+
+    Same input/output contract as :func:`contamination_report`
+    (``n_overlap`` counts Bloom-POSITIVE grams)."""
+    exploded = doc_grams.filter(F.size("grams") > 0).select(
+        "id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    probes = exploded.select(
+        "id",
+        "n_grams",
+        "gram",
+        F.posexplode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{salt}{j}|"), F.col("gram"))
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                    for j in range(k)
+                ]
+            )
+        ).alias("j", "pos"),
+    ).select(
+        "id",
+        "n_grams",
+        "gram",
+        (F.col("pos") / 63).cast("int").alias("word_idx"),
+        (F.col("pos") % 63).cast("int").alias("bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom_bits), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(
+                F.shiftrightunsigned(F.col("bits"), F.col("bit")).bitwiseAND(
+                    F.lit(1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("id", "n_grams", "gram")
+        .agg(F.min("__hit").alias("__in"))
+    )
+    return (
+        hit.groupBy("id", "n_grams")
+        .agg(F.sum("__in").alias("n_overlap"))
+        .withColumn("ratio", F.col("n_overlap") / F.col("n_grams"))
+        .withColumn("contaminated", F.col("ratio") >= threshold)
     )
