@@ -88,11 +88,9 @@ def bloom_filter_bits(
             (F.col("pos") % 63).cast("int").alias("bit"),
         )
         .groupBy("word_idx")
-        .agg(
-            F.bit_or(F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).alias(
-                "bits"
-            )
-        )
+        # shiftleft's Python wrapper only takes an int shift; the SQL
+        # function accepts a column expression.
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
     )
 
 
@@ -153,10 +151,8 @@ def bloom_contamination(
         .withColumn(
             "__hit",
             F.coalesce(
-                F.shiftrightunsigned(F.col("bits"), F.col("bit")).bitwiseAND(
-                    F.lit(1)
-                ),
-                F.lit(0),
+                F.expr("shiftrightunsigned(bits, bit) & CAST(1 AS BIGINT)"),
+                F.lit(0).cast("long"),
             ),
         )
         .groupBy("id", "n_grams", "gram")

@@ -1085,6 +1085,73 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_contamination_bloom",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g,
+                      substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+               FROM documents),
+    bench AS (SELECT DISTINCT unnest(g) AS gram FROM s
+              WHERE b < '0ccccccc' AND len(g) > 0),
+    setpos AS (SELECT DISTINCT
+                   ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || gram), 1, 15))::BIGINT
+                   % 32768 AS pos
+               FROM bench, range(3) r(j)),
+    tr AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM s
+           WHERE b >= '0ccccccc' AND len(g) > 0),
+    probes AS (SELECT doc_id, n_grams, gram,
+                   ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || gram), 1, 15))::BIGINT
+                   % 32768 AS pos
+               FROM tr, range(3) r(j)),
+    hit AS (SELECT doc_id, n_grams, gram,
+                   MIN(CASE WHEN setpos.pos IS NOT NULL THEN 1 ELSE 0 END) AS in_bloom
+            FROM probes LEFT JOIN setpos USING (pos)
+            GROUP BY doc_id, n_grams, gram)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(SUM(in_bloom) AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(in_bloom) AS DOUBLE) / n_grams, 6) AS ratio,
+           CAST(SUM(in_bloom) AS DOUBLE) / n_grams >= 0.2 AS contaminated
+    FROM hit GROUP BY doc_id, n_grams ORDER BY doc_id
+    """,
+)
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/decontam.bloom_contamination):
+    same 5%-slice device as text_contamination, but the benchmark side is
+    compressed to a 32 Kbit broadcast Bloom bitmap (k=3 md5 probes) instead
+    of joining raw grams — the 100 TB shape, where the eval-suite gram set
+    is too large to broadcast raw but its bitmap never is.  A gram counts
+    as overlapping when ALL probe bits are set; the false-positive rate is
+    part of the contract and the DuckDB oracle reproduces it bit-for-bit
+    (membership in the distinct probe-position set == the bitmap test)."""
+    from my_cudf_spark.operators.decontam import (
+        bloom_contamination,
+        bloom_filter_bits,
+    )
+    from my_cudf_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    th = _threshold_hex(0.05)
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    sets = D._persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
+            hash_bucket(["doc_id"]).alias("b"),
+        ).filter(F.size("grams") > 0)
+    )
+    # No distinct on the bench side: bit_or is idempotent, so the bitmap
+    # build skips the dedup shuffle the raw-gram join needs.
+    bench = sets.filter(F.col("b") < th).select(F.explode("grams").alias("gram"))
+    train = sets.filter(F.col("b") >= th).select(F.col("doc_id").alias("id"), "grams")
+    rep = bloom_contamination(train, bloom_filter_bits(bench), threshold=0.2)
+    return rep.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round("ratio", 6).alias("ratio"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+@register(
     "text_quality_filter",
     sql=r"""
     WITH t AS (SELECT doc_id, lang,

@@ -144,3 +144,40 @@ def test_remove_dup_spans_planted(spark):
     assert (out[1]["n_before"], out[1]["n_after"]) == (18, 18)  # lower id keeps all
     assert out[2]["n_after"] == 6 and out[2]["clean_text"] == "b1 b2 b3 b4 b5 b6"
     assert out[3]["n_after"] == 3 and out[3]["clean_text"] == "c1 c1 c1"
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom membership has NO false negatives: every doc's Bloom overlap
+    count is >= its exact overlap count, equal for most docs at the 32 Kbit
+    default, and the bitmap stays within its ceil(m_bits/63)-word bound."""
+    from my_cudf_spark.operators.decontam import (
+        bloom_contamination,
+        bloom_filter_bits,
+        contamination_report,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.array_distinct(_trigrams()).alias("grams")
+    ).filter(F.size("grams") > 0)
+    bench_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0).select(
+        F.col("doc_id").alias("id"), "grams"
+    )
+    bench = bench_docs.select(F.explode("grams").alias("gram"))
+
+    bits = bloom_filter_bits(bench)
+    n_words = bits.count()
+    assert n_words <= (32768 + 62) // 63
+
+    exact = contamination_report(train, bench.distinct(), threshold=0.2).select(
+        "id", F.col("n_overlap").alias("n_exact")
+    )
+    bloom = bloom_contamination(train, bits, threshold=0.2).select(
+        "id", F.col("n_overlap").alias("n_bloom")
+    )
+    both = exact.join(bloom, "id").collect()
+    assert len(both) == train.count()
+    assert all(r.n_bloom >= r.n_exact for r in both)
+    # False positives exist but are rare at m=32768, k=3 for this corpus.
+    n_equal = sum(1 for r in both if r.n_bloom == r.n_exact)
+    assert n_equal >= 0.9 * len(both)
