@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "resolve_entities"]
 
 
 def connected_components(
@@ -116,4 +116,70 @@ def dedup_clusters(
             F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
         )
         .withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")))
+    )
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    source_col: str = "source",
+    max_dist: int = 1,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Entity resolution / record linkage: cluster dirty records whose
+    names agree exactly or within ``max_dist`` edits, then survivorship —
+    one canonical row per entity cluster with membership accounting.
+    The composition a curation pipeline runs to reconcile near-identical
+    names across sources (no reference equivalent; the reference stops at
+    aligned-column edit_distance, edit_distance.hpp:57).
+
+    Returns (cluster_id, canonical_name, n_records, n_sources,
+    n_variants): cluster_id is the component's min record id,
+    canonical_name the min-id record's name (deterministic survivorship).
+
+    Scale shape: exact-name groups contribute STAR edges (rep → member)
+    so an n-record name group costs n−1 edges, never the n² clique;
+    fuzzy edges connect only the one REP per distinct name, through
+    :func:`~my_cudf_spark.operators.joins.fuzzy_join`'s pigeonhole
+    blocking (hash equi-join on segment keys, never |L|×|R|); components
+    run on the shuffle-bounded min-label propagation above.  NULL names
+    are the caller's contract to filter — a NULL groups with nothing.
+    """
+    from my_cudf_spark.operators.joins import fuzzy_join
+
+    recs = records.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(name_col).alias("name"),
+    )
+    reps = recs.groupBy("name").agg(F.min("id").alias("rep"))
+    star = (
+        recs.join(reps, "name")
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    lnames = reps.select(F.col("name").alias("__na"), F.col("rep").alias("__ra"))
+    rnames = reps.select(F.col("name").alias("__nb"), F.col("rep").alias("__rb"))
+    fz = fuzzy_join(
+        lnames.select("__na"), rnames.select("__nb"), "__na", "__nb",
+        max_dist=max_dist,
+    ).filter(F.col("left_value") != F.col("right_value"))
+    fedges = (
+        fz.join(lnames, fz["left_value"] == lnames["__na"])
+        .join(rnames, fz["right_value"] == rnames["__nb"])
+        .select(F.col("__ra").alias("id_a"), F.col("__rb").alias("id_b"))
+    )
+    labeled = dedup_clusters(
+        recs, star.union(fedges), id_col="id", max_iterations=max_iterations
+    )
+    return (
+        recs.join(labeled, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by("name", "id").alias("canonical_name"),
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("name").alias("n_variants"),
+        )
     )

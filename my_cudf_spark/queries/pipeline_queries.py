@@ -512,3 +512,71 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage("pretrain", sf_dir)
     IO.write_sized(final, path, target_file_bytes=512 << 10)
     return spark.read.parquet(path).orderBy("doc_id")
+
+
+@register(
+    "pipeline_entity_resolution",
+    sql="""
+    WITH RECURSIVE
+    recs AS (
+        SELECT p_partkey AS id, 'src_a' AS source, lower(p_name) AS name FROM part
+        UNION ALL
+        SELECT p_partkey + 100000 AS id, 'src_b' AS source,
+               substr(lower(p_name), 1, length(p_name) - 1) || 'x' AS name FROM part),
+    reps AS (SELECT name, MIN(id) AS rep FROM recs GROUP BY name),
+    star AS (SELECT r.rep AS src, t.id AS dst FROM recs t JOIN reps r USING (name)
+             WHERE t.id <> r.rep),
+    fz AS (SELECT x.rep AS src, y.rep AS dst
+           FROM reps x JOIN reps y ON x.name <> y.name
+           WHERE levenshtein(x.name, y.name) <= 1),
+    e0 AS (SELECT src, dst FROM star UNION SELECT src, dst FROM fz),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(id, r) AS (SELECT id, id FROM recs
+                     UNION SELECT e.dst, reach.r FROM edges e
+                           JOIN reach ON reach.id = e.src),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    lf AS (SELECT recs.id, recs.source, recs.name, lab.cluster_id
+           FROM recs JOIN lab USING (id))
+    SELECT cluster_id, arg_min(name, id) AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT name) AS BIGINT) AS n_variants
+    FROM lf GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution flagship (clustering.resolve_entities): two
+    sources list the same entities — src_a the part vocabulary verbatim,
+    src_b every name with its last character perturbed (the join_fuzzy
+    planting) under offset record ids — and the pipeline reconciles them
+    end-to-end in ONE lazy DAG: exact-name STAR edges (rep → member,
+    linear in group size, never the n² clique) + pigeonhole-blocked fuzzy
+    edges between name reps (edit distance ≤ 1) → min-label-propagation
+    connected components → survivorship (min-id canonical name, record /
+    source / variant counts per entity).  The DuckDB oracle replays the
+    identical graph with a recursive CTE."""
+    from my_cudf_spark.operators.clustering import resolve_entities
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("rid"),
+        F.lit("src_a").alias("source"),
+        F.lower("p_name").alias("name"),
+    )
+    b = part.select(
+        (F.col("p_partkey") + 100000).alias("rid"),
+        F.lit("src_b").alias("source"),
+        F.concat(
+            F.expr("substr(lower(p_name), 1, length(p_name) - 1)"), F.lit("x")
+        ).alias("name"),
+    )
+    out = resolve_entities(
+        a.unionAll(b), id_col="rid", name_col="name", source_col="source"
+    )
+    return out.select(
+        "cluster_id",
+        "canonical_name",
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_variants").cast("long").alias("n_variants"),
+    ).orderBy("cluster_id")

@@ -79,3 +79,36 @@ def test_cluster_safe_split_never_straddles(spark):
         .count()
     )
     assert straddlers == 0
+
+
+def test_resolve_entities_planted(spark):
+    """Chain cluster across sources ('acme' ~ 'acmex' ~ 'acmexy' links via
+    the rep chain), exact-name group collapses without fuzzy help, and an
+    unrelated name stays a singleton entity."""
+    from my_cudf_spark.operators.clustering import resolve_entities
+
+    recs = spark.createDataFrame(
+        [
+            (1, "a", "acme"),
+            (2, "b", "acme"),      # exact duplicate, other source
+            (3, "b", "acmex"),     # 1 edit from acme
+            (4, "a", "acmexy"),    # 1 edit from acmex (2 from acme: chain)
+            (5, "a", "zzz corp"),  # singleton
+            (6, "a", "zzz corp"),  # exact-name partner of 5
+        ],
+        "rid long, source string, name string",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in resolve_entities(
+            recs, id_col="rid", name_col="name", source_col="source"
+        ).collect()
+    }
+    assert set(out) == {1, 5}
+    acme = out[1]
+    assert acme["canonical_name"] == "acme"
+    assert acme["n_records"] == 4
+    assert acme["n_sources"] == 2
+    assert acme["n_variants"] == 3
+    zzz = out[5]
+    assert (zzz["n_records"], zzz["n_sources"], zzz["n_variants"]) == (2, 1, 1)
