@@ -19,7 +19,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["contamination_report", "bloom_filter_bits", "bloom_contamination"]
+__all__ = [
+    "contamination_report",
+    "bloom_filter_bits",
+    "bloom_contamination",
+    "bloom_probe_positions",
+]
+
+
+def bloom_probe_positions(gram, m_bits: int = 32768, k: int = 3, salt: str = "bloom"):
+    """The k Bloom probe positions of a gram as Column expressions:
+    ``md5(salt<j>|gram) % m_bits`` on the 60-bit (15-hex-digit) prefix —
+    shared by the batch build/probe and the streaming twin so all three
+    agree bit-for-bit with the DuckDB oracle."""
+    gram = F.col(gram) if isinstance(gram, str) else gram
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}{j}|"), gram)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for j in range(k)
+    ]
 
 
 def contamination_report(
@@ -70,17 +92,7 @@ def bloom_filter_bits(
     bitmap is ~m_bits/8 bytes regardless of gram count (32 KB default vs
     megabytes of raw grams), always broadcastable; build cost is one
     explode + one ``bit_or`` aggregation over k·|grams| rows."""
-    pos = [
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col("gram"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-        for j in range(k)
-    ]
+    pos = bloom_probe_positions("gram", m_bits, k, salt)
     return (
         bench_grams.select(F.explode(F.array(*pos)).alias("pos"))
         .select(
@@ -121,23 +133,7 @@ def bloom_contamination(
         "n_grams",
         "gram",
         F.posexplode(
-            F.array(
-                *[
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(F.lit(f"{salt}{j}|"), F.col("gram"))
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % m_bits
-                    for j in range(k)
-                ]
-            )
+            F.array(*bloom_probe_positions("gram", m_bits, k, salt))
         ).alias("j", "pos"),
     ).select(
         "id",

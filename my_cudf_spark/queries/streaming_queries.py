@@ -1245,3 +1245,66 @@ def stream_pit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_click").alias("n_clicks"),
         F.col("s.n_signup").alias("n_signups"),
     ).orderBy("event_id")
+
+
+from my_cudf_spark.queries.text_queries import SQL_BLOOM_CONTAM  # noqa: E402
+
+
+@register(
+    "stream_decontam_replay",
+    # Oracle shared verbatim with text_contamination_bloom: the streamed
+    # final snapshot is order-independent, so the batch SQL IS the check.
+    sql=SQL_BLOOM_CONTAM,
+)
+def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom decontamination (streaming/decontam — the stream
+    twin of text_contamination_bloom): the documents fixture replayed as
+    4 micro-batches with the 5% hash slice playing an eval set that
+    arrives INTERLEAVED with the training corpus; every train doc's
+    trigram probes are judged against the Bloom-bitmap state of every
+    bench gram ever seen, with late bench arrivals flipping earlier
+    misses to hits (bits are monotone, so the bool_or-folded snapshot is
+    arrival-order independent and equals the batch answer, so the batch
+    SQL oracle checks the streaming execution path)."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.sampling import _threshold_hex, hash_bucket
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.decontam import stream_bloom_decontam
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    th = _threshold_hex(0.05)
+    stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toks = F.split(T.normalize_text("text"), " ")
+        return df.select(
+            "doc_id",
+            F.array_distinct(T.word_ngrams(toks, 3)).alias("grams"),
+            (hash_bucket(["doc_id"]) < th).alias("is_bench"),
+        ).filter(F.size("grams") > 0)
+
+    verdicts = stream_bloom_decontam(
+        grams_of(stream), "doc_id", "grams", "is_bench", buckets=8
+    )
+    updates = _drain(verdicts, "bloomdc", work_dir, output_mode="update")
+    per_probe = updates.groupBy("doc_id", "gram", "j").agg(
+        F.bool_or("hit").alias("hit")
+    )
+    per_gram = per_probe.groupBy("doc_id", "gram").agg(
+        F.bool_and("hit").alias("g_in")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum(F.col("g_in").cast("long")).alias("n_overlap")
+    )
+    base = grams_of(load_table(spark, sf_dir, "documents")).filter(
+        ~F.col("is_bench")
+    ).select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    return (
+        base.join(per_doc, "doc_id")
+        .withColumn("ratio", F.round(F.col("n_overlap") / F.col("n_grams"), 6))
+        .withColumn(
+            "contaminated", F.col("n_overlap") / F.col("n_grams") >= F.lit(0.2)
+        )
+        .select("doc_id", "n_grams", "n_overlap", "ratio", "contaminated")
+        .orderBy("doc_id")
+    )

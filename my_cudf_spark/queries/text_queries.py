@@ -1084,9 +1084,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "text_contamination_bloom",
-    sql=f"""
+# Shared with stream_decontam_replay: the streamed final snapshot is
+# order-independent and equals this batch answer, so ONE oracle covers
+# both the batch and streaming legs.
+SQL_BLOOM_CONTAM = f"""
     WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g,
                       substr(md5('|' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
                FROM documents),
@@ -1111,8 +1112,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(in_bloom) AS DOUBLE) / n_grams, 6) AS ratio,
            CAST(SUM(in_bloom) AS DOUBLE) / n_grams >= 0.2 AS contaminated
     FROM hit GROUP BY doc_id, n_grams ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("text_contamination_bloom", sql=SQL_BLOOM_CONTAM)
 def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (operators/decontam.bloom_contamination):
     same 5%-slice device as text_contamination, but the benchmark side is

@@ -1380,3 +1380,80 @@ def test_stream_pit_enrich_late_feature_corrects(spark):
         ]
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def _bloom_stream_report(spark, num_chunks):
+    """stream_decontam_replay's body with a configurable chunking."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.sampling import _threshold_hex, hash_bucket
+    from my_cudf_spark.streaming.decontam import stream_bloom_decontam
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    th = _threshold_hex(0.05)
+    stream, work_dir = replay_documents(spark, SF_DIR, num_chunks=num_chunks)
+    toks = F.split(T.normalize_text("text"), " ")
+    docs = stream.select(
+        "doc_id",
+        F.array_distinct(T.word_ngrams(toks, 3)).alias("grams"),
+        (hash_bucket(["doc_id"]) < th).alias("is_bench"),
+    ).filter(F.size("grams") > 0)
+    verdicts = stream_bloom_decontam(docs, "doc_id", "grams", "is_bench", buckets=4)
+    try:
+        updates = S.run_to_memory(
+            verdicts, f"blmdc{num_chunks}", "update"
+        ).cache()
+        updates.count()
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+    per_probe = updates.groupBy("doc_id", "gram", "j").agg(
+        F.bool_or("hit").alias("hit"),
+        F.count(F.lit(1)).alias("n_emits"),
+    )
+    report = (
+        per_probe.groupBy("doc_id", "gram")
+        .agg(F.bool_and("hit").alias("g_in"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("g_in").cast("long")).alias("n_overlap"))
+    )
+    flips = per_probe.filter(F.col("hit") & (F.col("n_emits") > 1)).count()
+    return report, flips
+
+
+def test_stream_bloom_decontam_chunking_invariant_and_corrects(spark):
+    """The folded final snapshot is identical under different micro-batch
+    chunkings AND equals the batch bloom report; late bench arrivals
+    actually exercise the miss→hit re-emission path (flips > 0, since
+    id-ranged chunks deliver part of the hash-sliced eval set after the
+    first train docs probed its grams)."""
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.decontam import (
+        bloom_contamination,
+        bloom_filter_bits,
+    )
+    from my_cudf_spark.operators.sampling import _threshold_hex, hash_bucket
+
+    r2, flips2 = _bloom_stream_report(spark, 2)
+    r5, _ = _bloom_stream_report(spark, 5)
+    a = sorted(map(tuple, r2.collect()))
+    b = sorted(map(tuple, r5.collect()))
+    assert a == b
+    assert flips2 > 0
+
+    th = _threshold_hex(0.05)
+    toks = F.split(T.normalize_text("text"), " ")
+    sets = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.array_distinct(T.word_ngrams(toks, 3)).alias("grams"),
+            hash_bucket(["doc_id"]).alias("b"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+    bench = sets.filter(F.col("b") < th).select(F.explode("grams").alias("gram"))
+    train = sets.filter(F.col("b") >= th).select(F.col("doc_id").alias("id"), "grams")
+    batch = bloom_contamination(train, bloom_filter_bits(bench)).select(
+        F.col("id").alias("doc_id"), F.col("n_overlap").cast("long").alias("n_overlap")
+    )
+    c = sorted(map(tuple, batch.collect()))
+    assert a == c
