@@ -35,6 +35,7 @@ __all__ = [
     "mixture_sample",
     "epoch_shuffle",
     "grouped_topn",
+    "token_budget_mixture",
     "es_priority",
     "weighted_sample",
     "negative_samples",
@@ -414,3 +415,108 @@ def negative_samples(
             F.col("__neg").alias(f"neg_{id_col}"),
         )
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget_frac: float = 0.4,
+    max_epochs: float = 2.0,
+    salt: str = "rep",
+) -> tuple[DataFrame, DataFrame]:
+    """Token-budget data mixing: greedy quality-ranked waterfill of a
+    corpus-wide token budget across sources, each source capped at
+    ``max_epochs`` repetitions, then DETERMINISTIC fractional-epoch
+    replication per document — the allocation step a pretraining stack
+    runs between curation and tokenization (cf. the epoch-capped source
+    weights of the Llama / Gopher data recipes).
+
+    Returns ``(allocation, replicated)``:
+
+    - ``allocation`` — one row per source: total_tokens, mean_q (the
+      DECIMAL(28,9) order-independent mean of per-doc quality),
+      alloc_tokens = min(floor(max_epochs·total), max(0, budget −
+      cum-cap of better-ranked sources)) with budget =
+      floor(budget_frac·Σtotal) — greedy fill is a plain cumulative sum
+      of caps because every source before the boundary fills fully —
+      and epochs = alloc/total.
+    - ``replicated`` — ``docs`` with ``n_rep`` copies per row materialized
+      (floor(epochs) + one md5-hash-gated extra with probability
+      frac(epochs)); membership is a pure function of (salt, id), so the
+      realized mixture is reproducible and SQL-replicable.
+
+    Scale: one corpus aggregation, a window over the per-SOURCE frame
+    (bounded: one row per source), one 1-row budget broadcast, and one
+    broadcast join back to docs — no corpus-sized shuffle beyond the
+    per-source agg."""
+    DEC = "decimal(28,9)"
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("__nt"),
+        F.col(quality_col).alias("__q"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("__nt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__q").cast(DEC)).alias("__qsum"),
+    )
+    budget = per_src.agg(
+        F.floor(F.lit(budget_frac) * F.sum("total_tokens"))
+        .cast("long")
+        .alias("__budget")
+    )
+    w = Window.orderBy(F.col("mean_q").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    alloc = (
+        per_src.withColumn(
+            "mean_q", F.col("__qsum").cast("double") / F.col("__n")
+        )
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "__cap", F.floor(F.lit(max_epochs) * F.col("total_tokens")).cast("long")
+        )
+        # Window over the per-source frame: bounded by the source
+        # vocabulary (one row per source), never corpus-sized.
+        .withColumn("__cumcap", F.coalesce(F.sum("__cap").over(w), F.lit(0)))
+        .withColumn(
+            "alloc_tokens",
+            F.least(
+                F.col("__cap"),
+                F.greatest(F.col("__budget") - F.col("__cumcap"), F.lit(0)),
+            ),
+        )
+        .withColumn(
+            "epochs", F.col("alloc_tokens").cast("double") / F.col("total_tokens")
+        )
+        .select("source", "total_tokens", "mean_q", "alloc_tokens", "epochs")
+    )
+    thr = F.floor(
+        (F.col("epochs") - F.floor(F.col("epochs"))) * F.lit(4294967296.0)
+    ).cast("long")
+    rep = (
+        d.join(F.broadcast(alloc.withColumn("__thr", thr)), "source")
+        .withColumn(
+            "n_rep",
+            F.floor("epochs").cast("long")
+            + F.when(
+                F.conv(hash_bucket(["__id"], salt=salt), 16, 10).cast("long")
+                < F.col("__thr"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .filter(F.col("n_rep") > 0)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("n_rep"))))
+        .select(
+            F.col("__id").alias(id_col),
+            "source",
+            F.col("__nt").alias(tokens_col),
+            "n_rep",
+            "__copy",
+        )
+    )
+    return alloc, rep

@@ -274,3 +274,87 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.col("neg_doc_id").alias("neg_id"),
     ).orderBy("anchor_id", "rank")
+
+
+@register(
+    "sample_token_budget",
+    sql=r"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(trim(text),' ')) AS BIGINT) AS nt,
+                      ROUND(CASE WHEN length(text) > 0 THEN
+                        (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text))*0.6
+                        + (CASE WHEN (CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                                      /(length(regexp_replace(text, '[^ ]', '', 'g'))+1)) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.0 END)*0.3
+                        + LEAST(CAST(length(text) AS DOUBLE)/100.0, 1.0)*0.1
+                      ELSE 0.0 END, 6) AS q
+               FROM documents WHERE text IS NOT NULL),
+    s AS (SELECT source, SUM(nt) AS total_tokens, COUNT(*) AS n,
+                 SUM(CAST(q AS DECIMAL(28,9))) AS qsum
+          FROM d GROUP BY source),
+    b AS (SELECT CAST(floor(0.4 * SUM(total_tokens)) AS BIGINT) AS budget FROM s),
+    w AS (SELECT source, CAST(total_tokens AS BIGINT) AS total_tokens,
+                 CAST(CAST(qsum AS VARCHAR) AS DOUBLE)/n AS mean_q,
+                 CAST(floor(2.0 * total_tokens) AS BIGINT) AS cap, budget
+          FROM s CROSS JOIN b),
+    w2 AS (SELECT *, COALESCE(SUM(cap) OVER (ORDER BY mean_q DESC, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap
+           FROM w),
+    a AS (SELECT source, total_tokens, mean_q,
+                 CAST(LEAST(cap, GREATEST(budget - cumcap, 0)) AS BIGINT) AS alloc_tokens
+          FROM w2),
+    e AS (SELECT *, CAST(alloc_tokens AS DOUBLE)/total_tokens AS epochs FROM a),
+    r AS (SELECT d.source, d.nt,
+                 CAST(floor(e.epochs) AS BIGINT)
+                 + CASE WHEN ('0x' || substr(md5('rep|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            < CAST(floor((e.epochs - floor(e.epochs)) * 4294967296.0) AS BIGINT)
+                        THEN 1 ELSE 0 END AS n_rep
+          FROM d JOIN e USING (source)),
+    g AS (SELECT source, CAST(SUM(n_rep) AS BIGINT) AS realized_docs,
+                 CAST(SUM(n_rep * nt) AS BIGINT) AS realized_tokens
+          FROM r GROUP BY source)
+    SELECT e.source, e.total_tokens, ROUND(e.mean_q, 6) AS mean_q,
+           e.alloc_tokens, ROUND(e.epochs, 6) AS epochs,
+           COALESCE(g.realized_docs, 0) AS realized_docs,
+           COALESCE(g.realized_tokens, 0) AS realized_tokens
+    FROM e LEFT JOIN g USING (source) ORDER BY source
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (sampling.token_budget_mixture): allocate
+    40% of the corpus's tokens across sources by greedy quality-ranked
+    waterfill with a 2-epoch per-source repetition cap (the Llama/Gopher
+    mixture shape), then realize the mixture with deterministic
+    fractional-epoch replication — floor(epochs) copies per doc plus one
+    md5-gated extra with probability frac(epochs).  Per source: the
+    allocation, the decimal order-independent mean quality, and the
+    realized doc/token counts of the materialized mixture."""
+    from my_cudf_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        T.quality_score("text").alias("q"),
+    )
+    alloc, rep = S.token_budget_mixture(
+        d, "doc_id", "source", "n_tokens", "q", budget_frac=0.4, max_epochs=2.0
+    )
+    realized = rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("realized_docs"),
+        F.sum("n_tokens").alias("realized_tokens"),
+    )
+    return (
+        alloc.join(realized, "source", "left")
+        .select(
+            "source",
+            "total_tokens",
+            F.round("mean_q", 6).alias("mean_q"),
+            "alloc_tokens",
+            F.round("epochs", 6).alias("epochs"),
+            F.coalesce("realized_docs", F.lit(0)).cast("long").alias("realized_docs"),
+            F.coalesce("realized_tokens", F.lit(0)).cast("long").alias("realized_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -247,3 +247,58 @@ def test_negative_samples_distribution_roughly_uniform(spark):
     counts = [r["n"] for r in out.groupBy("neg_doc").count().withColumnRenamed("count", "n").collect()]
     # 2000 draws over 50 ids → mean 40; no id should dominate wildly.
     assert max(counts) < 40 * 6
+
+
+def test_token_budget_mixture_waterfill_invariants(spark):
+    """Greedy fill exactness: sum(alloc) == min(budget, sum(caps)); every
+    source's alloc <= its 2-epoch cap; epochs <= 2; better-quality
+    sources fill before worse ones (the partially-filled boundary source
+    is unique); realized tokens land within the fractional-replication
+    band around alloc."""
+    import math
+
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.sampling import token_budget_mixture
+    from my_cudf_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        T.quality_score("text").alias("q"),
+    )
+    alloc, rep = token_budget_mixture(
+        d, "doc_id", "source", "n_tokens", "q", budget_frac=0.4, max_epochs=2.0
+    )
+    rows = alloc.collect()
+    total = sum(r["total_tokens"] for r in rows)
+    budget = math.floor(0.4 * total)
+    caps = {r["source"]: math.floor(2.0 * r["total_tokens"]) for r in rows}
+    assert sum(r["alloc_tokens"] for r in rows) == min(budget, sum(caps.values()))
+    partial = []
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= caps[r["source"]]
+        assert r["epochs"] <= 2.0 + 1e-12
+        if 0 < r["alloc_tokens"] < caps[r["source"]]:
+            partial.append(r)
+    assert len(partial) <= 1
+    # ranking: every source with a FULL cap allocation has mean_q >= every
+    # source with zero allocation (ties broken by name inside the window)
+    full_q = [r["mean_q"] for r in rows if r["alloc_tokens"] == caps[r["source"]]]
+    zero_q = [r["mean_q"] for r in rows if r["alloc_tokens"] == 0]
+    if full_q and zero_q:
+        assert min(full_q) >= max(zero_q)
+    realized = {
+        r["source"]: r
+        for r in rep.groupBy("source")
+        .agg(F.sum("n_tokens").alias("rt"), F.count(F.lit(1)).alias("rd"))
+        .collect()
+    }
+    for r in rows:
+        e = r["epochs"]
+        rt = realized[r["source"]]["rt"] if r["source"] in realized else 0
+        # floor(e) copies are exact; the +1 coin flips per doc, so realized
+        # tokens sit between floor(e)x and ceil(e)x the source's tokens
+        assert math.floor(e) * r["total_tokens"] <= rt <= math.ceil(e) * r["total_tokens"]
