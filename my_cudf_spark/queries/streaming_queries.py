@@ -1308,3 +1308,67 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_grams", "n_overlap", "ratio", "contaminated")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_cluster_stats_replay",
+    sql="""
+    WITH p AS (SELECT b.b AS b, d.d AS d,
+                      CASE WHEN substr(md5('0|' || b.b || '|' || d.d), 1, 1) >= '8'
+                           THEN 1.0 ELSE -1.0 END AS w
+               FROM range(4) b(b) CROSS JOIN range(64) d(d)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ed AS (SELECT vec_id, d.d AS d, v[d.d + 1] AS x FROM e CROSS JOIN range(64) d(d)),
+    dots AS (SELECT ed.vec_id, p.b, SUM(ed.x * p.w) AS s
+             FROM ed JOIN p USING (d) GROUP BY 1, 2),
+    sigs AS (SELECT vec_id,
+                    CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS INT) AS cell
+             FROM dots GROUP BY 1),
+    nano AS (SELECT s.cell, CAST(d.d AS INT) AS d,
+                    CAST(ROUND(e.v[d.d + 1] * 1000000000.0) AS BIGINT) AS nx
+             FROM sigs s JOIN e USING (vec_id) CROSS JOIN range(64) d(d))
+    SELECT cell, d, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(nx) AS DOUBLE) / (COUNT(*) * 1000000000.0) AS mean
+    FROM nano GROUP BY cell, d ORDER BY cell, d
+    """,
+)
+def stream_cluster_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cluster sufficient statistics (streaming/kmeans — the
+    incremental Lloyd M-step / IVF re-centering pass, closing the
+    clustering×stream cell): the embeddings fixture replayed as 4
+    micro-batches, each vector assigned to its data-independent md5-plane
+    sign-bit cell (the vec_topk_lsh partition), per-cell (count, per-dim
+    nano-unit sum) accumulating as cross-batch state.  Integer sums
+    commute, so the drained final state is chunking- and order-
+    independent and the batch twin (this SQL) reproduces every cell mean
+    bit-for-bit."""
+    from my_cudf_spark.streaming.kmeans import stream_cluster_stats
+    from my_cudf_spark.streaming.sources import replay_table
+
+    stream, work_dir = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", num_chunks=4
+    )
+    emb = stream.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    snaps = stream_cluster_stats(emb, "vec_id", "embedding", dim=64, bits=4)
+    updates = _drain(snaps, "ckstats", work_dir, output_mode="update")
+    final = updates.groupBy("cell").agg(
+        F.max_by("sums", "n").alias("sums"), F.max("n").alias("n")
+    )
+    return (
+        final.select("cell", "n", F.posexplode("sums").alias("d", "snano"))
+        .select(
+            "cell",
+            F.col("d").cast("int").alias("d"),
+            "n",
+            # Raw IEEE division of exact integers — identical bit pattern
+            # on both engines; ROUND here would reintroduce a half-way
+            # boundary that the two engines' double-round can disagree on.
+            (F.col("snano").cast("double") / (F.col("n") * F.lit(1e9))).alias(
+                "mean"
+            ),
+        )
+        .orderBy("cell", "d")
+    )

@@ -1457,3 +1457,38 @@ def test_stream_bloom_decontam_chunking_invariant_and_corrects(spark):
     )
     c = sorted(map(tuple, batch.collect()))
     assert a == c
+
+
+def test_stream_cluster_stats_chunking_invariant(spark):
+    """Integer nano-unit sums commute: the drained per-cell stats are
+    identical under different micro-batch chunkings, counts cover the
+    corpus exactly once, and every sums vector has dim entries."""
+    from my_cudf_spark.streaming.kmeans import stream_cluster_stats
+    from my_cudf_spark.streaming.sources import replay_table
+
+    def run(num_chunks):
+        stream, work_dir = replay_table(
+            spark, SF_DIR, "embeddings", "vec_id", num_chunks=num_chunks
+        )
+        emb = stream.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        snaps = stream_cluster_stats(emb, "vec_id", "embedding", dim=64, bits=4)
+        try:
+            upd = S.run_to_memory(snaps, f"ckst{num_chunks}", "update").cache()
+            upd.count()
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+        return {
+            r["cell"]: (r["n"], tuple(r["sums"]))
+            for r in upd.groupBy("cell")
+            .agg(F.max_by("sums", "n").alias("sums"), F.max("n").alias("n"))
+            .collect()
+        }
+
+    a, b = run(2), run(5)
+    assert a == b
+    total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(n for n, _ in a.values()) == total
+    assert all(len(s) == 64 for _, s in a.values())
