@@ -38,7 +38,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changelog", "merge_upsert", "scd2_apply"]
+__all__ = ["apply_changelog", "merge_upsert", "scd2_apply", "incremental_agg"]
 
 
 def apply_changelog(
@@ -267,3 +267,57 @@ def scd2_apply(
         ]
     )
     return history.unionByName(kept_current).unionByName(new_versions)
+
+
+def incremental_agg(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    old_col: str,
+    new_col: str,
+    sum_col: str = "total",
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for a per-key
+    SUM/COUNT aggregate (AVG etc. derive from the pair): apply a CDC
+    change batch to ``base_agg`` WITHOUT rescanning the fact table — the
+    delta-maintenance identity of every lakehouse IVM engine
+    (sum' = sum + Σ(new − old), n' = n + inserts − deletes).
+
+    ``changes`` rows carry the before/after images: insert → old NULL,
+    delete → new NULL, update → both (the Debezium envelope).  Values
+    must arrive as DECIMAL (exact addition — the maintained view must
+    equal a from-scratch recompute bit-for-bit, which float deltas would
+    drift from).  Keys whose count reaches 0 drop out, matching the
+    recompute's GROUP BY.
+
+    Scale: one aggregation over the CHANGE BATCH (∝ changed rows) plus
+    one full-outer join against the view on its key — the view never
+    rescans facts, and with the view bucketed on the keys the join runs
+    with zero exchange on the big side (the cdc_merge_bucketed layout).
+    """
+    keys = list(keys)
+    zero = F.lit(0).cast("decimal(28,2)")
+    delta = changes.groupBy(*keys).agg(
+        F.sum(
+            F.coalesce(F.col(new_col).cast("decimal(28,2)"), zero)
+            - F.coalesce(F.col(old_col).cast("decimal(28,2)"), zero)
+        ).alias("__dsum"),
+        F.sum(
+            F.when(F.col(old_col).isNull(), 1)
+            .when(F.col(new_col).isNull(), -1)
+            .otherwise(0)
+            .cast("long")
+        ).alias("__dn"),
+    )
+    merged = base_agg.join(delta, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(sum_col).cast("decimal(28,2)"), zero)
+            + F.coalesce(F.col("__dsum"), zero)
+        ).alias(sum_col),
+        (
+            F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+        ).alias(count_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

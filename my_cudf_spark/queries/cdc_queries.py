@@ -280,3 +280,69 @@ def cdc_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_safe_keys=False,
     )
     return merged.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+@register(
+    "cdc_incremental_agg",
+    sql="""
+    WITH f AS (SELECT o_custkey AS cust, o_orderkey AS id,
+                      CAST(o_totalprice AS DECIMAL(28,2)) AS v
+               FROM orders),
+    base AS (SELECT * FROM f WHERE id % 7 <> 0),
+    kept AS (SELECT cust, v FROM base
+             WHERE id % 5 <> 0 AND NOT (id % 11 = 0)),
+    upd_new AS (SELECT cust, v + CAST(10.0 AS DECIMAL(28,2)) AS v
+                FROM base WHERE id % 5 = 0),
+    ins AS (SELECT cust, v FROM f WHERE id % 7 = 0),
+    facts AS (SELECT * FROM kept UNION ALL SELECT * FROM upd_new
+              UNION ALL SELECT * FROM ins)
+    SELECT cust,
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM facts GROUP BY cust ORDER BY cust
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (cdc.incremental_agg):
+    yesterday's per-customer (SUM, COUNT) view of orders is updated with
+    a CDC batch — inserts (every 7th order arrives late), updates (every
+    5th surviving order's price +10, Debezium before/after envelope),
+    deletes (every 11th of the rest) — WITHOUT rescanning the fact
+    table: one aggregation over the change batch + one full-outer join
+    against the view.  The DuckDB oracle recomputes the view from the
+    post-change facts from scratch; decimal deltas make maintained ==
+    recomputed bit-for-bit (the IVM gold standard)."""
+    f = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(28,2)").alias("v"),
+    )
+    base = f.filter(F.col("id") % 7 != 0)
+    base_agg = base.groupBy("cust").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    ten = F.lit(10.0).cast("decimal(28,2)")
+    changes = (
+        f.filter(F.col("id") % 7 == 0)
+        .select("cust", F.lit(None).cast("decimal(28,2)").alias("old_v"),
+                F.col("v").alias("new_v"))
+        .unionAll(
+            base.filter(F.col("id") % 5 == 0).select(
+                "cust", F.col("v").alias("old_v"), (F.col("v") + ten).alias("new_v")
+            )
+        )
+        .unionAll(
+            base.filter((F.col("id") % 5 != 0) & (F.col("id") % 11 == 0)).select(
+                "cust", F.col("v").alias("old_v"),
+                F.lit(None).cast("decimal(28,2)").alias("new_v"),
+            )
+        )
+    )
+    out = C.incremental_agg(
+        base_agg, changes, ["cust"], "old_v", "new_v", sum_col="total", count_col="n"
+    )
+    return out.select(
+        "cust",
+        F.col("total").cast("double").alias("total"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("cust")

@@ -363,3 +363,97 @@ def events_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.col("n").cast("long"))
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_funnel_ordered",
+    sql="""
+    WITH u AS (SELECT COUNT(DISTINCT user_id) AS total FROM events),
+    v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+          GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+          GROUP BY 1)
+    SELECT stage, n_reached, CAST(n_reached AS DOUBLE) / total AS conv_rate
+    FROM (SELECT 1 AS stage, (SELECT COUNT(*) FROM v) AS n_reached, total FROM u
+          UNION ALL
+          SELECT 2, (SELECT COUNT(*) FROM c), total FROM u
+          UNION ALL
+          SELECT 3, (SELECT COUNT(*) FROM p), total FROM u)
+    ORDER BY stage
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-ORDER funnel (view → click → purchase) — unlike
+    events_funnel's independent per-stage aggregates, each step must
+    happen strictly AFTER the previous step's match: per user, the
+    greedy earliest progression through the step sequence (earliest view,
+    then the earliest LATER click, then the earliest later purchase —
+    greedy is optimal for reachability, and equals the oracle's
+    min-timestamp chaining).  ONE shuffle: each user's events fold inside
+    a sorted collect_list via a codegen aggregate expression — no
+    per-step join cascade, no window; per-user lists are bounded by
+    events-per-entity (the sessionization contract)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    lst = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+    )
+    zero_ts = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def step(acc, e):
+        def to(stage):
+            return F.struct(
+                F.lit(stage).alias("stage"), e.getField("ts").alias("since")
+            )
+
+        t, ty = e.getField("ts"), e.getField("event_type")
+        return (
+            F.when((acc.getField("stage") == 0) & (ty == "view"), to(1))
+            .when(
+                (acc.getField("stage") == 1)
+                & (ty == "click")
+                & (t > acc.getField("since")),
+                to(2),
+            )
+            .when(
+                (acc.getField("stage") == 2)
+                & (ty == "purchase")
+                & (t > acc.getField("since")),
+                to(3),
+            )
+            .otherwise(acc)
+        )
+
+    stage = F.aggregate(
+        F.col("evs"),
+        F.struct(F.lit(0).alias("stage"), zero_ts.alias("since")),
+        step,
+        lambda acc: acc.getField("stage"),
+    )
+    per_user = lst.select(stage.alias("stage"))
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("stage") >= 1).cast("long")).alias("s1"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("s2"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("s3"),
+    )
+    out = tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.col("s1").alias("n_reached")),
+                F.struct(F.lit(2).alias("stage"), F.col("s2").alias("n_reached")),
+                F.struct(F.lit(3).alias("stage"), F.col("s3").alias("n_reached")),
+            )
+        ).alias("r"),
+        "total",
+    )
+    return out.select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_reached").alias("n_reached"),
+        (F.col("r.n_reached").cast("double") / F.col("total")).alias("conv_rate"),
+    ).orderBy("stage")

@@ -271,3 +271,38 @@ def test_scd2_apply_null_is_current_row_survives_in_history(spark):
     assert (1, "A", 100, 200, False) in got            # old open closed
     assert (1, "A2", 200, None, True) in got           # new open version
     assert len(got) == 3
+
+
+def test_incremental_agg_planted(spark):
+    """Delta maintenance handles all four key fates: untouched key passes
+    through, updated key adjusts sum only, a key whose every fact is
+    deleted vanishes (count 0), and an insert creates a brand-new key."""
+    from decimal import Decimal
+
+    from my_cudf_spark.operators.cdc import incremental_agg
+
+    base = spark.createDataFrame(
+        [(1, Decimal("10.00"), 2), (2, Decimal("5.00"), 1), (3, Decimal("7.00"), 1)],
+        "k long, total decimal(28,2), n long",
+    )
+    # k=1: update one fact 4.00 -> 6.50 ; k=2: delete its only fact ;
+    # k=9: insert 3.25 ; k=3: untouched
+    changes = spark.createDataFrame(
+        [
+            (1, Decimal("4.00"), Decimal("6.50")),
+            (2, Decimal("5.00"), None),
+            (9, None, Decimal("3.25")),
+        ],
+        "k long, old_v decimal(28,2), new_v decimal(28,2)",
+    )
+    out = {
+        r["k"]: (str(r["total"]), r["n"])
+        for r in incremental_agg(
+            base, changes, ["k"], "old_v", "new_v", "total", "n"
+        ).collect()
+    }
+    assert out == {
+        1: ("12.50", 2),
+        3: ("7.00", 1),
+        9: ("3.25", 1),
+    }
