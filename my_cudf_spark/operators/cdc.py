@@ -38,7 +38,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changelog", "merge_upsert", "scd2_apply", "incremental_agg"]
+__all__ = ["apply_changelog", "merge_upsert", "scd2_apply", "incremental_agg", "table_diff"]
 
 
 def apply_changelog(
@@ -321,3 +321,62 @@ def incremental_agg(
         ).alias(count_col),
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Snapshot diff — the INVERSE of changelog application: given two
+    versions of a table, emit the change feed that turns ``old`` into
+    ``new`` (Delta/Iceberg change-data-feed generation, lakehouse
+    time-travel diffing).  One full-outer hash join on the keys; rows
+    equal on every compare column are dropped before anything wide
+    happens.
+
+    Output: keys + ``status`` ('added' | 'removed' | 'changed') +
+    ``changed_cols`` (comma-joined names, '' unless changed) + old_/new_
+    prefixed compare columns.  Null-safe comparisons: NULL → value is a
+    change, NULL == NULL is not."""
+    keys = list(keys)
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    # membership flags survive the outer join even when every payload
+    # column is NULL on one side
+    j = o.withColumn("__in_old", F.lit(True)).join(
+        n.withColumn("__in_new", F.lit(True)), keys, "full_outer"
+    )
+    diffs = [
+        ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols
+    ]
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(reduce(lambda a, b: a | b, diffs), "changed")
+    )
+    changed = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                (F.col("__in_old").isNotNull())
+                & (F.col("__in_new").isNotNull())
+                & ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")),
+                F.lit(c),
+            )
+            for c in compare_cols
+        ],
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .withColumn("changed_cols", changed)
+        .select(
+            *keys,
+            "status",
+            "changed_cols",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

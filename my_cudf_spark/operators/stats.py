@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kendall_tau_b", "grouped_kendall", "exact_quantiles"]
+__all__ = ["kendall_tau_b", "grouped_kendall", "exact_quantiles", "grouped_mad_outliers"]
 
 
 def exact_quantiles(
@@ -282,3 +282,47 @@ def quantile_normalize(
         .alias(out_col),
     )
     return df.join(ranks, df[col] == ranks["__v"], "left").drop("__v")
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier statistics: median, MAD (median absolute
+    deviation), and the count of |x − med| > z·1.4826·MAD outliers — the
+    standard robust-z filter a curation pipeline prefers over mean/std
+    (one wild value moves a mean, not a median).
+
+    Two grouped exact-percentile passes (median, then median of absolute
+    deviations — Spark's interpolating ``percentile``, per-group buffers)
+    joined back through a broadcast of the per-group medians; the outlier
+    test is a narrow per-row expression.  All arithmetic is the same IEEE
+    double sequence DuckDB runs, so counts are engine-exact."""
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*groups, v.alias("__x"))
+    med = base.groupBy(*groups).agg(
+        F.percentile("__x", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = base.join(F.broadcast(med), groups).withColumn(
+        "__ad", F.abs(F.col("__x") - F.col("med"))
+    )
+    mad = dev.groupBy(*groups).agg(
+        F.percentile("__ad", F.lit(0.5)).alias("mad")
+    )
+    flags = (
+        dev.join(F.broadcast(mad), groups)
+        .withColumn(
+            "__out",
+            (F.col("__ad") > F.lit(z) * F.lit(1.4826) * F.col("mad")).cast("long"),
+        )
+        .groupBy(*groups)
+        .agg(F.sum("__out").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, groups).join(flags, groups)
+        .select(*groups, "n", "med", "mad", "n_outliers")
+    )

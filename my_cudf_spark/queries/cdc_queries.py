@@ -346,3 +346,58 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("total"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("cust")
+
+
+@register(
+    "cdc_table_diff",
+    sql="""
+    WITH a AS (SELECT o_orderkey AS id, CAST(o_totalprice AS DECIMAL(28,2)) AS v
+               FROM orders WHERE o_orderkey % 7 <> 0),
+    b AS (SELECT id, CASE WHEN id % 5 = 0 THEN v + CAST(10.0 AS DECIMAL(28,2))
+                          ELSE v END AS v
+          FROM a WHERE NOT (id % 5 <> 0 AND id % 11 = 0)
+          UNION ALL
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(28,2))
+          FROM orders WHERE o_orderkey % 7 = 0),
+    j AS (SELECT COALESCE(a.id, b.id) AS id,
+                 CASE WHEN a.id IS NULL THEN 'added'
+                      WHEN b.id IS NULL THEN 'removed'
+                      WHEN a.v <> b.v THEN 'changed' END AS status,
+                 a.v AS old_v, b.v AS new_v
+          FROM a FULL JOIN b ON a.id = b.id)
+    SELECT id, status,
+           CASE WHEN status = 'changed' THEN 'v' ELSE '' END AS changed_cols,
+           CAST(CAST(old_v AS VARCHAR) AS DOUBLE) AS old_v,
+           CAST(CAST(new_v AS VARCHAR) AS DOUBLE) AS new_v
+    FROM j WHERE status IS NOT NULL ORDER BY id
+    """,
+)
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed generation (cdc.table_diff) — the
+    inverse of changelog application: two versions of the orders table
+    (the cdc_incremental_agg change families applied at row level) are
+    diffed into the added/removed/changed feed that transforms one into
+    the other.  One full-outer join on the key, null-safe column
+    comparison, unchanged rows dropped."""
+    f = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(28,2)").alias("v"),
+    )
+    a = f.filter(F.col("id") % 7 != 0)
+    ten = F.lit(10.0).cast("decimal(28,2)")
+    b = (
+        a.filter(~((F.col("id") % 5 != 0) & (F.col("id") % 11 == 0)))
+        .select(
+            "id",
+            F.when(F.col("id") % 5 == 0, F.col("v") + ten).otherwise(F.col("v")).alias("v"),
+        )
+        .unionAll(f.filter(F.col("id") % 7 == 0))
+    )
+    out = C.table_diff(a, b, ["id"], ["v"])
+    return out.select(
+        "id",
+        "status",
+        "changed_cols",
+        F.col("old_v").cast("double").alias("old_v"),
+        F.col("new_v").cast("double").alias("new_v"),
+    ).orderBy("id")

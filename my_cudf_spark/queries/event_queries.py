@@ -457,3 +457,131 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_reached").alias("n_reached"),
         (F.col("r.n_reached").cast("double") / F.col("total")).alias("conv_rate"),
     ).orderBy("stage")
+
+
+@register(
+    "agg_mad_outliers",
+    sql="""
+    WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL),
+    med AS (SELECT event_type, quantile_cont(x, 0.5) AS med,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1),
+    dev AS (SELECT b.event_type, abs(b.x - med.med) AS ad
+            FROM b JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1),
+    fl AS (SELECT dev.event_type,
+                  CAST(SUM(CASE WHEN dev.ad > 3.0 * 1.4826 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           FROM dev JOIN mad USING (event_type) GROUP BY 1)
+    SELECT med.event_type AS event_type, med.n AS n, med.med AS med,
+           mad.mad AS mad, fl.n_outliers AS n_outliers
+    FROM med JOIN mad USING (event_type) JOIN fl USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier statistics (stats.grouped_mad_outliers):
+    median, MAD, and the robust-z (|x − med| > 3·1.4826·MAD) outlier
+    count per event type — the median-based filter curation pipelines
+    prefer over mean/std because a single wild value cannot move it.
+    Two grouped exact-percentile passes + broadcast joins back; DuckDB's
+    quantile_cont interpolates identically to Spark's percentile so the
+    doubles match bit-for-bit."""
+    from my_cudf_spark.operators.stats import grouped_mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = grouped_mad_outliers(ev, ["event_type"], "value", z=3.0)
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"), "med", "mad",
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    ).orderBy("event_type")
+
+
+@register(
+    "graph_pagerank",
+    sql="""
+    WITH e0 AS (SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS a,
+                                's:' || CAST(l_suppkey AS VARCHAR) AS b
+                FROM lineitem),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS v, deg, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM deg CROSS JOIN nn),
+    c1 AS (SELECT e.dst AS v, SUM(r0.r // r0.deg) AS s
+           FROM edges e JOIN r0 ON e.src = r0.v GROUP BY e.dst),
+    r1 AS (SELECT c1.v, deg.deg,
+                  CAST(3000000000000 // (20 * n) + (17 * c1.s) // 20 AS BIGINT) AS r
+           FROM c1 JOIN deg ON deg.src = c1.v CROSS JOIN nn),
+    c2 AS (SELECT e.dst AS v, SUM(r1.r // r1.deg) AS s
+           FROM edges e JOIN r1 ON e.src = r1.v GROUP BY e.dst),
+    r2 AS (SELECT c2.v, deg.deg,
+                  CAST(3000000000000 // (20 * n) + (17 * c2.s) // 20 AS BIGINT) AS r
+           FROM c2 JOIN deg ON deg.src = c2.v CROSS JOIN nn),
+    c3 AS (SELECT e.dst AS v, SUM(r2.r // r2.deg) AS s
+           FROM edges e JOIN r2 ON e.src = r2.v GROUP BY e.dst),
+    r3 AS (SELECT c3.v,
+                  CAST(3000000000000 // (20 * n) + (17 * c3.s) // 20 AS BIGINT) AS r
+           FROM c3 CROSS JOIN nn)
+    SELECT v, r AS rank_micro, CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r3 ORDER BY v
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations, α = 17/20) over the undirected
+    part↔supplier co-occurrence graph from lineitem — the graph-analytics
+    tier next to connected components (dedup_clusters): importance
+    propagation for corpus/link analysis.  Ranks live in INTEGER
+    micro-units (1e-12) and damping is exact integer arithmetic
+    (floor((17·s) / 20) via `div`), so every iteration is sums and floor
+    divisions of BIGINTs — order-independent, no float boundary anywhere,
+    bit-identical to the unrolled-CTE oracle.  Each iteration is one
+    equi-join (rank frame → edges) + one groupBy(dst); undirected edges
+    mean no dangling mass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("a"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).distinct()
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    from my_cudf_spark.operators.dedup import _persist
+
+    edges = _persist(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("v"),
+            "deg",
+            F.expr("CAST(1000000000000 AS BIGINT) div n").alias("r"),
+        )
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), F.expr("r div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            contrib.join(deg.withColumnRenamed("src", "v"), "v")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "v",
+                "deg",
+                F.expr(
+                    "CAST(3000000000000 AS BIGINT) div (20 * n)"
+                    " + (17 * s) div 20"
+                ).cast("long").alias("r"),
+            )
+        )
+    return r.select(
+        "v",
+        F.col("r").alias("rank_micro"),
+        (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
+    ).orderBy("v")

@@ -1276,10 +1276,15 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, work_dir = replay_documents(spark, sf_dir, num_chunks=4)
 
     def grams_of(df: DataFrame) -> DataFrame:
-        toks = F.split(T.normalize_text("text"), " ")
-        return df.select(
+        # Materialize toks as its own projection: inlining the split into
+        # word_ngrams' transform lambda re-evaluates it PER GRAM (the
+        # documented ~15x gram-generation trap).
+        t = df.select(
+            "doc_id", F.split(T.normalize_text("text"), " ").alias("toks")
+        )
+        return t.select(
             "doc_id",
-            F.array_distinct(T.word_ngrams(toks, 3)).alias("grams"),
+            F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
             (hash_bucket(["doc_id"]) < th).alias("is_bench"),
         ).filter(F.size("grams") > 0)
 
@@ -1287,20 +1292,33 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams_of(stream), "doc_id", "grams", "is_bench", buckets=8
     )
     updates = _drain(verdicts, "bloomdc", work_dir, output_mode="update")
-    per_probe = updates.groupBy("doc_id", "gram", "j").agg(
-        F.bool_or("hit").alias("hit")
+    from my_cudf_spark.operators.dedup import _persist
+    from my_cudf_spark.streaming.decontam import gram_id
+
+    # Per-distinct-gram verdict fold; doc attribution is a batch join of
+    # the (doc, gram) frame against the vocabulary-sized verdict table.
+    per_gram = (
+        updates.groupBy("gram", "j")
+        .agg(F.bool_or("hit").alias("hit"))
+        .groupBy("gram")
+        .agg(F.bool_and("hit").alias("g_in"))
     )
-    per_gram = per_probe.groupBy("doc_id", "gram").agg(
-        F.bool_and("hit").alias("g_in")
+    base = _persist(
+        grams_of(load_table(spark, sf_dir, "documents")).filter(
+            ~F.col("is_bench")
+        )
     )
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.sum(F.col("g_in").cast("long")).alias("n_overlap")
+    docgrams = base.select("doc_id", F.explode("grams").alias("g")).select(
+        "doc_id", gram_id("g").alias("gram")
     )
-    base = grams_of(load_table(spark, sf_dir, "documents")).filter(
-        ~F.col("is_bench")
-    ).select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    per_doc = (
+        docgrams.join(per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("g_in").cast("long")).alias("n_overlap"))
+    )
     return (
-        base.join(per_doc, "doc_id")
+        base.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(per_doc, "doc_id")
         .withColumn("ratio", F.round(F.col("n_overlap") / F.col("n_grams"), 6))
         .withColumn(
             "contaminated", F.col("n_overlap") / F.col("n_grams") >= F.lit(0.2)

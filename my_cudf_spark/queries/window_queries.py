@@ -502,3 +502,40 @@ def window_rolling_std(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "window_rolling_median",
+    sql="""
+    SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+           CASE WHEN COUNT(value) OVER w = 7 THEN median(value) OVER w END AS med7
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median per user (pandas/cudf Rolling.median — the
+    robust member of the rolling family next to window_rolling_std),
+    min_periods = window: an odd full window's median is the exact middle
+    order statistic, so ``element_at(array_sort(collect_list), 4)`` over
+    the frame matches DuckDB's windowed ``median`` with no interpolation
+    ambiguity.  The per-frame sort is over ≤ 7 elements — bounded work
+    per row, one Exchange on the partition key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    med7 = F.when(
+        F.count("value").over(w) == 7,
+        F.element_at(F.array_sort(F.collect_list(F.col("value").cast("double")).over(w)), 4),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        med7.alias("med7"),
+    ).orderBy("user_id", "event_id")

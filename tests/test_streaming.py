@@ -1391,10 +1391,11 @@ def _bloom_stream_report(spark, num_chunks):
 
     th = _threshold_hex(0.05)
     stream, work_dir = replay_documents(spark, SF_DIR, num_chunks=num_chunks)
-    toks = F.split(T.normalize_text("text"), " ")
     docs = stream.select(
+        "doc_id", F.split(T.normalize_text("text"), " ").alias("toks")
+    ).select(
         "doc_id",
-        F.array_distinct(T.word_ngrams(toks, 3)).alias("grams"),
+        F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
         (hash_bucket(["doc_id"]) < th).alias("is_bench"),
     ).filter(F.size("grams") > 0)
     verdicts = stream_bloom_decontam(docs, "doc_id", "grams", "is_bench", buckets=4)
@@ -1405,17 +1406,32 @@ def _bloom_stream_report(spark, num_chunks):
         updates.count()
     finally:
         shutil.rmtree(work_dir, ignore_errors=True)
-    per_probe = updates.groupBy("doc_id", "gram", "j").agg(
+    from my_cudf_spark.streaming.decontam import gram_id
+
+    per_probe = updates.groupBy("gram", "j").agg(
         F.bool_or("hit").alias("hit"),
-        F.count(F.lit(1)).alias("n_emits"),
+        F.min(F.col("hit").cast("int")).alias("min_hit"),
+    )
+    per_gram = per_probe.groupBy("gram").agg(F.bool_and("hit").alias("g_in"))
+    docgrams = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.split(T.normalize_text("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
+            hash_bucket(["doc_id"]).alias("b"),
+        )
+        .filter((F.size("grams") > 0) & (F.col("b") >= th))
+        .select("doc_id", F.explode("grams").alias("g"))
+        .select("doc_id", gram_id("g").alias("gram"))
     )
     report = (
-        per_probe.groupBy("doc_id", "gram")
-        .agg(F.bool_and("hit").alias("g_in"))
+        docgrams.join(per_gram, "gram")
         .groupBy("doc_id")
         .agg(F.sum(F.col("g_in").cast("long")).alias("n_overlap"))
     )
-    flips = per_probe.filter(F.col("hit") & (F.col("n_emits") > 1)).count()
+    # a probe corrected late has BOTH a false and a true emission
+    flips = per_probe.filter(F.col("hit") & (F.col("min_hit") == 0)).count()
     return report, flips
 
 
