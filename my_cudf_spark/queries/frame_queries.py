@@ -366,3 +366,65 @@ def frame_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "o_totalprice", F.round("pct_rank", 9).alias("pct_rank")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "frame_pareto_frontier",
+    sql=r"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+                      ROUND(CASE WHEN length(text) > 0 THEN
+                        (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/length(text))*0.6
+                        + (CASE WHEN (CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                                      /(length(regexp_replace(text, '[^ ]', '', 'g'))+1)) BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.0 END)*0.3
+                        + LEAST(CAST(length(text) AS DOUBLE)/100.0, 1.0)*0.1
+                      ELSE 0.0 END, 6) AS q
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT source, q, MAX(nt) AS gmax FROM t GROUP BY source, q),
+    p AS (SELECT source, q, gmax,
+                 MAX(gmax) OVER (PARTITION BY source ORDER BY q DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM g)
+    SELECT t.source, t.doc_id, t.q, t.nt
+    FROM t JOIN p ON t.source = p.source AND t.q = p.q
+    WHERE t.nt = p.gmax AND (p.prev_max IS NULL OR t.nt > p.prev_max)
+    ORDER BY t.source, t.q DESC, t.doc_id
+    """,
+)
+def frame_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) per source over (quality, length):
+    a document survives iff no other same-source document is ≥ in both
+    dimensions and > in one — the data-selection frontier shape (pick
+    the quality/length trade-off curve, not a single threshold).  The
+    classic quadratic NOT EXISTS collapses to ONE window pass: group to
+    per-(source, q) max length, running max over strictly-higher-q
+    groups (ROWS … 1 PRECEDING over the DISTINCT-q frame), survivor ⇔
+    length equals its q-group max and beats every higher-q max.  The
+    window runs over distinct (source, q) rows — corpus-sized work is
+    two hash aggregations and a join."""
+    from my_cudf_spark.functions import text as T
+    from pyspark.sql import Window
+
+    t = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("nt"),
+        T.quality_score("text").alias("q"),
+    )
+    g = t.groupBy("source", "q").agg(F.max("nt").alias("gmax"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = g.withColumn("prev_max", F.max("gmax").over(w))
+    return (
+        t.join(p, ["source", "q"])
+        .filter(
+            (F.col("nt") == F.col("gmax"))
+            & (F.col("prev_max").isNull() | (F.col("nt") > F.col("prev_max")))
+        )
+        .select("source", "doc_id", "q", "nt")
+        .orderBy("source", F.col("q").desc(), "doc_id")
+    )

@@ -1390,3 +1390,60 @@ def stream_cluster_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "d")
     )
+
+
+from my_cudf_spark.queries.event_queries import SQL_FUNNEL_ORDERED  # noqa: E402
+
+
+@register(
+    "stream_funnel_replay",
+    # Oracle shared verbatim with events_funnel_ordered: the streamed
+    # max-version snapshot is a pure function of the final event set.
+    sql=SQL_FUNNEL_ORDERED,
+)
+def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING strict-order funnel (streaming/funnel — the stream twin
+    of events_funnel_ordered): the events fixture replayed as 4
+    micro-batches, per-user funnel progression maintained as bucketed
+    cross-batch state with LATE events recomputing the greedy fold over
+    retained history (monotone emission versions ⇒ the max-version
+    snapshot is chunking/order independent and equals the batch fold —
+    one SQL oracle covers both legs).  The final stage→counts reduction
+    is a 4-row aggregate."""
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.funnel import stream_funnel
+
+    stream, work_dir = replay_events(spark, sf_dir, num_chunks=4)
+    verdicts = stream_funnel(
+        stream, "user_id", "ts", "event_id", "event_type",
+        steps=("view", "click", "purchase"), buckets=8,
+    )
+    updates = _drain(verdicts, "funnel", work_dir, output_mode="update")
+    per_user = updates.groupBy("user").agg(
+        F.max_by("stage", "version").alias("stage")
+    )
+    total = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("total"))
+    )
+    tot = per_user.crossJoin(F.broadcast(total)).agg(
+        F.min("total").alias("total"),
+        F.sum((F.col("stage") >= 1).cast("long")).alias("s1"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("s2"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("s3"),
+    )
+    out = tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.col("s1").alias("n_reached")),
+                F.struct(F.lit(2).alias("stage"), F.col("s2").alias("n_reached")),
+                F.struct(F.lit(3).alias("stage"), F.col("s3").alias("n_reached")),
+            )
+        ).alias("r"),
+        "total",
+    )
+    return out.select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_reached").alias("n_reached"),
+        (F.col("r.n_reached").cast("double") / F.col("total")).alias("conv_rate"),
+    ).orderBy("stage")

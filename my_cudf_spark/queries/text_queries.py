@@ -1953,3 +1953,80 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@register(
+    "text_keywords_rake",
+    sql=rf"""
+    WITH d AS (SELECT doc_id,
+                      string_split(regexp_replace({SQL_NORM}, '\b(the|a)\b', '|', 'g'), '|') AS segs
+               FROM documents WHERE text IS NOT NULL),
+    ph AS (SELECT doc_id, trim(seg) AS phrase
+           FROM (SELECT doc_id, unnest(segs) AS seg FROM d)
+           WHERE trim(seg) <> ''),
+    pt AS (SELECT doc_id, phrase, string_split(phrase, ' ') AS pw,
+                  CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+           FROM ph),
+    wo AS (SELECT doc_id, phrase, plen, unnest(pw) AS w FROM pt),
+    stats AS (SELECT doc_id, w, COUNT(*) AS freq, SUM(plen) AS deg
+              FROM wo GROUP BY doc_id, w),
+    scored AS (SELECT wo.doc_id, wo.phrase,
+                      CAST(CAST(SUM(CAST(ROUND(CAST(stats.deg AS DOUBLE) / stats.freq, 9)
+                           AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS score
+               FROM wo JOIN stats ON wo.doc_id = stats.doc_id AND wo.w = stats.w
+               GROUP BY wo.doc_id, wo.phrase),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, phrase) AS rank FROM scored)
+    SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    per-document keyword tier the nvtext surface lacks: candidate
+    phrases are maximal stopword-free token runs, each word scores
+    deg/freq over the document's phrases (deg = Σ lengths of phrases
+    containing it), a phrase scores the decimal order-independent sum
+    of its words' scores, and the top 3 distinct phrases per document
+    survive.  Pure string/aggregate plan: stopword split is one regex,
+    word stats and phrase scores are two hash aggregations, the final
+    window ranks ≤ distinct-phrases rows per doc."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    segs = F.split(
+        F.regexp_replace(T.normalize_text("text"), r"\b(the|a)\b", "|"), r"\|"
+    )
+    ph = (
+        docs.select("doc_id", segs.alias("segs"))
+        .select("doc_id", F.explode("segs").alias("seg"))
+        .select("doc_id", F.trim("seg").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pt = ph.select("doc_id", "phrase", F.split("phrase", " ").alias("pw")).select(
+        "doc_id", "phrase", "pw", F.size("pw").cast("long").alias("plen")
+    )
+    wo = D._persist(
+        pt.select("doc_id", "phrase", "plen", F.explode("pw").alias("w"))
+    )
+    stats = wo.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    ws = (F.col("deg").cast("double") / F.col("freq")).alias("__ws")
+    scored = (
+        wo.join(stats, ["doc_id", "w"])
+        .select("doc_id", "phrase", ws)
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.sum(F.round(F.col("__ws"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "phrase")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "phrase", "score")
+        .orderBy("doc_id", "rank")
+    )

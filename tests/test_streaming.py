@@ -1508,3 +1508,37 @@ def test_stream_cluster_stats_chunking_invariant(spark):
     total = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(n for n, _ in a.values()) == total
     assert all(len(s) == 64 for _, s in a.values())
+
+
+def test_stream_funnel_chunking_invariant_and_matches_batch(spark):
+    """The max-version per-user stage snapshot is identical under
+    different chunkings and equals the batch greedy fold (late events in
+    other chunks rewrite progressions; recompute-over-history makes the
+    result a pure function of the final event set)."""
+    from my_cudf_spark.streaming.funnel import stream_funnel
+    from my_cudf_spark.queries import load_registry
+
+    def run(num_chunks):
+        stream, work_dir = replay_events(spark, SF_DIR, num_chunks=num_chunks)
+        v = stream_funnel(
+            stream, "user_id", "ts", "event_id", "event_type", buckets=4
+        )
+        try:
+            upd = S.run_to_memory(v, f"fnl{num_chunks}", "update").cache()
+            upd.count()
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+        return {
+            r["user"]: r["stage"]
+            for r in upd.groupBy("user")
+            .agg(F.max_by("stage", "version").alias("stage"))
+            .collect()
+        }
+
+    a, b = run(2), run(5)
+    assert a == b
+    # batch greedy fold from the registered query's per-stage counts
+    rows = load_registry()["events_funnel_ordered"].fn(spark, SF_DIR).collect()
+    batch_counts = {r["stage"]: r["n_reached"] for r in rows}
+    for s in (1, 2, 3):
+        assert sum(1 for st in a.values() if st >= s) == batch_counts[s]
