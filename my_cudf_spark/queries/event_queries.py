@@ -603,3 +603,76 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_micro"),
         (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
     ).orderBy("v")
+
+
+@register(
+    "agg_group_ols",
+    sql="""
+    WITH e AS (SELECT user_id,
+                      (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                        // 86400000000 AS x,
+                      CAST(value AS DECIMAL(18,2)) AS y
+               FROM events WHERE value IS NOT NULL),
+    m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 SUM(y) AS sy,
+                 SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+          FROM e GROUP BY user_id)
+    SELECT user_id, n,
+           (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+             / (n * sxx - sx * sx) AS slope,
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+             - ((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+                / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM m WHERE n * sxx - sx * sx <> 0 ORDER BY user_id
+    """,
+)
+def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (value ~ days since 2024-01-01), the
+    grouped regression kind the reference's aggregation enum stops short
+    of: every moment (n, Σx, Σx², Σy, Σxy) is EXACT — x is an integer
+    day offset, y a DECIMAL(18,2), products and sums stay decimal — so
+    both engines reach slope/intercept through identical IEEE divisions
+    of identical exact numerators.  One map-side-combined aggregation;
+    no window, no second pass.
+
+    Intercept note: the oracle's intercept formula divides the exact
+    decimal numerator only at the END (sy − slope·sx stays decimal via
+    DuckDB's decimal division semantics mirrored in the Spark
+    expression below), keeping the cross-engine contract."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000)"
+            " div 86400000000"
+        ).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    # intercept in pure doubles over EXACT components (sy decimal->double,
+    # sx/n integers): mixed decimal division has engine-specific
+    # precision/scale rules, doubles don't.
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return (
+        m.filter(den != 0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+        .orderBy("user_id")
+    )

@@ -1447,3 +1447,74 @@ def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_reached").alias("n_reached"),
         (F.col("r.n_reached").cast("double") / F.col("total")).alias("conv_rate"),
     ).orderBy("stage")
+
+
+@register(
+    "stream_ivm_replay",
+    sql="""
+    WITH f AS (SELECT o_custkey AS cust, o_orderkey AS id,
+                      CAST(o_totalprice AS DECIMAL(28,2)) AS v
+               FROM orders),
+    base AS (SELECT * FROM f WHERE id % 7 <> 0),
+    kept AS (SELECT cust, v FROM base
+             WHERE id % 5 <> 0 AND NOT (id % 11 = 0)),
+    upd AS (SELECT cust, v + CAST(10.0 AS DECIMAL(28,2)) AS v
+            FROM base WHERE id % 5 = 0),
+    ins AS (SELECT cust, v FROM f WHERE id % 7 = 0),
+    facts AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+              UNION ALL SELECT * FROM ins)
+    SELECT cust, CAST(SUM(v) * 100 AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM facts GROUP BY cust ORDER BY cust
+    """,
+)
+def stream_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance (stateful.
+    incremental_agg_totals — the stream twin of cdc_incremental_agg):
+    the orders table replayed as 4 micro-batches, each arriving order
+    exploded into its CDC delta events (insert +v/+1 always; every 5th
+    surviving order an update +10/0; every 11th of the rest a delete
+    −v/−1) with currency scaled to integer cents — per-customer (sum,
+    count) state folds exact int64 deltas, so the max-version snapshot
+    equals the from-scratch recompute (this oracle) under any chunking
+    or arrival order."""
+    from my_cudf_spark.streaming.sources import replay_table
+    from my_cudf_spark.streaming.stateful import incremental_agg_totals
+
+    stream, work_dir = replay_table(spark, sf_dir, "orders", "o_orderkey", num_chunks=4)
+    v = F.col("o_totalprice").cast("decimal(28,2)")
+    cents = (v * 100).cast("long")
+    is_base = F.col("o_orderkey") % 7 != 0
+    ev = F.array_compact(
+        F.array(
+            # the fact itself arriving (insert)
+            F.struct(cents.alias("ds"), F.lit(1).cast("long").alias("dn")),
+            # update leg: every 5th base order's price +10
+            F.when(
+                is_base & (F.col("o_orderkey") % 5 == 0),
+                F.struct(F.lit(1000).cast("long").alias("ds"),
+                         F.lit(0).cast("long").alias("dn")),
+            ),
+            # delete leg: every 11th of the remaining base orders
+            F.when(
+                is_base
+                & (F.col("o_orderkey") % 5 != 0)
+                & (F.col("o_orderkey") % 11 == 0),
+                F.struct((-cents).alias("ds"), F.lit(-1).cast("long").alias("dn")),
+            ),
+        )
+    )
+    deltas = stream.select(
+        F.col("o_custkey").alias("cust"), F.explode(ev).alias("e")
+    ).select("cust", F.col("e.ds").alias("ds"), F.col("e.dn").alias("dn"))
+    snaps = incremental_agg_totals(deltas, "cust", "ds", "dn", buckets=8)
+    updates = _drain(snaps, "ivm", work_dir, output_mode="update")
+    final = updates.groupBy("key").agg(
+        F.max_by("total", "version").alias("total_cents"),
+        F.max_by("n", "version").alias("n"),
+    )
+    return (
+        final.filter(F.col("n") > 0)
+        .select(F.col("key").alias("cust"), "total_cents", "n")
+        .orderBy("cust")
+    )

@@ -631,3 +631,78 @@ def _heavy_hitters_bucketed(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def incremental_agg_totals(
+    df: DataFrame,
+    key_col: str,
+    dsum_col: str,
+    dn_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Streaming incremental materialized-view maintenance — the stream
+    twin of :func:`my_cudf_spark.operators.cdc.incremental_agg`: per-key
+    (sum, count) folded from a CDC delta stream (insert → (+v, +1),
+    delete → (−v, −1), update → (Δv, 0)).  Deltas are INTEGERS (the
+    caller scales currency to cents), so per-key state is exact int64
+    arithmetic and the folded snapshot is arrival-order and chunking
+    independent — the batch view-maintenance identity holds on the
+    stream.
+
+    State is bucketed (hash(key) % buckets → parallel arrays): one
+    Arrow round-trip per bucket per batch; state volume is O(distinct
+    keys).  Emits the cumulative ``(key, total, n, version)`` per key a
+    batch touches; version (delta rows seen for the key) is strictly
+    monotone, so the final snapshot is the max-version row per key."""
+    rows = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(dsum_col).cast("long").alias("__ds"),
+        F.col(dn_col).cast("long").alias("__dn"),
+    ).withColumn("__bkt", F.pmod(F.hash("__k"), F.lit(buckets)))
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            ks, tot, n, ver = (list(a) for a in state.get)
+            acc = {k: [t, c, v] for k, t, c, v in zip(ks, tot, n, ver)}
+        else:
+            acc = {}
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if not batch:
+            yield pd.DataFrame(columns=["key", "total", "n", "version"])
+            return
+        new = pd.concat(batch, ignore_index=True)
+        g = new.groupby("__k").agg(
+            ds=("__ds", "sum"), dn=("__dn", "sum"), rows=("__k", "size")
+        )
+        out = []
+        for k, r in g.iterrows():
+            e = acc.setdefault(int(k), [0, 0, 0])
+            e[0] += int(r["ds"])
+            e[1] += int(r["dn"])
+            e[2] += int(r["rows"])
+            out.append((int(k), e[0], e[1], e[2]))
+        state.update(
+            (
+                list(acc.keys()),
+                [e[0] for e in acc.values()],
+                [e[1] for e in acc.values()],
+                [e[2] for e in acc.values()],
+            )
+        )
+        yield pd.DataFrame(out, columns=["key", "total", "n", "version"])
+
+    return rows.groupBy("__bkt").applyInPandasWithState(
+        update,
+        outputStructType="key long, total long, n long, version long",
+        stateStructType=(
+            "ks array<long>, tot array<long>, ns array<long>, vers array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
