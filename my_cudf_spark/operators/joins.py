@@ -31,6 +31,7 @@ __all__ = [
     "range_join",
     "fuzzy_join",
     "pit_join",
+    "interval_overlap_join",
 ]
 
 _HOW = {
@@ -529,3 +530,56 @@ def pit_join(
             F.col(f"__m_{i}").getField(c).alias(f"{f}_{c}") for c in fpayload[f]
         ]
     return out.select(*sel)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval×interval overlap join (the two-sided sibling of the
+    point-in-interval range join above): all (left, right) row pairs
+    sharing the ``keys`` whose [start, end] intervals overlap.
+
+    Scale shape: each interval explodes into the fixed-width bins it
+    covers, candidates come from a hash equi-join on (keys, bin) — volume
+    ∝ overlaps + bin co-residents, never |L|×|R| — then the exact
+    predicate verifies and duplicates from multi-bin co-residence drop.
+    ``bin_width`` (same units as the bounds) trades fan-out (≈ interval
+    length / width bins per row) against candidate selectivity; set it
+    near the typical interval length.
+
+    Bounds are numeric (cast timestamps to epoch first); output carries
+    every left/right column prefixed ``a_`` / ``b_``."""
+    keys = list(keys)
+
+    def binned(df: DataFrame, s: str, e: str, pfx: str) -> DataFrame:
+        out = df.select(
+            *[F.col(k).alias(k) for k in keys],
+            *[
+                F.col(c).alias(f"{pfx}{c}")
+                for c in df.columns
+                if c not in keys
+            ],
+        )
+        return out.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{pfx}{s}") / bin_width),
+                    F.floor(F.col(f"{pfx}{e}") / bin_width),
+                )
+            ),
+        )
+    l = binned(left, left_start, left_end, "a_")
+    r = binned(right, right_start, right_end, "b_")
+    cand = l.join(r, [*keys, "__bin"]).drop("__bin").dropDuplicates()
+    return cand.filter(
+        (F.col(f"a_{left_start}") <= F.col(f"b_{right_end}"))
+        & (F.col(f"b_{right_start}") <= F.col(f"a_{left_end}"))
+    )

@@ -731,3 +731,119 @@ def join_pit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.col("cumshift_n"), F.lit(0))
         ).cast("long").alias("clicks_6h"),
     ).orderBy("event_id")
+
+
+@register(
+    "agg_market_basket",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY p),
+    pr AS (SELECT a.p AS part_a, c.p AS part_b, CAST(COUNT(*) AS BIGINT) AS support
+           FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT pr.part_a, pr.part_b, pr.support,
+           CAST(pr.support AS DOUBLE) / ia.s AS conf_ab,
+           CAST(pr.support AS DOUBLE) / ib.s AS conf_ba,
+           CAST(pr.support * n.n_orders AS DOUBLE) / (ia.s * ib.s) AS lift
+    FROM pr JOIN item ia ON ia.p = pr.part_a
+            JOIN item ib ON ib.p = pr.part_b
+            CROSS JOIN n
+    ORDER BY part_a, part_b
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (A-priori level 2): item-pair
+    support within orders, plus confidence both ways and lift — the
+    classic co-occurrence analytics op.  The pair join is an equi-join
+    on the basket key (pairs per basket bounded by basket size, ≤ 13 on
+    the fixtures — never a cross product); item supports broadcast back;
+    every ratio is an IEEE division of exact integer counts, so both
+    engines agree bit-for-bit."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    from my_cudf_spark.operators.dedup import _persist
+
+    b = _persist(b)
+    n = b.agg(F.countDistinct("o").alias("n_orders"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ia = item.select(F.col("p").alias("part_a"), F.col("s").alias("sa"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            (F.col("support").cast("double") / F.col("sa")).alias("conf_ab"),
+            (F.col("support").cast("double") / F.col("sb")).alias("conf_ba"),
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("sa") * F.col("sb"))
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    sql="""
+    WITH v AS (SELECT user_id, event_id AS a_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS a_s,
+                      epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS a_e
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS b_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS b_s,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS b_e
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id AS user_id, v.a_id, p.b_id,
+           (LEAST(v.a_e, p.b_e) - GREATEST(v.a_s, p.b_s)) // 1000000 AS overlap_sec
+    FROM v JOIN p ON v.user_id = p.user_id
+                 AND v.a_s <= p.b_e AND p.b_s <= v.a_e
+    ORDER BY v.user_id, a_id, b_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (joins.interval_overlap_join — the
+    two-sided sibling of join_range's point-in-interval bucketing): every
+    same-user pair of a 10-minute view window and a 10-minute purchase
+    window that overlap, with the overlap length.  Candidates come from a
+    hash equi-join on (user, 10-minute bin), never the |V|×|P| predicate
+    scan the oracle runs; the exact bound check verifies candidates."""
+    from my_cudf_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mk = lambda t: (
+        ev.filter(F.col("event_type") == t).select(
+            "user_id",
+            F.col("event_id").alias("id"),
+            us.alias("s"),
+            (us + 600000000).alias("e"),
+        )
+    )
+    out = interval_overlap_join(
+        mk("view"), mk("purchase"), ["user_id"], "s", "e", "s", "e",
+        bin_width=600000000,
+    )
+    return out.select(
+        "user_id",
+        F.col("a_id").alias("a_id"),
+        F.col("b_id").alias("b_id"),
+        F.expr("(LEAST(a_e, b_e) - GREATEST(a_s, b_s)) div 1000000")
+        .cast("long")
+        .alias("overlap_sec"),
+    ).orderBy("user_id", "a_id", "b_id")

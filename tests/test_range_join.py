@@ -83,3 +83,32 @@ def test_range_join_rejects_bad_args(spark, frames):
         range_join(points, intervals, "p", "lo", "hi", 5, how="full")
     with pytest.raises(ValueError):
         range_join(points, intervals, "p", "lo", "hi", 5, closed="open")
+
+
+def test_interval_overlap_join_planted(spark):
+    """Overlap, containment, boundary-touch (inclusive), disjoint, and
+    cross-key isolation — against the brute-force predicate."""
+    from my_cudf_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 0, 10), (1, 11, 40, 50), (2, 12, 0, 100)],
+        "k long, id long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 5, 15), (1, 21, 10, 20), (1, 22, 51, 60),
+         (1, 23, 45, 46), (2, 24, 99, 120), (3, 25, 0, 10)],
+        "k long, id long, s long, e long",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "s", "e", "s", "e", bin_width=7
+    )
+    got = {(r["k"], r["a_id"], r["b_id"]) for r in out.collect()}
+    want = set()
+    for lk, lid, ls, le in [(1, 10, 0, 10), (1, 11, 40, 50), (2, 12, 0, 100)]:
+        for rk, rid, rs, re_ in [(1, 20, 5, 15), (1, 21, 10, 20), (1, 22, 51, 60),
+                                 (1, 23, 45, 46), (2, 24, 99, 120), (3, 25, 0, 10)]:
+            if lk == rk and ls <= re_ and rs <= le:
+                want.add((lk, lid, rid))
+    assert got == want
+    assert (1, 10, 21) in got       # boundary touch at 10 is inclusive
+    assert (1, 11, 22) not in got   # 50 < 51: disjoint
