@@ -2030,3 +2030,76 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("rank").cast("int").alias("rank"), "phrase", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "text_cosine_pairs",
+    sql=f"""
+    WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
+    e AS (SELECT doc_id, unnest(g) AS gram FROM s WHERE len(g) > 0),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM e),
+    dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram),
+    w AS (SELECT e.doc_id, e.gram,
+                 ROUND(ln(CAST(n.nd AS DOUBLE) / dfq.df)
+                       * ln(CAST(n.nd AS DOUBLE) / dfq.df), 9) AS w2
+          FROM e JOIN dfq USING (gram) CROSS JOIN n),
+    nrm AS (SELECT doc_id,
+                   sqrt(CAST(CAST(SUM(CAST(w2 AS DECIMAL(28,9))) AS VARCHAR)
+                        AS DOUBLE)) AS nn
+            FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(CAST(SUM(CAST(a.w2 AS DECIMAL(28,9))) AS VARCHAR)
+                         AS DOUBLE) AS dot
+             FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sc AS (SELECT d.id_a, d.id_b, d.dot / (x.nn * y.nn) AS cosine
+           FROM dots d JOIN nrm x ON x.doc_id = d.id_a
+                       JOIN nrm y ON y.doc_id = d.id_b)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM sc WHERE cosine >= 0.5 ORDER BY id_a, id_b
+    """,
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine all-pairs document similarity ≥ 0.5 — the symmetric
+    sibling of BM25 retrieval and the idf-weighted upgrade of the exact
+    Jaccard pair join: binary-tf trigram vectors weighted idf², dot
+    products via the inverted-index join (pairs meet only on shared
+    grams — the short-posting-list property the trigram index exists
+    for, never all-pairs), norms and dots as decimal per-term-rounded
+    sums (order-independent; ln follows the BM25 round-before-sum
+    precedent), cosine = dot/(‖a‖‖b‖)."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    e = D._persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(T.word_ngrams(F.col("toks"), 3))).alias("gram"),
+        )
+    )
+    n = e.agg(F.countDistinct("doc_id").alias("nd"))
+    dfq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.col("nd").cast("double") / F.col("df"))
+    w = D._persist(
+        e.join(dfq, "gram")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "gram", F.round(idf * idf, 9).alias("w2"))
+    )
+    DEC = "decimal(28,9)"
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w2").cast(DEC)).cast("double")).alias("nn")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.w2").cast(DEC)).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

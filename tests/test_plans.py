@@ -645,3 +645,40 @@ def test_pca_topr_no_corpus_global_window_no_cartesian(spark):
     df = _df(spark, "vec_pca_topr")
     assert P.global_window_subtrees(df) == []
     assert not P.has_cartesian(df)
+
+
+def test_interval_overlap_no_cartesian(spark):
+    """The overlap join must plan as a hash equi-join on (keys, bin),
+    never BNLJ/cartesian over the two interval sets."""
+    rep = P.plan_report(_df(spark, "join_interval_overlap"))
+    assert not rep["cartesian"], rep
+
+
+def test_market_basket_no_cartesian(spark):
+    """Pair generation is an equi-join on the basket key; the support
+    frames ride broadcasts."""
+    rep = P.plan_report(_df(spark, "agg_market_basket"))
+    assert not rep["cartesian"], rep
+    assert rep["broadcast_joins"] >= 2, rep
+
+
+def test_entity_resolution_no_cartesian(spark):
+    """Star edges + pigeonhole fuzzy blocking keep the linkage free of
+    cartesian products end-to-end (components included)."""
+    rep = P.plan_report(_df(spark, "pipeline_entity_resolution"))
+    assert not rep["cartesian"], rep
+
+
+def test_ivfpq_broadcasts_and_no_cartesian(spark):
+    """IVF-PQ's codebook/ADC/probe frames are all broadcast-sized; the
+    corpus is never crossed against anything unbounded."""
+    rep = P.plan_report(_df(spark, "vec_topk_ivfpq"))
+    assert rep["broadcast_joins"] >= 4, rep
+
+
+def test_token_budget_single_corpus_agg(spark):
+    """The waterfill touches the corpus once (per-source agg) plus the
+    replication pass; the allocation window runs over the bounded
+    per-source frame, and no cartesian enters the plan."""
+    rep = P.plan_report(_df(spark, "sample_token_budget"))
+    assert not rep["cartesian"], rep
