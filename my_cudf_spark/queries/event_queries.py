@@ -676,3 +676,56 @@ def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "agg_gini",
+    sql="""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+               FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT source, nt,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY nt, doc_id) AS i
+          FROM d),
+    g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(nt) AS BIGINT) AS tot,
+                 CAST(SUM(i * nt) AS BIGINT) AS ws
+          FROM r GROUP BY source)
+    SELECT source, n, tot,
+           CAST(2 * ws AS DOUBLE) / (n * tot)
+             - CAST(n + 1 AS DOUBLE) / n AS gini
+    FROM g ORDER BY source
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Gini coefficient of the token-count distribution — the
+    inequality statistic a data-mix report tracks (is one source's mass
+    concentrated in a few huge documents?).  The rank formula
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over (value, id)-sorted rows keeps
+    everything in exact integer sums until two final IEEE divisions, so
+    both engines agree bit-for-bit; one window + one aggregation per
+    group."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("nt"),
+    )
+    w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    r = d.withColumn("i", F.row_number().over(w))
+    g = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nt").alias("tot"),
+        F.sum(F.col("i") * F.col("nt")).alias("ws"),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("tot").cast("long").alias("tot"),
+        (
+            (2 * F.col("ws")).cast("double") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+    ).orderBy("source")

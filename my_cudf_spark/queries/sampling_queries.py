@@ -358,3 +358,79 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_temperature",
+    sql=r"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+               FROM documents WHERE text IS NOT NULL),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+    t AS (SELECT source, n_docs, ROUND(sqrt(CAST(n_docs AS DOUBLE)), 9) AS wr FROM s),
+    z AS (SELECT CAST(CAST(SUM(CAST(wr AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS zs,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total FROM t),
+    a AS (SELECT source, n_docs, wr, wr / zs AS w,
+                 CAST(floor((wr / zs) * (0.5 * n_total)) AS BIGINT) AS n_target
+          FROM t CROSS JOIN z),
+    r AS (SELECT d.source, d.nt,
+                 CASE WHEN ('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          < CAST(floor(CAST(a.n_target AS DOUBLE) / a.n_docs * 4294967296.0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS keep
+          FROM d JOIN a USING (source))
+    SELECT a.source, a.n_docs, ROUND(a.w, 9) AS w, a.n_target,
+           CAST(SUM(r.keep) AS BIGINT) AS realized_docs,
+           CAST(SUM(r.keep * r.nt) AS BIGINT) AS realized_tokens
+    FROM a JOIN r USING (source)
+    GROUP BY a.source, a.n_docs, a.w, a.n_target ORDER BY a.source
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source sampling at T = 1/2 (the multilingual
+    data-balancing trick of mC4 / XLM-R: rare sources upweighted, share_s
+    ∝ n_s^T): target counts n_target = floor(w_s · B) with w_s =
+    √n_s / Σ√n_j and budget B = half the corpus, realized by the
+    deterministic md5-gate.  T = 1/2 exactly because IEEE sqrt is
+    correctly rounded on every engine — a fractional pow would not be —
+    and the normalizer is a decimal order-independent sum of rounded
+    roots.  One per-source aggregation + one broadcast back; no second
+    corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("nt"),
+    )
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.withColumn("wr", F.round(F.sqrt(F.col("n_docs").cast("double")), 9))
+    z = t.agg(
+        F.sum(F.col("wr").cast("decimal(28,9)")).cast("double").alias("zs"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    a = (
+        t.crossJoin(F.broadcast(z))
+        .withColumn("w", F.col("wr") / F.col("zs"))
+        .withColumn(
+            "n_target",
+            F.floor(F.col("w") * (0.5 * F.col("n_total"))).cast("long"),
+        )
+    )
+    thr = F.floor(
+        F.col("n_target").cast("double") / F.col("n_docs") * F.lit(4294967296.0)
+    ).cast("long")
+    from my_cudf_spark.operators.sampling import hash_bucket
+
+    r = d.join(F.broadcast(a.withColumn("__thr", thr)), "source").withColumn(
+        "keep",
+        (
+            F.conv(hash_bucket(["doc_id"], salt="temp"), 16, 10).cast("long")
+            < F.col("__thr")
+        ).cast("long"),
+    )
+    return (
+        r.groupBy("source", "n_docs", F.round("w", 9).alias("w"), "n_target")
+        .agg(
+            F.sum("keep").cast("long").alias("realized_docs"),
+            F.sum(F.col("keep") * F.col("nt")).cast("long").alias("realized_tokens"),
+        )
+        .orderBy("source")
+    )
