@@ -53,13 +53,13 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose physical plan changed AFTER their most recent green driver
 # row: they jump the rotation queue — right after never-verified queries —
 # so the driver re-proves the CURRENT plan instead of spending the row
-# budget on unchanged backlog.  The boost EXPIRES once the driver
-# re-verifies at/after _PLAN_CHANGED_ROUND (a static set would otherwise
-# preempt the stale backlog forever); bump the round and refresh the set
-# whenever a green query's plan changes again.  (Both r7 names were
-# driver-re-verified in r07, so the r7 set is cleared.)
-_PLAN_CHANGED_ROUND = 8
-_PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
+# budget on unchanged backlog.  One (round, names) entry per round that
+# re-planned green queries; a name's boost EXPIRES once the driver
+# re-verifies it at/after that round (a static set would otherwise
+# preempt the stale backlog forever).  Within the boosted tier, ordering
+# is by last-verified round ascending, so the r8 backlog drains before
+# r9's re-planned names (which were all driver-proven in r8).
+_R8_PLAN_CHANGED = frozenset(
     {
         # r8: the small-source parallelism guard (sources/tables.py
         # ensure_min_parallelism) adds a conditional round-robin Exchange
@@ -97,6 +97,20 @@ _PLAN_CHANGED_SINCE_LAST_CHECK = frozenset(
         "vec_topk_lsh",
     }
 )
+# r9: hardening re-plans — tfidf max_df cap (text_cosine_pairs),
+# mega-basket cap (agg_market_basket), anchor-bin dedup-by-construction
+# (join_interval_overlap), derived decimal accumulator (cdc_incremental_agg),
+# round-before-sign cell assignment (stream_cluster_stats_replay), funnel
+# per-batch sort + sealable state (stream_funnel_replay), typed IVM keys
+# (stream_ivm_replay).
+_R9_PLAN_CHANGED = frozenset(
+    {
+        "text_cosine_pairs", "agg_market_basket", "join_interval_overlap",
+        "cdc_incremental_agg", "stream_cluster_stats_replay",
+        "stream_funnel_replay", "stream_ivm_replay",
+    }
+)
+_PLAN_CHANGED = ((8, _R8_PLAN_CHANGED), (9, _R9_PLAN_CHANGED))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -111,10 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(n: str):
         if n not in seen:
             tier = 0
-        elif (
-            n in _PLAN_CHANGED_SINCE_LAST_CHECK
-            and seen[n] < _PLAN_CHANGED_ROUND
-        ):
+        elif any(n in names and seen[n] < rnd for rnd, names in _PLAN_CHANGED):
             tier = 1
         else:
             tier = 2

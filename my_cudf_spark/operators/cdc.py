@@ -277,6 +277,7 @@ def incremental_agg(
     new_col: str,
     sum_col: str = "total",
     count_col: str = "n",
+    dec_type: str | None = None,
 ) -> DataFrame:
     """Incremental materialized-view maintenance for a per-key
     SUM/COUNT aggregate (AVG etc. derive from the pair): apply a CDC
@@ -291,17 +292,52 @@ def incremental_agg(
     drift from).  Keys whose count reaches 0 drop out, matching the
     recompute's GROUP BY.
 
+    ``dec_type`` is the exact accumulator type.  By default it is DERIVED
+    from the inputs — scale = the widest input decimal scale (so no value
+    is silently rounded), precision = input precision + 10 headroom
+    digits capped at 38.  An explicit ``dec_type`` narrower in scale than
+    any decimal input raises instead of rounding (the maintained ==
+    recomputed contract is bit-for-bit; a lossy cast would break it
+    silently).
+
     Scale: one aggregation over the CHANGE BATCH (∝ changed rows) plus
     one full-outer join against the view on its key — the view never
     rescans facts, and with the view bucketed on the keys the join runs
     with zero exchange on the big side (the cdc_merge_bucketed layout).
     """
+    import re
+
+    from pyspark.sql.types import DecimalType
+
     keys = list(keys)
-    zero = F.lit(0).cast("decimal(28,2)")
+    dec_ins = [
+        t
+        for t in (
+            changes.schema[old_col].dataType,
+            changes.schema[new_col].dataType,
+            base_agg.schema[sum_col].dataType,
+        )
+        if isinstance(t, DecimalType)
+    ]
+    if dec_type is None:
+        scale = max((t.scale for t in dec_ins), default=2)
+        prec = min(38, max((t.precision for t in dec_ins), default=18) + 10)
+        dec_type = f"decimal({prec},{scale})"
+    else:
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", dec_type.strip().lower())
+        if not m:
+            raise ValueError(f"dec_type must be 'decimal(p,s)', got {dec_type!r}")
+        tscale = int(m.group(2))
+        lossy = [t.simpleString() for t in dec_ins if t.scale > tscale]
+        if lossy:
+            raise ValueError(
+                f"dec_type {dec_type} would round inputs {lossy}; widen its scale"
+            )
+    zero = F.lit(0).cast(dec_type)
     delta = changes.groupBy(*keys).agg(
         F.sum(
-            F.coalesce(F.col(new_col).cast("decimal(28,2)"), zero)
-            - F.coalesce(F.col(old_col).cast("decimal(28,2)"), zero)
+            F.coalesce(F.col(new_col).cast(dec_type), zero)
+            - F.coalesce(F.col(old_col).cast(dec_type), zero)
         ).alias("__dsum"),
         F.sum(
             F.when(F.col(old_col).isNull(), 1)
@@ -313,7 +349,7 @@ def incremental_agg(
     merged = base_agg.join(delta, keys, "full_outer").select(
         *keys,
         (
-            F.coalesce(F.col(sum_col).cast("decimal(28,2)"), zero)
+            F.coalesce(F.col(sum_col).cast(dec_type), zero)
             + F.coalesce(F.col("__dsum"), zero)
         ).alias(sum_col),
         (

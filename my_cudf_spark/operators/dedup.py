@@ -41,6 +41,7 @@ __all__ = [
     "minhash_ngrams_signatures",
     "simhash_pairs",
     "substring_dup_spans",
+    "tfidf_cosine_pairs",
     "md5_hash60",
     "release_cached",
 ]
@@ -594,4 +595,68 @@ def remove_dup_spans(
         "n_before",
         F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def tfidf_cosine_pairs(
+    grams: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+) -> DataFrame:
+    """TF-IDF cosine all-pairs similarity over a binary-tf gram table —
+    the idf-weighted sibling of :func:`neardup_pairs_exact` (same
+    inverted-index pair join, weighted dot product instead of set
+    counting).  ``grams`` must hold one row per DISTINCT ``(id, gram)``.
+
+    Weights are idf² (binary tf, so each shared gram contributes idf·idf
+    to the dot product); norms and dots are per-term-rounded decimal sums
+    (order-independent, so a SQL oracle reproduces them bit-for-bit);
+    cosine = dot / (‖a‖·‖b‖), pairs with cosine ≥ ``threshold`` returned
+    as ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    Scale: the dot-product join meets pairs only on shared grams, so its
+    cost is Σ|posting list|² — quadratic in a gram's document frequency.
+    ``max_df`` caps it exactly like ``substring_dup_spans.max_postings``:
+    grams with df > ``max_df`` are dropped from BOTH join legs AND the
+    norms (the cosine is computed over the capped vocabulary — a
+    consistent metric, not a truncated dot over full-vocab norms), which
+    is also the right semantics: a stop-gram's idf² weight is ≈ 0, so it
+    inflates the join quadratically while moving the cosine negligibly.
+    The cap is part of the operator contract so oracles replicate it.
+    """
+    grams = _persist(grams.select("id", "gram"))
+    n = grams.agg(F.countDistinct("id").alias("nd"))
+    dfq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfq = dfq.filter(F.col("df") <= max_df)
+    idf = F.log(F.col("nd").cast("double") / F.col("df"))
+    # inner join against the (capped) df table drops hot grams from the
+    # postings once, upstream of BOTH the norm agg and both dot legs
+    w = _persist(
+        grams.join(dfq, "gram")
+        .crossJoin(F.broadcast(n))
+        .select("id", "gram", F.round(idf * idf, 9).alias("w2"))
+    )
+    DEC = "decimal(28,9)"
+    nrm = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w2").cast(DEC)).cast("double")).alias("nn")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w2").cast(DEC)).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("id").alias("id_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -549,7 +549,14 @@ def interval_overlap_join(
     Scale shape: each interval explodes into the fixed-width bins it
     covers, candidates come from a hash equi-join on (keys, bin) — volume
     ∝ overlaps + bin co-residents, never |L|×|R| — then the exact
-    predicate verifies and duplicates from multi-bin co-residence drop.
+    predicate verifies.  Multi-bin co-residence is deduplicated BY
+    CONSTRUCTION, not by a dropDuplicates shuffle: an overlapping pair
+    co-resides in every shared bin, but exactly one of those is the bin
+    holding the later of the two starts (that instant lies inside both
+    intervals), so the join keeps a pair only where
+    ``__bin == greatest(floor(a_start/w), floor(b_start/w))``.  This
+    also makes genuinely duplicate input rows emit one pair per
+    occurrence (a whole-row dedup would collapse them).
     ``bin_width`` (same units as the bounds) trades fan-out (≈ interval
     length / width bins per row) against candidate selectivity; set it
     near the typical interval length.
@@ -578,7 +585,15 @@ def interval_overlap_join(
         )
     l = binned(left, left_start, left_end, "a_")
     r = binned(right, right_start, right_end, "b_")
-    cand = l.join(r, [*keys, "__bin"]).drop("__bin").dropDuplicates()
+    anchor = F.greatest(
+        F.floor(F.col(f"a_{left_start}") / bin_width),
+        F.floor(F.col(f"b_{right_start}") / bin_width),
+    )
+    cand = (
+        l.join(r, [*keys, "__bin"])
+        .filter(F.col("__bin") == anchor)
+        .drop("__bin")
+    )
     return cand.filter(
         (F.col(f"a_{left_start}") <= F.col(f"b_{right_end}"))
         & (F.col(f"b_{right_start}") <= F.col(f"a_{left_end}"))

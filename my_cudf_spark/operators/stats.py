@@ -26,7 +26,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kendall_tau_b", "grouped_kendall", "exact_quantiles", "grouped_mad_outliers"]
+__all__ = [
+    "kendall_tau_b",
+    "grouped_kendall",
+    "exact_quantiles",
+    "grouped_mad_outliers",
+    "market_basket_rules",
+]
 
 
 def exact_quantiles(
@@ -325,4 +331,74 @@ def grouped_mad_outliers(
     return (
         med.join(mad, groups).join(flags, groups)
         .select(*groups, "n", "med", "mad", "n_outliers")
+    )
+
+
+def market_basket_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket association rules (A-priori level 2): item-pair
+    support within baskets plus confidence both ways and lift.
+
+    ``baskets`` must hold one row per DISTINCT (basket, item).  Returns
+    ``(item_a, item_b, support, conf_ab, conf_ba, lift)`` with
+    ``item_a < item_b`` and support ≥ ``min_support``; every ratio is an
+    IEEE division of exact integer counts, so a SQL oracle agrees
+    bit-for-bit.
+
+    Scale: pair generation is an equi-join on the basket key — candidate
+    volume Σ C(basket_size, 2), bounded by the basket-size distribution,
+    never |items|².  Its one failure mode is the skewed mega-basket
+    (a basket of m items seeds m² candidates); ``max_basket_size``
+    is the cap — baskets larger than it are dropped from the WHOLE
+    computation (supports, pair counts, and the basket total alike, so
+    confidence and lift stay internally consistent), the direct analogue
+    of ``dedup.substring_dup_spans.max_postings``.  The basket-size
+    window partitions on the same key as the pair self-join, so the
+    Exchange is computed once and reused by both join legs.
+    """
+    from my_cudf_spark.operators.dedup import _persist
+    from pyspark.sql import Window
+
+    b = baskets.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
+    )
+    if max_basket_size is not None:
+        wb = Window.partitionBy("o")
+        b = (
+            b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_basket_size)
+            .drop("__bsz")
+        )
+    b = _persist(b)
+    n = b.agg(F.countDistinct("o").alias("n_baskets"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("item_a"), F.col("c.p").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    ia = item.select(F.col("p").alias("item_a"), F.col("s").alias("sa"))
+    ib = item.select(F.col("p").alias("item_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("support").cast("long").alias("support"),
+            (F.col("support").cast("double") / F.col("sa")).alias("conf_ab"),
+            (F.col("support").cast("double") / F.col("sb")).alias("conf_ba"),
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("sa") * F.col("sb"))
+            ).alias("lift"),
+        )
     )

@@ -733,10 +733,22 @@ def join_pit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# Mega-basket cap for agg_market_basket: baskets with more items than
+# this are dropped from the whole computation in both engines (the
+# stats.market_basket_rules contract) — a basket of m items seeds m²
+# pair candidates, so uncapped skew is the op's one 100 TB failure mode.
+# Fixture baskets top out at 13 items, so the cap is semantics-neutral
+# here while making the posture code, not prose.
+_BASKET_CAP = 64
+
+
 @register(
     "agg_market_basket",
-    sql="""
-    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    sql=f"""
+    WITH b0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    b AS (SELECT o, p FROM (
+            SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bsz FROM b0)
+          WHERE bsz <= {_BASKET_CAP}),
     n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b),
     item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY p),
     pr AS (SELECT a.p AS part_a, c.p AS part_b, CAST(COUNT(*) AS BIGINT) AS support
@@ -753,49 +765,33 @@ def join_pit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules (A-priori level 2): item-pair
-    support within orders, plus confidence both ways and lift — the
-    classic co-occurrence analytics op.  The pair join is an equi-join
-    on the basket key (pairs per basket bounded by basket size, ≤ 13 on
-    the fixtures — never a cross product); item supports broadcast back;
-    every ratio is an IEEE division of exact integer counts, so both
-    engines agree bit-for-bit."""
+    """Market-basket association rules (A-priori level 2,
+    stats.market_basket_rules): item-pair support within orders, plus
+    confidence both ways and lift — the classic co-occurrence analytics
+    op.  The pair join is an equi-join on the basket key (pairs per
+    basket bounded by basket size — never a cross product) with the
+    ``max_basket_size`` mega-basket cap bounding the per-basket
+    quadratic term in both engines; item supports broadcast back; every
+    ratio is an IEEE division of exact integer counts, so both engines
+    agree bit-for-bit."""
+    from my_cudf_spark.operators.stats import market_basket_rules
+
     b = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    from my_cudf_spark.operators.dedup import _persist
-
-    b = _persist(b)
-    n = b.agg(F.countDistinct("o").alias("n_orders"))
-    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
-    a, c = b.alias("a"), b.alias("c")
-    pairs = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("c.p").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 3)
+    rules = market_basket_rules(
+        b, "o", "p", min_support=3, max_basket_size=_BASKET_CAP
     )
-    ia = item.select(F.col("p").alias("part_a"), F.col("s").alias("sa"))
-    ib = item.select(F.col("p").alias("part_b"), F.col("s").alias("sb"))
-    return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "part_a",
-            "part_b",
-            F.col("support").cast("long").alias("support"),
-            (F.col("support").cast("double") / F.col("sa")).alias("conf_ab"),
-            (F.col("support").cast("double") / F.col("sb")).alias("conf_ba"),
-            (
-                (F.col("support") * F.col("n_orders")).cast("double")
-                / (F.col("sa") * F.col("sb"))
-            ).alias("lift"),
-        )
-        .orderBy("part_a", "part_b")
-    )
+    return rules.select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        "support",
+        "conf_ab",
+        "conf_ba",
+        "lift",
+    ).orderBy("part_a", "part_b")
 
 
 @register(

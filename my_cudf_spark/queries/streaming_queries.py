@@ -1340,7 +1340,8 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (SELECT ed.vec_id, p.b, SUM(ed.x * p.w) AS s
              FROM ed JOIN p USING (d) GROUP BY 1, 2),
     sigs AS (SELECT vec_id,
-                    CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS INT) AS cell
+                    CAST(SUM(CASE WHEN ROUND(s, 9) > 0 THEN (1 << b) ELSE 0 END)
+                         AS INT) AS cell
              FROM dots GROUP BY 1),
     nano AS (SELECT s.cell, CAST(d.d AS INT) AS d,
                     CAST(ROUND(e.v[d.d + 1] * 1000000000.0) AS BIGINT) AS nx

@@ -2032,13 +2032,23 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-gram posting cap for text_cosine_pairs: grams whose document
+# frequency exceeds this are dropped from the inverted-index join, the
+# norms, and the oracle alike (the dedup.tfidf_cosine_pairs contract —
+# the same convention as substring_dup_spans.max_postings).  At corpus
+# scale a stop-trigram's posting list is O(corpus) and the pair join is
+# quadratic in it, while its idf² weight is ≈ 0.
+_COSINE_MAX_DF = 256
+
+
 @register(
     "text_cosine_pairs",
     sql=f"""
     WITH s AS (SELECT doc_id, {SQL_TRIGRAMS} AS g FROM documents),
     e AS (SELECT doc_id, unnest(g) AS gram FROM s WHERE len(g) > 0),
     n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM e),
-    dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram),
+    dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram
+            HAVING COUNT(*) <= {_COSINE_MAX_DF}),
     w AS (SELECT e.doc_id, e.gram,
                  ROUND(ln(CAST(n.nd AS DOUBLE) / dfq.df)
                        * ln(CAST(n.nd AS DOUBLE) / dfq.df), 9) AS w2
@@ -2062,44 +2072,22 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine all-pairs document similarity ≥ 0.5 — the symmetric
     sibling of BM25 retrieval and the idf-weighted upgrade of the exact
-    Jaccard pair join: binary-tf trigram vectors weighted idf², dot
-    products via the inverted-index join (pairs meet only on shared
-    grams — the short-posting-list property the trigram index exists
-    for, never all-pairs), norms and dots as decimal per-term-rounded
-    sums (order-independent; ln follows the BM25 round-before-sum
-    precedent), cosine = dot/(‖a‖‖b‖)."""
+    Jaccard pair join (dedup.tfidf_cosine_pairs): binary-tf trigram
+    vectors weighted idf², dot products via the inverted-index join
+    (pairs meet only on shared grams, never all-pairs), and the
+    ``max_df`` hot-gram posting cap bounding the join's per-gram
+    quadratic term — grams in more than ``_COSINE_MAX_DF`` documents are
+    excluded from postings AND norms in both engines.  Norms and dots
+    are decimal per-term-rounded sums (order-independent; ln follows the
+    BM25 round-before-sum precedent), cosine = dot/(‖a‖‖b‖)."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
-    e = D._persist(
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(T.word_ngrams(F.col("toks"), 3))).alias("gram"),
-        )
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_ngrams(F.col("toks"), 3))).alias("gram"),
     )
-    n = e.agg(F.countDistinct("doc_id").alias("nd"))
-    dfq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.col("nd").cast("double") / F.col("df"))
-    w = D._persist(
-        e.join(dfq, "gram")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", "gram", F.round(idf * idf, 9).alias("w2"))
+    pairs = D.tfidf_cosine_pairs(
+        e.select(F.col("doc_id").alias("id"), "gram"),
+        threshold=0.5,
+        max_df=_COSINE_MAX_DF,
     )
-    DEC = "decimal(28,9)"
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w2").cast(DEC)).cast("double")).alias("nn")
-    )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.sum(F.col("a.w2").cast(DEC)).cast("double").alias("dot"))
-    )
-    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= 0.5)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
-    )
+    return pairs.orderBy("id_a", "id_b")

@@ -61,7 +61,14 @@ def stream_cluster_stats(
 
     def _cells(vecs):
         X = np.stack(vecs.to_numpy())
-        return pd.Series(((X @ planes.T) > 0) @ powers)
+        # round-before-compare at the sign boundary (the repo's round(·,9)
+        # convention): the oracle computes SUM(x·w) in its own order, so an
+        # unrounded near-zero projection could land in different cells
+        # across engines.  floor(x·1e9 + 0.5) is half-up like SQL ROUND
+        # (numpy .round is banker's); sign of the rounded projection ==
+        # ROUND(s, 9) > 0 on the SQL side.
+        proj = X @ planes.T
+        return pd.Series((np.floor(proj * 1e9 + 0.5) > 0) @ powers)
 
     _cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     cell_udf = pandas_udf(_cells, "int")

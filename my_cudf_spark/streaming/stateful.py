@@ -653,7 +653,13 @@ def incremental_agg_totals(
     Arrow round-trip per bucket per batch; state volume is O(distinct
     keys).  Emits the cumulative ``(key, total, n, version)`` per key a
     batch touches; version (delta rows seen for the key) is strictly
-    monotone, so the final snapshot is the max-version row per key."""
+    monotone, so the final snapshot is the max-version row per key.
+
+    The key keeps its INPUT type — the output ``key`` column and the
+    state array are declared from ``df.schema[key_col]`` (string /
+    decimal / integral keys all work; the former long-only coercion
+    failed at runtime on non-integral keys)."""
+    ktype = df.schema[key_col].dataType.simpleString()
     rows = df.select(
         F.col(key_col).alias("__k"),
         F.col(dsum_col).cast("long").alias("__ds"),
@@ -682,11 +688,14 @@ def incremental_agg_totals(
         )
         out = []
         for k, r in g.iterrows():
-            e = acc.setdefault(int(k), [0, 0, 0])
+            # keep the key's native type (numpy scalars → Python natives
+            # for the Arrow state round-trip; strings/decimals pass through)
+            k = k.item() if hasattr(k, "item") else k
+            e = acc.setdefault(k, [0, 0, 0])
             e[0] += int(r["ds"])
             e[1] += int(r["dn"])
             e[2] += int(r["rows"])
-            out.append((int(k), e[0], e[1], e[2]))
+            out.append((k, e[0], e[1], e[2]))
         state.update(
             (
                 list(acc.keys()),
@@ -699,9 +708,10 @@ def incremental_agg_totals(
 
     return rows.groupBy("__bkt").applyInPandasWithState(
         update,
-        outputStructType="key long, total long, n long, version long",
+        outputStructType=f"key {ktype}, total long, n long, version long",
         stateStructType=(
-            "ks array<long>, tot array<long>, ns array<long>, vers array<long>"
+            f"ks array<{ktype}>, tot array<long>, ns array<long>,"
+            " vers array<long>"
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

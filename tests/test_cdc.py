@@ -326,3 +326,32 @@ def test_table_diff_planted(spark):
     assert out[1]["status"] == "changed" and out[1]["changed_cols"] == "v,s"
     assert out[4]["status"] == "removed" and out[4]["changed_cols"] == ""
     assert out[5]["status"] == "added" and out[5]["new_v"] == 9.0
+
+
+def test_incremental_agg_derives_decimal_scale(spark):
+    """Scale-4 inputs maintain exactly (former hard-coded decimal(28,2)
+    silently rounded them); an explicit narrower dec_type raises instead
+    of rounding."""
+    from decimal import Decimal
+
+    import pytest
+
+    from my_cudf_spark.operators import cdc as C
+
+    base = spark.createDataFrame(
+        [(1, Decimal("1.0000"), 1)], "k long, total decimal(18,4), n long"
+    )
+    changes = spark.createDataFrame(
+        [(1, None, Decimal("0.0003"))],
+        "k long, old decimal(18,4), new decimal(18,4)",
+    )
+    out = C.incremental_agg(
+        base, changes, ["k"], "old", "new", sum_col="total", count_col="n"
+    ).collect()
+    assert out[0]["total"] == Decimal("1.0003")
+    assert out[0]["n"] == 2
+    with pytest.raises(ValueError, match="widen its scale"):
+        C.incremental_agg(
+            base, changes, ["k"], "old", "new",
+            sum_col="total", count_col="n", dec_type="decimal(28,2)",
+        )

@@ -181,3 +181,35 @@ def test_bloom_contamination_superset_of_exact(spark):
     # False positives exist but are rare at m=32768, k=3 for this corpus.
     n_equal = sum(1 for r in both if r.n_bloom == r.n_exact)
     assert n_equal >= 0.9 * len(both)
+
+
+def test_tfidf_cosine_pairs_max_df_cap(spark):
+    """The max_df cap drops hot grams from postings AND norms: a
+    stop-gram shared by every doc neither generates pairs on its own nor
+    dilutes the norms of docs whose non-hot grams match exactly."""
+    rows = []
+    # docs 0..8 share hot gram "the the the" (df = 9 < nd = 10, so its
+    # idf² is small but nonzero); docs 0 and 1 also share two selective
+    # grams; docs 2..9 each get one unique gram.
+    for i in range(10):
+        grams = ["the the the"] if i < 9 else []
+        if i in (0, 1):
+            grams += ["alpha beta gamma", "delta eps zeta"]
+        else:
+            grams += [f"uniq{i} x y"]
+        rows += [(i, g) for g in grams]
+    df = spark.createDataFrame(rows, "id long, gram string")
+
+    capped = D.tfidf_cosine_pairs(df, threshold=0.001, max_df=5).collect()
+    # only (0, 1) can pair — the hot gram is out of the index entirely
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(0, 1)}
+    # norms exclude the hot gram too: docs 0/1 agree on ALL surviving
+    # grams, so the capped cosine is exactly 1
+    assert abs(capped[0]["cosine"] - 1.0) < 1e-9
+
+    uncapped = D.tfidf_cosine_pairs(df, threshold=0.001).collect()
+    by_pair = {(r["id_a"], r["id_b"]) for r in uncapped}
+    # without the cap the hot gram pairs every hot doc with every other:
+    # C(9,2) = 36 pairs survive even a tiny threshold — the quadratic
+    # blowup the cap exists to bound
+    assert len(by_pair) == 36

@@ -112,3 +112,25 @@ def test_interval_overlap_join_planted(spark):
     assert got == want
     assert (1, 10, 21) in got       # boundary touch at 10 is inclusive
     assert (1, 11, 22) not in got   # 50 < 51: disjoint
+
+
+def test_interval_overlap_join_duplicates_and_single_emission(spark):
+    """Dedup is by anchor bin (the bin holding the later start), not by
+    whole-row dropDuplicates: genuinely duplicate input rows each emit
+    their pair, and a pair co-resident in many bins emits exactly once."""
+    from my_cudf_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 0, 100), (1, 10, 0, 100)],  # identical duplicate rows
+        "k long, id long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 5, 95)], "k long, id long, s long, e long"
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "s", "e", "s", "e", bin_width=7
+    ).collect()
+    # 15 shared bins each, but one pair per (left-occurrence, right) —
+    # two duplicate left rows → exactly two pairs
+    assert len(out) == 2
+    assert all(r["a_id"] == 10 and r["b_id"] == 20 for r in out)

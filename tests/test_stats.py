@@ -102,3 +102,33 @@ def test_corr_matrix_matches_numpy(spark):
         assert abs(got[(a, b)] - want) < 1e-9, (a, b, got[(a, b)], want)
     with pytest.raises(ValueError, match="two columns"):
         corr_matrix(df, ["x"])
+
+
+def test_market_basket_rules_mega_basket_cap(spark):
+    """max_basket_size drops over-cap baskets from the WHOLE computation
+    (pairs, supports, and the basket total), keeping confidence and lift
+    internally consistent."""
+    from my_cudf_spark.operators.stats import market_basket_rules
+
+    rows = []
+    # three small baskets {1,2}, plus one mega-basket of items 1..10
+    for o in (100, 101, 102):
+        rows += [(o, 1), (o, 2)]
+    rows += [(999, i) for i in range(1, 11)]
+    b = spark.createDataFrame(rows, "o long, p long")
+
+    capped = market_basket_rules(b, "o", "p", min_support=2, max_basket_size=5)
+    got = {(r["item_a"], r["item_b"]): r for r in capped.collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # mega-basket excluded everywhere: support 3 of 3 baskets, conf 1.0
+    assert r["support"] == 3
+    assert r["conf_ab"] == 1.0 and r["conf_ba"] == 1.0
+    assert abs(r["lift"] - 1.0) < 1e-12
+
+    uncapped = market_basket_rules(b, "o", "p", min_support=1)
+    got_u = {(r["item_a"], r["item_b"]): r for r in uncapped.collect()}
+    # without the cap the mega-basket seeds all C(10,2) = 45 pairs — the
+    # quadratic blowup the cap exists to bound
+    assert len(got_u) == 45
+    assert got_u[(1, 2)]["support"] == 4

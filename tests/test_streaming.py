@@ -1559,3 +1559,124 @@ def test_stream_ivm_chunking_invariant(spark):
     # replay is stable run-to-run
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stream_funnel_seal_lag_compacts_exactly():
+    """Driving the per-bucket update function directly with time-ordered
+    batches (the file-replay harness delivers chunks in arbitrary order,
+    which a bounded seal_lag by contract does not cover): the seal
+    compaction folds old events into a (stage, since, count) base, STATE
+    SHRINKS, and the final snapshot equals the uncompacted run — the
+    left-fold split is exact when lateness stays within the lag."""
+    import pandas as pd
+
+    from my_cudf_spark.streaming.funnel import _make_update
+
+    # 40 random-ish funnel events for 4 users over ts 0..4000, delivered
+    # in 4 time-ordered chunks with ±50 intra-chunk disorder
+    rows = []
+    eid = 0
+    for t in range(0, 4000, 100):
+        u = (t // 100) % 4
+        step = (t // 400) % 3
+        rows.append((u, t + (37 * eid) % 50, eid, step))
+        eid += 1
+    rows.sort(key=lambda r: r[1])
+    n = len(rows)
+    batches = [rows[: n // 4], rows[n // 4 : n // 2],
+               rows[n // 2 : 3 * n // 4], rows[3 * n // 4 :]]
+
+    def run(seal_lag):
+        upd = _make_update(3, seal_lag)
+        state = _FakeGroupState()
+        snap = {}
+        for b in batches:
+            pdf = pd.DataFrame(b, columns=["__u", "__ts", "__eid", "__step"])
+            for out in upd((0,), [pdf], state):
+                for r in out.itertuples(index=False):
+                    prev = snap.get(r.user)
+                    if prev is None or r.version > prev[1]:
+                        snap[r.user] = (int(r.stage), int(r.version))
+        live_events = len(state.get[4])
+        return snap, live_events
+
+    sealed, live_sealed = run(200)
+    unsealed, live_unsealed = run(None)
+    assert sealed == unsealed
+    # the compaction genuinely bounded state: only the last ~200 ts units
+    # of events stay live, vs the whole history without sealing
+    assert live_unsealed == len(rows)
+    assert live_sealed < len(rows) // 2
+
+
+def test_stream_funnel_rejects_non_integral_user(spark):
+    from my_cudf_spark.streaming.funnel import stream_funnel
+
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 1, "view")],
+        "user_id string, ts string, event_id long, event_type string",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        stream_funnel(df, "user_id", "ts", "event_id", "event_type")
+
+
+def test_incremental_agg_totals_string_keys(spark):
+    """The key keeps its input type (former long-only coercion): a string
+    key streams through state and emerges as a string column."""
+    from my_cudf_spark.streaming.sources import replay_table
+    from my_cudf_spark.streaming.stateful import incremental_agg_totals
+
+    def tf(df):
+        return (
+            df.filter(F.col("event_type").isin(["view", "click"]))
+            .select(
+                F.col("event_type").alias("k"),
+                F.lit(1).alias("ds"),
+                F.lit(1).alias("dn"),
+            )
+        )
+
+    stream, work_dir = replay_table(
+        spark, SF_DIR, "events", "event_id", num_chunks=2, transform=tf
+    )
+    out = incremental_agg_totals(stream, "k", "ds", "dn", buckets=2)
+    try:
+        upd = S.run_to_memory(out, "ivmstr", "update").cache()
+        upd.count()
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+    final = {
+        r["key"]: (r["total"], r["n"])
+        for r in upd.groupBy("key")
+        .agg(
+            F.max_by("total", "version").alias("total"),
+            F.max_by("n", "version").alias("n"),
+        )
+        .collect()
+    }
+    batch = {
+        r["k"]: r["c"]
+        for r in tf(load_table(spark, SF_DIR, "events"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for k, c in batch.items():
+        assert final[k] == (c, c)
