@@ -1,0 +1,222 @@
+"""Distributed unigram-LM tokenizer training (SentencePiece-style,
+Kudo 2018, arXiv:1804.10959) — the other tokenizer real pretraining
+stacks train, completing the tier next to BPE merge learning
+(functions/bpe.learn_bpe_merges), WordPiece and subword application.
+The reference only APPLIES pretrained vocabularies
+(nvtext/byte_pair_encoding.hpp, subword_tokenize.hpp); learning them is
+the upstream step a corpus-scale engine should own.
+
+Hard-EM formulation, chosen because every step is an exact integer /
+windowless dataflow a SQL oracle replays bit-for-bit:
+
+- seed vocabulary: every substring of length ≤ ``max_piece_len`` of
+  every corpus word, counted with word frequency;
+- piece scores: ln(count/total) in integer NANO-NATS
+  (``round(round(ln, 9) · 1e9)`` — the repo's round-before-compare
+  convention, so JVM/DuckDB libm last-ulp differences cannot flip a
+  Viterbi comparison);
+- E-step: per DISTINCT WORD Viterbi segmentation (dp over ≤
+  ``max_word_len`` positions, candidates iterated shortest-piece-first
+  with strict improvement — ties resolve to the shortest last piece in
+  both engines), piece counts folded back weighted by word frequency;
+- M-step: multi-char pieces keep their count (dropped at 0), single
+  chars get add-one smoothing (never dropped — segmentation coverage),
+  scores recomputed;
+- ``iterations`` E/M rounds, then the top ``top_v`` pieces by
+  (count desc, piece asc).
+
+Scale: ONE corpus scan builds the word-frequency table; everything
+after is VOCABULARY-sized — the seed explosion is |distinct words| ×
+O(max_word_len · max_piece_len) rows, each Viterbi round is a narrow
+projection over the distinct-word frame with the score map riding a
+1-row broadcast (the text_classifier_learn one-job-per-iteration
+pattern), and no window ever sees more than the vocabulary.  The dp
+recurrence unrolls into per-position COLUMNS (position/length are
+Python literals), so there is no per-row loop and no UDF; only the
+backtrace walk indexes the backpointer array at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from my_cudf_spark.plans.pin import lru_persist as _persist
+
+__all__ = ["learn_unigram"]
+
+_MISS = -(10**15)  # piece absent from the vocabulary
+_INV = -(9 * 10**17)  # candidate length exceeds position
+
+
+def _nanolog(x):
+    """ln(x) in integer nano-nats — round(·, 9) BEFORE scaling so both
+    engines agree despite last-ulp libm differences."""
+    return F.round(F.round(F.log(x), 9) * F.lit(1e9), 0).cast("long")
+
+
+def _score_map(counts: DataFrame) -> DataFrame:
+    """(piece, c) → one-row (mp: map<string,long>) of nano-nat scores."""
+    t = counts.agg(F.sum("c").alias("t"))
+    sc = counts.crossJoin(F.broadcast(t)).select(
+        "piece",
+        _nanolog(F.col("c").cast("double") / F.col("t")).alias("s"),
+    )
+    return sc.agg(
+        F.map_from_entries(F.collect_list(F.struct("piece", "s"))).alias("mp")
+    )
+
+
+def _viterbi_counts(
+    wf: DataFrame, mp: DataFrame, max_piece_len: int, max_word_len: int
+) -> DataFrame:
+    """E-step: Viterbi-segment every distinct word against the score map
+    and fold piece counts weighted by word frequency.  Returns
+    (piece, c).
+
+    Both the dp pass and the backtrace are SINGLE ``F.aggregate`` fold
+    expressions over the position sequence (runtime loops, constant
+    expression size).  An unrolled per-position withColumn chain would
+    collapse into one projection whose dp_j tree embeds dp_{j-1} once
+    per candidate — ~3^max_word_len expression nodes, a driver-heap OOM
+    in analysis (observed); the fold keeps the plan O(1)."""
+    miss = F.lit(_MISS).cast("long")
+    inv = F.lit(_INV).cast("long")
+
+    def dp_step(acc, j):
+        # acc: struct(dpl array<long>, btl array<long>); position j runtime
+        def cand(i):
+            sub = F.substring(F.col("w"), j - F.lit(i - 1), F.lit(i))
+            return F.when(
+                F.lit(i) <= j,
+                F.element_at(acc["dpl"], F.greatest(j - F.lit(i - 1), F.lit(1)))
+                + F.coalesce(F.element_at(F.col("mp"), sub), miss),
+            ).otherwise(inv)
+
+        cs = [cand(i) for i in range(1, max_piece_len + 1)]
+        g = F.greatest(*cs) if len(cs) > 1 else cs[0]
+        bt = F.when(g == cs[0], 1)
+        for i in range(2, max_piece_len):
+            bt = bt.when(g == cs[i - 1], i)
+        bt = bt.otherwise(max_piece_len).cast("long")
+        return F.struct(
+            F.array_append(acc["dpl"], g).alias("dpl"),
+            F.array_append(acc["btl"], bt).alias("btl"),
+        )
+
+    dp_init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("dpl"),
+        F.array().cast("array<long>").alias("btl"),
+    )
+    vit = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)), dp_init, dp_step
+    )
+    v = wf.crossJoin(F.broadcast(mp)).select(
+        "w", "f", "n", vit["btl"].alias("btl")
+    )
+
+    def walk_step(acc, _):
+        i = F.element_at(F.col("btl"), F.greatest(acc["pos"], F.lit(1))).cast("int")
+        piece = F.substring(F.col("w"), acc["pos"] - i + F.lit(1), i)
+        stepped = F.struct(
+            (acc["pos"] - i).cast("int").alias("pos"),
+            F.array_append(acc["pieces"], piece).alias("pieces"),
+        )
+        return F.when(acc["pos"] > 0, stepped).otherwise(acc)
+
+    walk_init = F.struct(
+        F.col("n").cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)), walk_init, walk_step
+    )
+    return (
+        v.select("f", F.explode(walk["pieces"]).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("f").alias("c"))
+    )
+
+
+def _m_counts(counts: DataFrame, chars: DataFrame) -> DataFrame:
+    """M-step count adjustment: multi-char pieces keep c (>0 only),
+    single chars get add-one smoothing and are never dropped."""
+    multi = counts.filter((F.length("piece") > 1) & (F.col("c") > 0)).select(
+        "piece", "c"
+    )
+    smoothed = chars.join(counts, "piece", "left").select(
+        "piece", (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("long").alias("c")
+    )
+    return multi.unionByName(smoothed)
+
+
+def learn_unigram(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    iterations: int = 2,
+    top_v: int = 30,
+) -> DataFrame:
+    """Train a unigram-LM vocabulary over normalized text — see module
+    docstring for the algorithm and its engine-exactness contract.
+
+    ``text_col`` must already be normalized (single-space separated;
+    route through ``functions.text.normalize_text``).  Words longer
+    than ``max_word_len`` are excluded from training (documented
+    contract; real trainers cap word length the same way).  Returns
+    ``(rank, piece, cnt, score)`` — the top ``top_v`` pieces by final
+    E-step count (ties to the lexicographically smaller piece), with
+    ``score`` the final nano-nat log probability."""
+    if iterations < 1 or max_piece_len < 1 or max_word_len < max_piece_len:
+        raise ValueError(
+            "need iterations >= 1 and 1 <= max_piece_len <= max_word_len"
+        )
+    c = F.col(text_col)
+    wf = _persist(
+        df.select(F.explode(F.split(c, " ")).alias("w"))
+        .filter(F.length("w").between(1, max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("n", F.length("w"))
+    )
+    # seed: every substring of length <= max_piece_len, frequency-weighted
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.col("n") - s + 1)),
+                lambda l: F.substring(F.col("w"), s, l),
+            ),
+        )
+    )
+    seed = _persist(
+        wf.select("f", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("f").alias("c"))
+    )
+    chars = _persist(seed.filter(F.length("piece") == 1).select("piece"))
+
+    counts = seed
+    for _ in range(iterations):
+        mp = _score_map(counts)
+        e_counts = _persist(
+            _viterbi_counts(wf, mp, max_piece_len, max_word_len)
+        )
+        counts = _persist(_m_counts(e_counts, chars))
+
+    t = counts.agg(F.sum("c").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("piece"))
+    ranked = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_v)
+    )
+    return ranked.select(
+        "rank",
+        "piece",
+        F.col("c").alias("cnt"),
+        _nanolog(F.col("c").cast("double") / F.col("t")).alias("score"),
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["global_cumsum", "pack_sequences"]
+__all__ = ["global_cumsum", "pack_sequences", "pack_bestfit"]
 
 
 def global_cumsum(
@@ -198,4 +198,59 @@ def pack_sequences(
         d.withColumn("pack_id", F.floor(F.col("start_offset") / budget).cast("long"))
         .withColumn("end_pack_id", F.floor(end / budget).cast("long"))
         .withColumn("straddle", F.col("end_pack_id") > F.col("pack_id"))
+    )
+
+
+def pack_bestfit(
+    df: DataFrame,
+    id_col: str,
+    count_col: str,
+    budget: int,
+    shards: int = 1,
+) -> DataFrame:
+    """Size-classed first-fit-decreasing bin packing — the NO-SPLIT
+    regime next to :func:`pack_sequences`'s concat-then-chunk: every
+    document lands whole in exactly one ``budget``-token pack, padding
+    bounded by construction instead of documents straddling boundaries.
+
+    Harmonic size classes make FFD distributable AND deterministic:
+    class ``k = floor(budget / n_tokens)`` holds exactly the documents
+    of which ``k`` fit per pack (``budget/(k+1) < n ≤ budget/k``), so
+    within a class, packing is arithmetic on a row_number — every pack
+    except the last per (class, shard) carries ``k`` documents and fills
+    ``> budget·k/(k+1) ≥ budget/2``.  Documents longer than ``budget``
+    go to class 0, one per pack (flag downstream; nothing is truncated
+    here).
+
+    ``shards`` is the 100 TB knob: each class is one window partition,
+    and the small-document classes hold most of a corpus — sharding by
+    ``id % shards`` bounds the partition to class/shards rows at the
+    cost of at most one extra underfull pack per (class, shard).  The
+    whole assignment is one hash shuffle on (class, shard) and is a pure
+    function of the input set (SQL-oracle replicable; no sampling, no
+    RNG).
+
+    Returns one row per document:
+    ``(id, count, size_class, shard, pack_idx, slot)`` — a pack is keyed
+    by ``(size_class, shard, pack_idx)``.  ``id_col`` must be numeric
+    (the shard arithmetic); rows with ``count <= 0`` are dropped.
+    """
+    if budget <= 0 or shards <= 0:
+        raise ValueError("budget and shards must be positive")
+    d = df.select(F.col(id_col), F.col(count_col)).filter(F.col(count_col) > 0)
+    cls = F.when(F.col(count_col) > budget, F.lit(0)).otherwise(
+        F.floor(F.lit(budget) / F.col(count_col))
+    )
+    d = d.withColumn("size_class", cls.cast("long")).withColumn(
+        "shard", F.pmod(F.col(id_col), F.lit(shards)).cast("long")
+    )
+    w = Window.partitionBy("size_class", "shard").orderBy(
+        F.col(count_col).desc(), F.col(id_col)
+    )
+    per_pack = F.greatest(F.lit(1), F.col("size_class"))
+    return (
+        d.withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("pack_idx", F.floor(F.col("__rn") / per_pack).cast("long"))
+        .withColumn("slot", (F.col("__rn") % per_pack).cast("int"))
+        .drop("__rn")
     )

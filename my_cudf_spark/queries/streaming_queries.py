@@ -1519,3 +1519,111 @@ def stream_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("key").alias("cust"), "total_cents", "n")
         .orderBy("cust")
     )
+
+
+@register(
+    "stream_ann_index_replay",
+    sql="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+               FROM embeddings),
+    cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nn AS cn
+              FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id AS neighbor_id, n.v, n.nn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    buckets AS (SELECT neighbor_id, v, nn, cid FROM ca WHERE pr = 1),
+    qa AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nn AS qn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c WHERE n.vec_id < 5),
+    probes AS (SELECT query_id, qv, qn, cid FROM qa WHERE pr <= 4),
+    s AS (SELECT p.query_id, b.neighbor_id,
+                 list_dot_product(p.qv, b.v)/(p.qn*b.nn) AS cos
+          FROM probes p JOIN buckets b USING (cid)
+          WHERE b.neighbor_id <> p.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def stream_ann_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF index maintenance (streaming/annindex.py): the
+    embeddings fixture replayed as 4 micro-batches against a FROZEN
+    coarse quantizer (the 16 lowest-id vectors — similarity's seeded
+    centroids, inlined as Column literals so assignment is a pure
+    projection legal on a stream and bit-identical to the batch rule),
+    per-cell posting lists accumulating as cross-batch state.  The
+    drained index joins vectors back from the lake table by id and a
+    4-probe top-5 search runs against it — equal to batch ivf_topk over
+    the full corpus, which is this oracle (the vec_topk_ivf SQL
+    verbatim): the stream-maintained inverted file IS the batch index."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.operators.similarity import (
+        _assign_nearest,
+        _seed_centroids,
+        dot,
+        l2_norm,
+    )
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.annindex import stream_ann_index
+    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.sources import replay_table
+
+    as_double = lambda df: df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    emb_b = as_double(load_table(spark, sf_dir, "embeddings"))
+    cent_lists = seed_centroid_rows(emb_b, "vec_id", "embedding", 16)
+
+    stream, work_dir = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", num_chunks=4
+    )
+    assigned = as_double(stream).withColumn(
+        "cell", cell_assign_expr(cent_lists, "embedding")
+    )
+    snaps = stream_ann_index(assigned, "vec_id", "cell", epoch=0, buckets=4)
+    updates = _drain(snaps, "annidx", work_dir, output_mode="update")
+    index = updates.groupBy("cell").agg(F.max_by("ids", "n").alias("ids"))
+    postings = index.select(
+        F.col("cell").alias("cid"), F.explode("ids").alias("neighbor_id")
+    )
+
+    c = emb_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    buckets = postings.join(c, "neighbor_id")
+    cents = _seed_centroids(c, "neighbor_id", 16)
+    q = emb_b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    probes = _assign_nearest(q, cents, "query_id", 4).select(
+        "query_id", "cid", F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+    scored = (
+        buckets.join(probes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -998,6 +998,46 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_documents_bestfit",
+    sql="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+    a AS (SELECT doc_id, n_tokens,
+                 CAST(CASE WHEN n_tokens > 512 THEN 0
+                           ELSE 512 // n_tokens END AS BIGINT) AS size_class,
+                 CAST(doc_id % 4 AS BIGINT) AS shard
+          FROM t WHERE n_tokens > 0),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY size_class, shard
+                                       ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+          FROM a)
+    SELECT doc_id, n_tokens, size_class, shard,
+           CAST(rn // GREATEST(1, size_class) AS BIGINT) AS pack_idx,
+           CAST(rn % GREATEST(1, size_class) AS INT) AS slot
+    FROM r ORDER BY doc_id
+    """,
+)
+def pack_documents_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing (packing.pack_bestfit): harmonic
+    size-classed first-fit-decreasing into 512-token packs — documents
+    land whole (padding bounded by the k/(k+1) class-fill guarantee)
+    instead of straddling chunk boundaries as in pack_documents.  Class
+    assignment and within-class packing are pure arithmetic on one
+    (class, shard) window; shards=4 exercises the skew knob that bounds
+    each window partition at corpus scale."""
+    from my_cudf_spark.operators.packing import pack_bestfit
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_bestfit(t, "doc_id", "n_tokens", 512, shards=4).select(
+        "doc_id", "n_tokens", "size_class", "shard", "pack_idx", "slot"
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_clusters",
     sql=f"""
     WITH RECURSIVE
@@ -2091,3 +2131,127 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_COSINE_MAX_DF,
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+def _unigram_sql(max_piece_len: int = 3, max_word_len: int = 12, top_v: int = 30) -> str:
+    """Chained-CTE oracle for functions/unigram.learn_unigram (2 EM
+    iterations): the Viterbi dp/backtrace unrolls into one CTE per word
+    position (the same per-position columns the Spark operator builds),
+    scores are integer nano-nats, and the M-step/char-smoothing rules are
+    replayed verbatim — every comparison is int64, so the engines agree
+    bit-for-bit."""
+    MISS, INV = -(10**15), -(9 * 10**17)
+    nanolog = lambda x: (
+        f"CAST(ROUND(ROUND(ln({x}), 9) * 1000000000.0) AS BIGINT)"
+    )
+
+    def viterbi(tag: str, src: str) -> list[str]:
+        parts = [
+            f"{tag}_0 AS (SELECT w, f, n, mp, [CAST(0 AS BIGINT)] AS dpl,"
+            f" []::BIGINT[] AS btl FROM {src})"
+        ]
+        for j in range(1, max_word_len + 1):
+            cands = []
+            for i in range(1, max_piece_len + 1):
+                if i <= j:
+                    cands.append(
+                        f"dpl[{j - i + 1}] + COALESCE("
+                        f"mp[substr(w, {j - i + 1}, {i})][1],"
+                        f" CAST({MISS} AS BIGINT))"
+                    )
+                else:
+                    cands.append(f"CAST({INV} AS BIGINT)")
+            g = f"GREATEST({', '.join(cands)})"
+            bt = f"CASE WHEN {g} = ({cands[0]}) THEN 1"
+            for i in range(2, max_piece_len):
+                bt += f" WHEN {g} = ({cands[i - 1]}) THEN {i}"
+            bt += f" ELSE {max_piece_len} END"
+            parts.append(
+                f"{tag}_{j} AS (SELECT w, f, n, mp, list_append(dpl, {g}) AS dpl,"
+                f" list_append(btl, CAST({bt} AS BIGINT)) AS btl FROM {tag}_{j - 1})"
+            )
+        parts.append(
+            f"{tag}_w0 AS (SELECT w, f, btl,"
+            f" {{'pos': n, 'pieces': []::VARCHAR[]}} AS st FROM {tag}_{max_word_len})"
+        )
+        step = (
+            "CASE WHEN st.pos > 0 THEN {"
+            "'pos': st.pos - btl[st.pos], "
+            "'pieces': list_append(st.pieces,"
+            " substr(w, st.pos - btl[st.pos] + 1, CAST(btl[st.pos] AS INTEGER)))"
+            "} ELSE st END"
+        )
+        for k in range(1, max_word_len + 1):
+            parts.append(
+                f"{tag}_w{k} AS (SELECT w, f, btl, {step} AS st FROM {tag}_w{k - 1})"
+            )
+        parts.append(
+            f"{tag}_pieces AS (SELECT f, unnest(st.pieces) AS piece"
+            f" FROM {tag}_w{max_word_len})"
+        )
+        parts.append(
+            f"{tag}_cnt AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS c"
+            f" FROM {tag}_pieces GROUP BY piece)"
+        )
+        return parts
+
+    def mstep(tag: str, src: str) -> str:
+        return (
+            f"{tag} AS (SELECT piece, c FROM {src} WHERE len(piece) > 1 AND c > 0"
+            f" UNION ALL"
+            f" SELECT ch.piece, COALESCE(s.c, CAST(0 AS BIGINT)) + 1 AS c"
+            f" FROM chars ch LEFT JOIN {src} s ON ch.piece = s.piece)"
+        )
+
+    def score_map(tag: str, src: str) -> list[str]:
+        return [
+            f"{tag}_sc AS (SELECT piece, {nanolog('CAST(c AS DOUBLE) / t.t')} AS s"
+            f" FROM {src}, (SELECT CAST(SUM(c) AS BIGINT) AS t FROM {src}) t)",
+            f"{tag}_m AS (SELECT map(list(piece ORDER BY piece),"
+            f" list(s ORDER BY piece)) AS mp FROM {tag}_sc)",
+        ]
+
+    parts = [
+        f"WITH wr AS (SELECT string_split({SQL_NORM}, ' ') AS ws"
+        f" FROM documents WHERE text IS NOT NULL)",
+        "w0 AS (SELECT unnest(ws) AS w FROM wr)",
+        f"wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f, len(w) AS n FROM w0"
+        f" WHERE len(w) BETWEEN 1 AND {max_word_len} GROUP BY w)",
+        f"seed AS (SELECT substr(w, CAST(s.s AS INTEGER), CAST(l.l AS INTEGER)) AS piece,"
+        f" CAST(SUM(f) AS BIGINT) AS c"
+        f" FROM wf CROSS JOIN range(1, {max_word_len + 1}) s(s)"
+        f" CROSS JOIN range(1, {max_piece_len + 1}) l(l)"
+        f" WHERE s.s + l.l - 1 <= len(w) GROUP BY 1)",
+        "chars AS (SELECT piece FROM seed WHERE len(piece) = 1)",
+    ]
+    parts += score_map("it0", "seed")
+    parts += viterbi("v1", "(SELECT wf.*, m.mp FROM wf, it0_m m)")
+    parts.append(mstep("c1p", "v1_cnt"))
+    parts += score_map("it1", "c1p")
+    parts += viterbi("v2", "(SELECT wf.*, m.mp FROM wf, it1_m m)")
+    parts.append(mstep("c2p", "v2_cnt"))
+    final = (
+        f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS rank,"
+        f" piece, c AS cnt, {nanolog('CAST(c AS DOUBLE) / t.t')} AS score"
+        f" FROM c2p, (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c2p) t"
+        f" QUALIFY rank <= {top_v} ORDER BY rank"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("text_unigram_learn", sql=_unigram_sql())
+def text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM tokenizer TRAINING (functions/unigram
+    .learn_unigram — SentencePiece-style hard EM): seed-substring counts
+    → integer nano-nat piece scores → per-distinct-word Viterbi E-step →
+    char-smoothed M-step, twice, then the top-30 vocabulary.  One corpus
+    scan (word frequencies); every EM round is vocabulary-sized work
+    with the score map on a 1-row broadcast — the text_classifier_learn
+    one-job-per-iteration pattern applied to tokenizer training.  The
+    oracle unrolls both Viterbi rounds position-by-position with the
+    identical int64 dp recurrence."""
+    from my_cudf_spark.functions.unigram import learn_unigram
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = docs.select(T.normalize_text("text").alias("norm"))
+    return learn_unigram(norm, "norm").orderBy("rank")

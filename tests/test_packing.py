@@ -92,3 +92,54 @@ def test_global_cumsum_skewed_keys_still_exact(spark):
     ordered = sorted(((r["k"], r["t"]), r["cs"]) for r in out)
     expect = {kt: i for i, (kt, _) in enumerate(sorted(((r["k"], r["t"]), 0) for r in out))}
     assert all(cs == expect[kt] for kt, cs in ordered)
+
+
+def test_pack_bestfit_invariants_and_waste(spark):
+    """Every pack respects the budget; every pack except possibly the
+    last per (class, shard) is full (k docs); total padding beats the
+    one-doc-per-pack strawman by construction and the pack count is
+    within the class/shard tail of the token lower bound."""
+    import math
+
+    from my_cudf_spark.operators.packing import pack_bestfit
+    from my_cudf_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    budget, shards = 512, 4
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n"),
+    )
+    out = pack_bestfit(t, "doc_id", "n", budget, shards=shards).cache()
+    rows = out.collect()
+    assert len(rows) == t.filter(F.col("n") > 0).count()
+
+    packs = {}
+    for r in rows:
+        key = (r["size_class"], r["shard"], r["pack_idx"])
+        packs.setdefault(key, []).append(r["n"])
+    # budget respected for every non-oversize pack; oversize solo
+    for (cls, _, _), ns in packs.items():
+        if cls == 0:
+            assert len(ns) == 1
+        else:
+            assert sum(ns) <= budget
+            assert len(ns) <= cls
+    # per (class, shard): every pack except the highest pack_idx is full
+    by_cs = {}
+    for (cls, sh, idx), ns in packs.items():
+        by_cs.setdefault((cls, sh), []).append((idx, len(ns)))
+    for (cls, _), lst in by_cs.items():
+        if cls == 0:
+            continue
+        last = max(i for i, _ in lst)
+        assert all(cnt == cls for i, cnt in lst if i != last)
+    # waste: pack count within the per-(class,shard) tail of the token
+    # lower bound, and far below the one-doc-per-pack strawman
+    total_tokens = sum(r["n"] for r in rows if r["size_class"] > 0)
+    n_packs = len([k for k in packs if k[0] > 0])
+    lower = math.ceil(total_tokens / budget)
+    tails = len([1 for (cls, _) in by_cs if cls > 0])
+    assert n_packs <= 2 * lower + tails
+    assert n_packs < len(rows) / 3

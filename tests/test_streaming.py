@@ -1680,3 +1680,53 @@ def test_incremental_agg_totals_string_keys(spark):
     assert set(final) == set(batch)
     for k, c in batch.items():
         assert final[k] == (c, c)
+
+
+def test_stream_ann_index_chunking_invariant_matches_batch(spark):
+    """The drained per-cell posting lists are identical under different
+    chunkings and equal the batch nearest-centroid assignment (frozen
+    quantizer ⇒ the index is a pure function of the final id set)."""
+    from my_cudf_spark.streaming.annindex import stream_ann_index
+    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.sources import replay_table
+
+    def as_double(df):
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+
+    emb_b = as_double(load_table(spark, SF_DIR, "embeddings"))
+    cents = seed_centroid_rows(emb_b, "vec_id", "embedding", 16)
+
+    def run(num_chunks):
+        stream, work_dir = replay_table(
+            spark, SF_DIR, "embeddings", "vec_id", num_chunks=num_chunks
+        )
+        assigned = as_double(stream).withColumn(
+            "cell", cell_assign_expr(cents, "embedding")
+        )
+        snaps = stream_ann_index(assigned, "vec_id", "cell", buckets=4)
+        try:
+            upd = S.run_to_memory(snaps, f"anx{num_chunks}", "update").cache()
+            upd.count()
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+        return {
+            r["cell"]: tuple(r["ids"])
+            for r in upd.groupBy("cell")
+            .agg(F.max_by("ids", "n").alias("ids"))
+            .collect()
+        }
+
+    a, b = run(2), run(5)
+    assert a == b
+    want = {}
+    for r in (
+        emb_b.withColumn("cell", cell_assign_expr(cents, "embedding"))
+        .select("cell", "vec_id")
+        .collect()
+    ):
+        want.setdefault(r["cell"], []).append(r["vec_id"])
+    want = {c: tuple(sorted(v)) for c, v in want.items()}
+    assert a == want
