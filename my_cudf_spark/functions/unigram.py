@@ -31,9 +31,10 @@ O(max_word_len · max_piece_len) rows, each Viterbi round is a narrow
 projection over the distinct-word frame with the score map riding a
 1-row broadcast (the text_classifier_learn one-job-per-iteration
 pattern), and no window ever sees more than the vocabulary.  The dp
-recurrence unrolls into per-position COLUMNS (position/length are
-Python literals), so there is no per-row loop and no UDF; only the
-backtrace walk indexes the backpointer array at runtime.
+recurrence and backtrace are single higher-order fold expressions
+(runtime loops, constant plan size) — no per-row Python, no UDF, and
+none of the projection-collapse blowup an unrolled per-position column
+chain suffers (see ``_viterbi_segments``).
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ from pyspark.sql import functions as F
 
 from my_cudf_spark.plans.pin import lru_persist as _persist
 
-__all__ = ["learn_unigram"]
+__all__ = ["learn_unigram", "train_unigram_counts", "unigram_segment_stats"]
 
 _MISS = -(10**15)  # piece absent from the vocabulary
 _INV = -(9 * 10**17)  # candidate length exceeds position
@@ -67,12 +68,14 @@ def _score_map(counts: DataFrame) -> DataFrame:
     )
 
 
-def _viterbi_counts(
+def _viterbi_segments(
     wf: DataFrame, mp: DataFrame, max_piece_len: int, max_word_len: int
 ) -> DataFrame:
-    """E-step: Viterbi-segment every distinct word against the score map
-    and fold piece counts weighted by word frequency.  Returns
-    (piece, c).
+    """Viterbi-segment every distinct word against the score map.
+    ``wf`` must carry ``w`` (word) and ``n`` (length ≤ max_word_len);
+    returns every ``wf`` column plus ``pieces`` (the segmentation,
+    last-to-first) and ``score`` (the word's total dp log-prob in
+    nano-nats).
 
     Both the dp pass and the backtrace are SINGLE ``F.aggregate`` fold
     expressions over the position sequence (runtime loops, constant
@@ -82,6 +85,7 @@ def _viterbi_counts(
     in analysis (observed); the fold keeps the plan O(1)."""
     miss = F.lit(_MISS).cast("long")
     inv = F.lit(_INV).cast("long")
+    carry = [c for c in wf.columns]
 
     def dp_step(acc, j):
         # acc: struct(dpl array<long>, btl array<long>); position j runtime
@@ -112,7 +116,9 @@ def _viterbi_counts(
         F.sequence(F.lit(1), F.lit(max_word_len)), dp_init, dp_step
     )
     v = wf.crossJoin(F.broadcast(mp)).select(
-        "w", "f", "n", vit["btl"].alias("btl")
+        *carry,
+        vit["btl"].alias("btl"),
+        F.element_at(vit["dpl"], F.col("n").cast("int") + 1).alias("score"),
     )
 
     def walk_step(acc, _):
@@ -131,8 +137,17 @@ def _viterbi_counts(
     walk = F.aggregate(
         F.sequence(F.lit(1), F.lit(max_word_len)), walk_init, walk_step
     )
+    return v.select(*carry, "score", walk["pieces"].alias("pieces"))
+
+
+def _viterbi_counts(
+    wf: DataFrame, mp: DataFrame, max_piece_len: int, max_word_len: int
+) -> DataFrame:
+    """E-step: piece counts from every distinct word's Viterbi
+    segmentation, weighted by word frequency.  Returns (piece, c)."""
+    segs = _viterbi_segments(wf, mp, max_piece_len, max_word_len)
     return (
-        v.select("f", F.explode(walk["pieces"]).alias("piece"))
+        segs.select("f", F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("f").alias("c"))
     )
@@ -168,24 +183,61 @@ def learn_unigram(
     ``(rank, piece, cnt, score)`` — the top ``top_v`` pieces by final
     E-step count (ties to the lexicographically smaller piece), with
     ``score`` the final nano-nat log probability."""
-    if iterations < 1 or max_piece_len < 1 or max_word_len < max_piece_len:
-        raise ValueError(
-            "need iterations >= 1 and 1 <= max_piece_len <= max_word_len"
-        )
-    c = F.col(text_col)
-    wf = _persist(
-        df.select(F.explode(F.split(c, " ")).alias("w"))
+    counts = train_unigram_counts(
+        df, text_col, max_piece_len, max_word_len, iterations
+    )
+    t = counts.agg(F.sum("c").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("piece"))
+    ranked = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_v)
+    )
+    return ranked.select(
+        "rank",
+        "piece",
+        F.col("c").alias("cnt"),
+        _nanolog(F.col("c").cast("double") / F.col("t")).alias("score"),
+    )
+
+
+def _word_freqs(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+    """(w, f, n) distinct-word frequencies over normalized text; words
+    longer than ``max_word_len`` excluded (training contract)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.length("w").between(1, max_word_len))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
         .withColumn("n", F.length("w"))
     )
+
+
+def train_unigram_counts(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    iterations: int = 2,
+) -> DataFrame:
+    """The EM loop of :func:`learn_unigram`, returning the FULL final
+    piece-count frame ``(piece, c)`` (char-smoothed M-step applied) —
+    the trained model :func:`unigram_segment_stats` consumes."""
+    if iterations < 1 or max_piece_len < 1 or max_word_len < max_piece_len:
+        raise ValueError(
+            "need iterations >= 1 and 1 <= max_piece_len <= max_word_len"
+        )
+    wf = _persist(_word_freqs(df, text_col, max_word_len))
     # seed: every substring of length <= max_piece_len, frequency-weighted
     subs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.col("n")),
             lambda s: F.transform(
-                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), F.col("n") - s + 1)),
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), F.col("n") - s + 1)
+                ),
                 lambda l: F.substring(F.col("w"), s, l),
             ),
         )
@@ -204,19 +256,67 @@ def learn_unigram(
             _viterbi_counts(wf, mp, max_piece_len, max_word_len)
         )
         counts = _persist(_m_counts(e_counts, chars))
+    return counts
 
-    t = counts.agg(F.sum("c").alias("t"))
-    from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("c").desc(), F.col("piece"))
-    ranked = (
-        counts.crossJoin(F.broadcast(t))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_v)
+def unigram_segment_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame,
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """APPLY a trained unigram vocabulary — the tokenizer train→apply
+    loop (the unigram sibling of text_classifier_train_apply): segment
+    each document against the model's piece scores and emit per-document
+    tokenization statistics ``(id, n_words, n_skipped, n_pieces,
+    score)`` — ``score`` the summed Viterbi log-probability in integer
+    nano-nats (exact addition; a document-level LM quality signal),
+    ``n_skipped`` the words over ``max_word_len`` the model excludes.
+
+    Scale shape: the VOCABULARY side is segmented once (per distinct
+    word — one Viterbi fold over the distinct-word frame with the score
+    map on a 1-row broadcast), then per-word stats hash-join back to the
+    per-document word stream — corpus-sized work is one explode + one
+    join + one groupBy; the quadratic-free shape a tokenizer apply
+    needs at 100 TB.  Coverage contract: the model's char smoothing
+    guarantees segmentability when the model was trained on (a superset
+    of) this corpus; genuinely unseen characters surface as sentinel
+    (−1e15) piece scores rather than errors."""
+    mp = _score_map(counts)
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("n", F.length("w"))
+    valid = words.filter(F.col("n").between(1, max_word_len))
+    wf = valid.select("w", "n").distinct()
+    segs = _viterbi_segments(wf, mp, max_piece_len, max_word_len).select(
+        "w",
+        F.size("pieces").cast("long").alias("__np"),
+        F.col("score").alias("__sc"),
     )
-    return ranked.select(
-        "rank",
-        "piece",
-        F.col("c").alias("cnt"),
-        _nanolog(F.col("c").cast("double") / F.col("t")).alias("score"),
+    per_doc = (
+        valid.join(segs, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__np").alias("n_pieces"),
+            F.sum("__sc").alias("score"),
+        )
+    )
+    skipped = words.groupBy("id").agg(
+        F.sum((~F.col("n").between(1, max_word_len)).cast("long")).alias(
+            "n_skipped"
+        )
+    )
+    return (
+        skipped.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.col("n_skipped").cast("long").alias("n_skipped"),
+            F.coalesce(F.col("n_pieces"), F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        )
     )

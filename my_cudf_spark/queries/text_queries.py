@@ -2133,13 +2133,20 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-def _unigram_sql(max_piece_len: int = 3, max_word_len: int = 12, top_v: int = 30) -> str:
+def _unigram_sql(
+    max_piece_len: int = 3,
+    max_word_len: int = 12,
+    top_v: int = 30,
+    mode: str = "learn",
+) -> str:
     """Chained-CTE oracle for functions/unigram.learn_unigram (2 EM
     iterations): the Viterbi dp/backtrace unrolls into one CTE per word
     position (the same per-position columns the Spark operator builds),
     scores are integer nano-nats, and the M-step/char-smoothing rules are
     replayed verbatim — every comparison is int64, so the engines agree
-    bit-for-bit."""
+    bit-for-bit.  ``mode='apply'`` appends a THIRD Viterbi pass with the
+    trained scores and folds per-word stats back onto the per-document
+    word stream (the text_unigram_apply oracle)."""
     MISS, INV = -(10**15), -(9 * 10**17)
     nanolog = lambda x: (
         f"CAST(ROUND(ROUND(ln({x}), 9) * 1000000000.0) AS BIGINT)"
@@ -2171,7 +2178,7 @@ def _unigram_sql(max_piece_len: int = 3, max_word_len: int = 12, top_v: int = 30
                 f" list_append(btl, CAST({bt} AS BIGINT)) AS btl FROM {tag}_{j - 1})"
             )
         parts.append(
-            f"{tag}_w0 AS (SELECT w, f, btl,"
+            f"{tag}_w0 AS (SELECT w, f, btl, dpl[n + 1] AS vscore,"
             f" {{'pos': n, 'pieces': []::VARCHAR[]}} AS st FROM {tag}_{max_word_len})"
         )
         step = (
@@ -2183,7 +2190,8 @@ def _unigram_sql(max_piece_len: int = 3, max_word_len: int = 12, top_v: int = 30
         )
         for k in range(1, max_word_len + 1):
             parts.append(
-                f"{tag}_w{k} AS (SELECT w, f, btl, {step} AS st FROM {tag}_w{k - 1})"
+                f"{tag}_w{k} AS (SELECT w, f, btl, vscore, {step} AS st"
+                f" FROM {tag}_w{k - 1})"
             )
         parts.append(
             f"{tag}_pieces AS (SELECT f, unnest(st.pieces) AS piece"
@@ -2192,6 +2200,10 @@ def _unigram_sql(max_piece_len: int = 3, max_word_len: int = 12, top_v: int = 30
         parts.append(
             f"{tag}_cnt AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS c"
             f" FROM {tag}_pieces GROUP BY piece)"
+        )
+        parts.append(
+            f"{tag}_stats AS (SELECT w, CAST(len(st.pieces) AS BIGINT) AS np,"
+            f" vscore AS sc FROM {tag}_w{max_word_len})"
         )
         return parts
 
@@ -2230,11 +2242,34 @@ def _unigram_sql(max_piece_len: int = 3, max_word_len: int = 12, top_v: int = 30
     parts += score_map("it1", "c1p")
     parts += viterbi("v2", "(SELECT wf.*, m.mp FROM wf, it1_m m)")
     parts.append(mstep("c2p", "v2_cnt"))
+    if mode == "learn":
+        final = (
+            f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS rank,"
+            f" piece, c AS cnt, {nanolog('CAST(c AS DOUBLE) / t.t')} AS score"
+            f" FROM c2p, (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c2p) t"
+            f" QUALIFY rank <= {top_v} ORDER BY rank"
+        )
+        return ",\n".join(parts) + "\n" + final
+    # mode == 'apply': third Viterbi pass with the trained scores, folded
+    # back onto the per-document word stream
+    parts += score_map("it2", "c2p")
+    parts += viterbi("v3", "(SELECT wf.*, m.mp FROM wf, it2_m m)")
+    parts += [
+        "dw AS (SELECT doc_id, unnest(string_split("
+        f"{SQL_NORM}, ' ')) AS w FROM documents WHERE text IS NOT NULL)",
+        f"dv AS (SELECT doc_id, w FROM dw"
+        f" WHERE len(w) BETWEEN 1 AND {max_word_len})",
+        "perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+        " CAST(SUM(np) AS BIGINT) AS n_pieces, CAST(SUM(sc) AS BIGINT) AS score"
+        " FROM dv JOIN v3_stats USING (w) GROUP BY doc_id)",
+        f"sk AS (SELECT doc_id, CAST(SUM(CASE WHEN len(w) BETWEEN 1 AND"
+        f" {max_word_len} THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped"
+        f" FROM dw GROUP BY doc_id)",
+    ]
     final = (
-        f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS INT) AS rank,"
-        f" piece, c AS cnt, {nanolog('CAST(c AS DOUBLE) / t.t')} AS score"
-        f" FROM c2p, (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c2p) t"
-        f" QUALIFY rank <= {top_v} ORDER BY rank"
+        "SELECT sk.doc_id, COALESCE(n_words, 0) AS n_words, n_skipped,"
+        " COALESCE(n_pieces, 0) AS n_pieces, COALESCE(score, 0) AS score"
+        " FROM sk LEFT JOIN perdoc USING (doc_id) ORDER BY sk.doc_id"
     )
     return ",\n".join(parts) + "\n" + final
 
@@ -2255,3 +2290,33 @@ def text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     norm = docs.select(T.normalize_text("text").alias("norm"))
     return learn_unigram(norm, "norm").orderBy("rank")
+
+
+@register("text_unigram_apply", sql=_unigram_sql(mode="apply"))
+def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer TRAIN → APPLY as one lazy DAG (functions/unigram
+    .train_unigram_counts + unigram_segment_stats — the tokenizer
+    sibling of text_classifier_train_apply): the vocabulary trained on
+    the corpus segments the corpus, emitting per-document tokenization
+    stats — word/piece counts and the summed Viterbi log-probability in
+    exact integer nano-nats (a document-level LM quality signal).  The
+    vocabulary side is segmented ONCE (per distinct word, score map on a
+    1-row broadcast) and per-word stats hash-join back to the document
+    word stream; the oracle replays training plus a third unrolled
+    Viterbi pass."""
+    from my_cudf_spark.functions.unigram import (
+        train_unigram_counts,
+        unigram_segment_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = docs.select("doc_id", T.normalize_text("text").alias("norm"))
+    counts = train_unigram_counts(norm, "norm")
+    stats = unigram_segment_stats(norm, "doc_id", "norm", counts)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_skipped",
+        "n_pieces",
+        "score",
+    ).orderBy("doc_id")

@@ -101,3 +101,33 @@ def test_learn_unigram_segmentation_covers_words(spark):
         assert any(r["piece"] in w for w in words), r["piece"]
     chars = {c for w in words for c in w}
     assert chars <= {r["piece"] for r in out if len(r["piece"]) == 1}
+
+
+def test_unigram_segment_stats_consistency(spark):
+    """Apply-side invariants: per-doc pieces reconstruct word lengths,
+    scores equal the sum of trained piece scores along the segmentation,
+    and over-length words are counted skipped, not segmented."""
+    from my_cudf_spark.functions.unigram import (
+        train_unigram_counts,
+        unigram_segment_stats,
+    )
+
+    texts = [
+        (0, "window window winter"),
+        (1, "columnar col umn"),
+        (2, "supercalifragilistic ab"),  # 20-char word → skipped
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, norm string")
+    counts = train_unigram_counts(df, "norm")
+    out = {
+        r["id"]: r
+        for r in unigram_segment_stats(df, "doc_id", "norm", counts).collect()
+    }
+    assert out[2]["n_skipped"] == 1 and out[2]["n_words"] == 1  # 'ab'
+    assert out[0]["n_skipped"] == 0 and out[0]["n_words"] == 3
+    assert out[3]["n_words"] == 0 and out[3]["n_pieces"] == 0
+    # pieces bound: between ceil(len/3) and len per word
+    assert 3 <= out[0]["n_pieces"] <= sum(len(w) for w in texts[0][1].split())
+    # score is a genuine negative log-prob sum
+    assert out[0]["score"] < 0 and out[3]["score"] == 0
