@@ -25,6 +25,7 @@ from pyspark.sql.functions import broadcast
 __all__ = [
     "dot", "l2_norm", "cosine", "brute_force_topk", "lsh_topk",
     "ivf_topk", "lloyd_kmeans", "cosine_pairs_exact", "cosine_neardup_lsh",
+    "kcenter_coreset",
     "md5_rademacher_planes", "binary_signature", "hamming_topk",
     "int8_quantize", "int8_topk", "power_iteration_pca", "pq_topk",
     "ivfpq_topk",
@@ -1411,3 +1412,107 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "approx_cos", "cos", "rank")
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal — the 2-approximation behind coreset/active-learning data
+    selection, e.g. Sener & Savarese 2018, arXiv:1708.00489): start from
+    the lowest-id vector, then ``k−1`` times pick the point FARTHEST
+    from the chosen set (max over points of min over centers of
+    distance; ties to the lower id).  The selected rows are maximally
+    spread — the diverse-subset primitive a curation pipeline uses to
+    downsample redundant embedding regions, complementing semantic
+    dedup (which removes near-dups; this PICKS representatives).
+
+    Returns one row per selected center: ``(round, vec_id, dist)`` —
+    ``dist`` the squared L2 distance (in nano-unit² integers, exact
+    DECIMAL(38,0)) from the previously-chosen set at selection time;
+    NULL for round 0.  Monotonically non-increasing over rounds (the
+    Gonzalez invariant — unit-tested).
+
+    Engine-exactness: components quantize to ROUND(x·1e9) int64
+    nano-units; squared distances sum as DECIMAL(38,0) (int64 would
+    overflow at 64 dims × (2e9)²), so min/argmax comparisons are exact
+    integer arithmetic in both engines — no float ordering anywhere.
+
+    Scale: the classic incremental form — per round ONE narrow pass
+    updates each point's min-distance against ONLY the newly chosen
+    center (a 1-row broadcast), and the argmax is a
+    TakeOrderedAndProject (per-partition top-1 heaps, driver merges one
+    row); k rounds = k tiny jobs, the bpe_learn loop shape.  Each
+    round's frame carries a dedicated persist so round t+1's two
+    consumers (argmax + update) never recompute the chain."""
+    from pyspark.storagelevel import StorageLevel
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    DEC = "decimal(38,0)"
+
+    def dist2(a: Column, b: Column) -> Column:
+        # square in DECIMAL: int64 nano-unit diffs overflow long when
+        # squared for components beyond ±~1.5 (observed on planted data)
+        term = F.zip_with(
+            a, b, lambda x, y: (x - y).cast(DEC) * (x - y).cast(DEC)
+        )
+        return F.aggregate(
+            term, F.lit(0).cast(DEC), lambda acc, v: acc + v.cast(DEC)
+        )
+
+    nano = F.transform(
+        F.col(vec_col), lambda x: F.round(x * 1e9, 0).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("id"), nano.alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached = [base]
+    try:
+        c0 = base.orderBy("id").limit(1)
+        acc = c0.select(
+            F.lit(0).cast("int").alias("round"),
+            F.col("id").alias("vec_id"),
+            F.lit(None).cast(DEC).alias("dist"),
+        )
+        cur = (
+            base.crossJoin(F.broadcast(c0.select(F.col("v").alias("cv"))))
+            .select("id", "v", dist2(F.col("v"), F.col("cv")).alias("d"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached.append(cur)
+        for t in range(1, k):
+            far = cur.orderBy(F.col("d").desc(), "id").limit(1)
+            acc = acc.unionByName(
+                far.select(
+                    F.lit(t).cast("int").alias("round"),
+                    F.col("id").alias("vec_id"),
+                    F.col("d").cast(DEC).alias("dist"),
+                )
+            )
+            if t < k - 1:
+                cur = (
+                    cur.crossJoin(F.broadcast(far.select(F.col("v").alias("cv"))))
+                    .select(
+                        "id",
+                        "v",
+                        F.least(
+                            F.col("d"), dist2(F.col("v"), F.col("cv"))
+                        ).alias("d"),
+                    )
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                cached.append(cur)
+        # one controlled materialization computes every persisted round
+        # exactly once, then the chain is released (bpe_learn pattern)
+        out = acc.localCheckpoint(eager=True)
+    finally:
+        while cached:
+            try:
+                cached.pop().unpersist()
+            except Exception:
+                pass
+    return out

@@ -327,13 +327,9 @@ def pipeline_curation_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pretrain_sql() -> str:
-    """Whole-pipeline DuckDB twin of pipeline_pretrain: the curation CTEs
-    of _model_pipeline_sql (heuristic quality → trained-model filter →
-    exact keep-first dedup), then vocabulary tokenization, the epoch-1
-    deterministic shuffle key, windowed global offsets in shuffle order,
-    and 512-token pack assignment — per-document output so every stage's
-    arithmetic is value-checked end to end."""
+def _pretrain_prefix_sql() -> str:
+    """The shared curation-prefix CTE chain (through ``tok``) of the
+    pipeline_pretrain / pipeline_pretrain_bestfit oracles."""
     from my_cudf_spark.queries.text_queries import (
         _QM_BIAS_MICRO,
         _QM_NBUCKETS,
@@ -373,7 +369,15 @@ tok AS (
            x -> CAST(COALESCE(list_position({VOCAB!r}, x) - 1, -1) AS VARCHAR)),
            ',') AS ids,
          substr(md5('epoch1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS ek
-  FROM deduped),
+  FROM deduped)"""
+
+
+def _pretrain_sql() -> str:
+    """Whole-pipeline DuckDB twin of pipeline_pretrain: the shared
+    curation prefix, then windowed global offsets in shuffle order and
+    512-token pack assignment — per-document output so every stage's
+    arithmetic is value-checked end to end."""
+    return _pretrain_prefix_sql() + """,
 ordered AS (
   SELECT doc_id, source, n_tokens, ids,
          CAST(ROW_NUMBER() OVER (ORDER BY ek, doc_id) - 1 AS BIGINT) AS pos,
@@ -390,12 +394,13 @@ FROM ordered ORDER BY doc_id
 """
 
 
-def _pretrain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pipeline_pretrain DAG up to (not including) the sized sink —
-    factored out so tests/test_plans.py asserts the shuffle shape of the
-    exact shipped plan."""
+def _curated_tok_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining curation prefix (heuristic quality → trained-model
+    filter → exact keep-first dedup → vocabulary tokenization → epoch-1
+    shuffle key), ending at the persisted doc-level METADATA frame both
+    packing variants consume — factored out so pipeline_pretrain and
+    pipeline_pretrain_bestfit share the identical curation plan."""
     from my_cudf_spark.operators.dedup import md5_hash60
-    from my_cudf_spark.operators.packing import global_cumsum
     from my_cudf_spark.queries.text_queries import (
         _QM_BIAS_MICRO,
         _QM_WEIGHTS,
@@ -458,6 +463,16 @@ def _pretrain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("__ek"),
     ))
+    return tok
+
+
+def _pretrain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline_pretrain DAG up to (not including) the sized sink —
+    factored out so tests/test_plans.py asserts the shuffle shape of the
+    exact shipped plan."""
+    from my_cudf_spark.operators.packing import global_cumsum
+
+    tok = _curated_tok_frame(spark, sf_dir)
     # Global offsets in shuffle order: two deterministic-bucket cumsum
     # passes over doc-level metadata (rank-of-ones → pos, token cumsum →
     # start_offset); neither touches text.
@@ -580,3 +595,50 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sources").cast("long").alias("n_sources"),
         F.col("n_variants").cast("long").alias("n_variants"),
     ).orderBy("cluster_id")
+
+
+def _pretrain_bestfit_sql() -> str:
+    """Whole-pipeline twin of pipeline_pretrain_bestfit: the shared
+    curation prefix, then harmonic size-class FFD pack assignment (the
+    pack_documents_bestfit arithmetic) instead of offset chunking."""
+    return _pretrain_prefix_sql() + """,
+a AS (SELECT doc_id, source, n_tokens, ids,
+             CAST(CASE WHEN n_tokens > 512 THEN 0
+                       ELSE 512 // n_tokens END AS BIGINT) AS size_class,
+             CAST(doc_id % 4 AS BIGINT) AS shard
+      FROM tok WHERE n_tokens > 0),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY size_class, shard
+                                   ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+      FROM a)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, ids,
+       size_class, shard,
+       CAST(rn // GREATEST(1, size_class) AS BIGINT) AS pack_idx,
+       CAST(rn % GREATEST(1, size_class) AS INT) AS slot
+FROM r ORDER BY doc_id
+"""
+
+
+@register("pipeline_pretrain_bestfit", sql=_pretrain_bestfit_sql())
+def pipeline_pretrain_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining flagship composed with NO-SPLIT packing (r8
+    verdict #5's optional composition): the identical curation prefix
+    as pipeline_pretrain (heuristic quality → trained-classifier filter
+    → exact keep-first dedup → vocabulary tokenization — the shared
+    ``_curated_tok_frame`` plan), then packing.pack_bestfit assigns each
+    surviving document WHOLE to a 512-token pack (harmonic size-class
+    FFD) instead of chunking at global offsets — the variant a pipeline
+    picks when truncating documents across sequence boundaries is not
+    acceptable.  Packing adds one (class, shard) hash shuffle of
+    doc-level metadata; text still moves exactly once (the dedup
+    Exchange)."""
+    from my_cudf_spark.operators.packing import pack_bestfit
+
+    tok = _curated_tok_frame(spark, sf_dir)
+    packed = pack_bestfit(
+        tok.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 512, shards=4
+    ).select("doc_id", "size_class", "shard", "pack_idx", "slot")
+    return (
+        tok.select("doc_id", "source", "n_tokens", "ids")
+        .join(packed, "doc_id")
+        .orderBy("doc_id")
+    )

@@ -1000,3 +1000,62 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
+    """Unrolled k-round oracle for similarity.kcenter_coreset: nano-unit
+    int components, HUGEINT squared distances, per round one LEAST
+    update against the newly chosen center and one (d DESC, id) top-1 —
+    the identical integer arithmetic the Spark operator runs."""
+    d2 = (
+        lambda a, b: f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] - {b}[i] AS HUGEINT)"
+        f" * CAST({a}[i] - {b}[i] AS HUGEINT)))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id AS id,"
+        " list_transform(embedding::DOUBLE[],"
+        " x -> CAST(ROUND(x * 1000000000.0) AS BIGINT)) AS v FROM embeddings)",
+        "c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1)",
+        f"d0 AS (SELECT e.id, e.v, {d2('e.v', 'c.v')} AS d FROM e, c0 c)",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"f{t} AS (SELECT id, v, d FROM d{t - 1} ORDER BY d DESC, id LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"d{t} AS (SELECT p.id, p.v, LEAST(p.d, {d2('p.v', 'f.v')}) AS d"
+                f" FROM d{t - 1} p, f{t} f)"
+            )
+    union = " UNION ALL ".join(
+        ["SELECT 0 AS round, id AS vec_id, CAST(NULL AS VARCHAR) AS dist FROM c0"]
+        + [
+            f"SELECT {t}, id, CAST(CAST(d AS DECIMAL(38,0)) AS VARCHAR) FROM f{t}"
+            for t in range(1, k)
+        ]
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY round"
+
+
+@register("vec_kcenter_coreset", sql=_kcenter_sql())
+def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (similarity.kcenter_coreset,
+    Gonzalez farthest-point): 8 maximally-spread embedding
+    representatives — the diverse-subset data-selection primitive next
+    to semantic dedup (that removes near-dups; this PICKS a spread
+    subset).  Exact nano-unit² DECIMAL distances make every min/argmax
+    an integer comparison, so the unrolled 8-round oracle agrees
+    bit-for-bit; per round the operator runs one narrow min-distance
+    update against the new center (1-row broadcast) and one
+    TakeOrderedAndProject top-1."""
+    from my_cudf_spark.operators.similarity import kcenter_coreset
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    out = kcenter_coreset(emb, "vec_id", "embedding", k=8)
+    # exact integer distance as a STRING: DuckDB renders DECIMAL(38,0)
+    # as float64 in pandas (precision loss) while Spark yields Decimal
+    # objects — the digit string is the dtype both engines agree on
+    return out.select(
+        "round", "vec_id", F.col("dist").cast("string").alias("dist")
+    ).orderBy("round")

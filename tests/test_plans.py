@@ -613,8 +613,14 @@ def test_pipeline_pretrain_one_text_shuffle(spark):
     # absent at cluster scale.
     import re
 
+    from my_cudf_spark.plans.pin import release_persisted
     from my_cudf_spark.queries.pipeline_queries import _pretrain_frame
 
+    # cache-state independence: a warm LRU (e.g. pipeline_pretrain_bestfit
+    # persisted the shared curated-tok frame in an earlier test) substitutes
+    # an InMemoryRelation whose reprint carries a second _w0 exchange id —
+    # release so the guard always reads the cold shipped plan
+    release_persisted()
     df = _pretrain_frame(spark, SF_DIR)
     plan = P.physical_plan(df)
     # String plans repeat shared subtrees (the persisted dedup output is

@@ -522,3 +522,29 @@ def test_ivfpq_topk_contract(spark):
     a = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out)
     b = sorted((r["query_id"], r["neighbor_id"], round(r["approx_cos"], 9)) for r in out2)
     assert a == b
+
+
+def test_kcenter_coreset_invariants_and_planted_clusters(spark):
+    """Gonzalez invariants: selection distances are non-increasing, no
+    center repeats, and on three well-separated planted clusters the
+    first three picks cover all three clusters."""
+    import random
+
+    from my_cudf_spark.operators.similarity import kcenter_coreset
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, "vec_id", "embedding", k=6).orderBy("round").collect()
+    assert [r["round"] for r in out] == list(range(6))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 6
+    assert out[0]["dist"] is None
+    dists = [int(r["dist"]) for r in out[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    # first three picks land in three distinct planted clusters
+    assert {i % 3 for i in ids[:3]} == {0, 1, 2}
