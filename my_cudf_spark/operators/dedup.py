@@ -41,6 +41,7 @@ __all__ = [
     "minhash_ngrams_signatures",
     "simhash_pairs",
     "substring_dup_spans",
+    "substring_self_spans",
     "tfidf_cosine_pairs",
     "md5_hash60",
     "release_cached",
@@ -449,6 +450,47 @@ def simhash_pairs(
     )
 
 
+def _pos_shingles(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    k: int,
+    max_postings: int | None,
+) -> DataFrame:
+    """Positional k-shingle hashes ``(id, pos, h)`` — window ``pos``
+    covers tokens [pos, pos+k); md5-derived 60-bit hash, SQL-replicable.
+    ``max_postings`` drops shingles whose document frequency exceeds the
+    cap (the shared hot-shingle knob of the substring-span family)."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens.alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    sh = toked.filter(F.col("__n") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("__toks", i, k), "\x1f")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("pos", "h"),
+    )
+    sh = _persist(sh)
+    if max_postings is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.countDistinct("id").alias("__df"))
+            .filter(F.col("__df") > max_postings)
+            .select("h")
+        )
+        sh = sh.join(hot, "h", "left_anti")
+    return sh
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str,
@@ -492,34 +534,7 @@ def substring_dup_spans(
     """
     if k < 1 or min_len < k:
         raise ValueError("need k >= 1 and min_len >= k")
-    toked = df.select(
-        F.col(id_col).alias("id"), tokens.alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
-    # positional shingle hashes: window p covers tokens [p, p+k)
-    sh = toked.filter(F.col("__n") >= k).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("__n") - (k - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.array_join(F.slice("__toks", i, k), "\x1f")), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ).alias("pos", "h"),
-    )
-    sh = _persist(sh)
-    if max_postings is not None:
-        hot = (
-            sh.groupBy("h")
-            .agg(F.countDistinct("id").alias("__df"))
-            .filter(F.col("__df") > max_postings)
-            .select("h")
-        )
-        sh = sh.join(hot, "h", "left_anti")
+    sh = _pos_shingles(df, id_col, tokens, k, max_postings)
     a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
     b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
     seeds = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
@@ -659,4 +674,50 @@ def tfidf_cosine_pairs(
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def substring_self_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    k: int = 8,
+    min_len: int = 12,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Intra-document duplicated spans — the WITHIN-document flavor of
+    :func:`substring_dup_spans` (Lee et al. 2022 dedups inside documents
+    too: boilerplate repeated in one page, tandem-duplicated passages):
+    every maximal run of ≥ ``min_len`` tokens appearing at two positions
+    of the SAME document, as ``(id, pos_a, pos_b, span_len)`` with
+    ``pos_a < pos_b``.
+
+    Same machinery as the cross-document op — positional k-shingles
+    (shared ``_pos_shingles`` builder, same ``max_postings`` hot-shingle
+    cap), a self-join on (id, hash) restricted to ``pos_a < pos_b``, and
+    the gaps-and-islands merge along the REPEAT-DISTANCE diagonal
+    ``pos_b − pos_a`` (a tandem repeat of period p shows up as one span
+    per distance p, 2p, … — each a true verbatim recurrence).  Shuffle
+    volume ∝ document tokens; the quadratic sits in within-document
+    shingle multiplicity, which ``max_postings`` bounds exactly as the
+    cross-doc cap does."""
+    if k < 1 or min_len < k:
+        raise ValueError("need k >= 1 and min_len >= k")
+    sh = _pos_shingles(df, id_col, tokens, k, max_postings)
+    a = sh.select("id", F.col("pos").alias("pos_a"), "h")
+    b = sh.select("id", F.col("pos").alias("pos_b"), "h")
+    seeds = a.join(b, ["id", "h"]).filter(F.col("pos_a") < F.col("pos_b"))
+    w = Window.partitionBy(
+        "id", F.col("pos_b") - F.col("pos_a")
+    ).orderBy("pos_a")
+    runs = seeds.withColumn("__grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("id", F.col("pos_b") - F.col("pos_a"), "__grp")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.count(F.lit(1)) + (k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("id", "pos_a", "pos_b", F.col("span_len").cast("long"))
     )

@@ -2320,3 +2320,53 @@ def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         "score",
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_substring_intra",
+    sql=f"""
+    WITH t0 AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                              THEN list_concat(toks, toks[1:16])
+                              ELSE toks END AS toks FROM t0),
+    s AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(toks[i:i+7], chr(31))), 1, 15))::BIGINT AS h
+          FROM t, unnest(range(1, len(toks) - 6)) AS r(i) WHERE len(toks) >= 8),
+    seeds AS (SELECT a.doc_id AS id, a.pos AS pos_a, b.pos AS pos_b
+              FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.h = b.h
+              WHERE a.pos < b.pos),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id, pos_b - pos_a
+                                                  ORDER BY pos_a) AS grp
+             FROM seeds)
+    SELECT id AS doc_id, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
+           CAST(MIN(pos_b) AS BIGINT) AS pos_b,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+    FROM runs GROUP BY id, pos_b - pos_a, grp
+    HAVING COUNT(*) + 7 >= 12
+    ORDER BY doc_id, pos_a, pos_b
+    """,
+)
+def dedup_substring_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document duplicated spans (dedup.substring_self_spans — the
+    within-document flavor of dedup_substring_spans; Lee et al. 2022
+    dedups inside documents too): every maximal ≥12-token passage
+    recurring at two positions of the same document.  The fixtures carry
+    no organic self-repeats, so every 5th document gets its first 16
+    tokens appended (deterministic graft, the text_pii_redact
+    convention) — the detector does real work and the oracle checks the
+    exact span set.  Same positional-shingle + repeat-distance
+    gaps-and-islands machinery (and the same max_postings hot-shingle
+    cap) as the cross-document op."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    toks2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("toks"), F.slice(F.col("toks"), 1, 16)),
+    ).otherwise(F.col("toks"))
+    grafted = docs.select("doc_id", toks2.alias("toks"))
+    spans = D.substring_self_spans(grafted, "doc_id", F.col("toks"), k=8, min_len=12)
+    return spans.select(
+        F.col("id").alias("doc_id"),
+        F.col("pos_a").cast("long").alias("pos_a"),
+        F.col("pos_b").cast("long").alias("pos_b"),
+        "span_len",
+    ).orderBy("doc_id", "pos_a", "pos_b")

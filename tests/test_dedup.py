@@ -213,3 +213,17 @@ def test_tfidf_cosine_pairs_max_df_cap(spark):
     # C(9,2) = 36 pairs survive even a tiny threshold — the quadratic
     # blowup the cap exists to bound
     assert len(by_pair) == 36
+
+
+def test_substring_self_spans_planted(spark):
+    """Planted tandem repeat: a 12-token block duplicated inside one doc
+    yields exactly the (0, 12, 12) span; a repeat-free doc yields none."""
+    base = [f"t{i}" for i in range(12)]
+    doc1 = base + base
+    doc2 = [f"u{i}" for i in range(30)]
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "id long, toks array<string>"
+    )
+    out = D.substring_self_spans(df, "id", F.col("toks")).collect()
+    got = {(r["id"], r["pos_a"], r["pos_b"], r["span_len"]) for r in out}
+    assert got == {(1, 0, 12, 12)}
