@@ -2370,3 +2370,61 @@ def dedup_substring_intra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_b").cast("long").alias("pos_b"),
         "span_len",
     ).orderBy("doc_id", "pos_a", "pos_b")
+
+
+@register(
+    "dedup_substring_intra_removal",
+    sql=f"""
+    WITH t0 AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                              THEN list_concat(toks, toks[1:16])
+                              ELSE toks END AS toks FROM t0),
+    s AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(toks[i:i+7], chr(31))), 1, 15))::BIGINT AS h
+          FROM t, unnest(range(1, len(toks) - 6)) AS r(i) WHERE len(toks) >= 8),
+    seeds AS (SELECT a.doc_id AS id, a.pos AS pos_a, b.pos AS pos_b
+              FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.h = b.h
+              WHERE a.pos < b.pos),
+    runs AS (SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY id, pos_b - pos_a
+                                                  ORDER BY pos_a) AS grp
+             FROM seeds),
+    spans AS (SELECT id AS doc_id, MIN(pos_b) AS pos_b, COUNT(*) + 7 AS span_len
+              FROM runs GROUP BY id, pos_b - pos_a, grp
+              HAVING COUNT(*) + 7 >= 12),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(pos_b, pos_b + span_len)) AS pos
+            FROM spans),
+    posi AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+                    unnest(toks) AS tok
+             FROM t),
+    surv AS (SELECT p.doc_id, p.pos, p.tok FROM posi p
+             LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+             WHERE c.pos IS NULL),
+    reb AS (SELECT doc_id, COUNT(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM surv GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_before,
+           CAST(COALESCE(reb.n_after, 0) AS BIGINT) AS n_after,
+           COALESCE(reb.clean_text, '') AS clean_text
+    FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def dedup_substring_intra_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document substring dedup APPLIED (dedup.remove_dup_spans
+    over substring_self_spans): every ≥12-token passage recurring inside
+    a document is cut at its LATER position (first occurrence kept —
+    the within-document reading of the lower-id-wins convention) and the
+    cleaned token stream rebuilt; repeat-free documents pass through
+    unchanged.  Same grafted self-repeats as dedup_substring_intra so
+    the apply step does real work; whole-pipeline oracle rebuilds the
+    surviving text verbatim."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    toks2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("toks"), F.slice(F.col("toks"), 1, 16)),
+    ).otherwise(F.col("toks"))
+    grafted = docs.select("doc_id", toks2.alias("toks"))
+    spans = D.substring_self_spans(
+        grafted, "doc_id", F.col("toks"), k=8, min_len=12
+    ).select(F.col("id").alias("id_b"), "pos_b", "span_len")
+    out = D.remove_dup_spans(grafted, spans, "doc_id", F.col("toks"))
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
