@@ -110,7 +110,21 @@ _R9_PLAN_CHANGED = frozenset(
         "stream_funnel_replay", "stream_ivm_replay",
     }
 )
-_PLAN_CHANGED = ((8, _R8_PLAN_CHANGED), (9, _R9_PLAN_CHANGED))
+# r10: ADVICE hardening re-plans — chosen-center removal from the
+# candidate pool (vec_kcenter_coreset, oracle mirrored), (cell, id)
+# dedup for at-least-once delivery (stream_ann_index_replay), double
+# lift products before division (agg_market_basket, oracle mirrored).
+_R10_PLAN_CHANGED = frozenset(
+    {
+        "vec_kcenter_coreset", "stream_ann_index_replay",
+        "agg_market_basket",
+    }
+)
+_PLAN_CHANGED = (
+    (8, _R8_PLAN_CHANGED),
+    (9, _R9_PLAN_CHANGED),
+    (10, _R10_PLAN_CHANGED),
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

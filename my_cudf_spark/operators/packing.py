@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
 __all__ = ["global_cumsum", "pack_sequences", "pack_bestfit"]
 
@@ -237,6 +238,15 @@ def pack_bestfit(
     """
     if budget <= 0 or shards <= 0:
         raise ValueError("budget and shards must be positive")
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise TypeError(
+            f"pack_bestfit id_col must be an integral type, got "
+            f"{df.schema[id_col].dataType.simpleString()} (the shard "
+            f"arithmetic is pmod on the id — hash a string id first)"
+        )
     d = df.select(F.col(id_col), F.col(count_col)).filter(F.col(count_col) > 0)
     cls = F.when(F.col(count_col) > budget, F.lit(0)).otherwise(
         F.floor(F.lit(budget) / F.col(count_col))

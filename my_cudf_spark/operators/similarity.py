@@ -1478,8 +1478,20 @@ def kcenter_coreset(
             F.col("id").alias("vec_id"),
             F.lit(None).cast(DEC).alias("dist"),
         )
+        # chosen centers are REMOVED from the candidate pool each round
+        # (filter vs the 1-row broadcast's id): with duplicate vectors —
+        # or k beyond the distinct-point count — every remaining
+        # min-distance can be 0, and the (d DESC, id) argmax would
+        # otherwise re-select an already-chosen center and emit a
+        # duplicate vec_id.  With fewer than k rows total, the output
+        # simply stops early (< k rows) rather than repeating.
         cur = (
-            base.crossJoin(F.broadcast(c0.select(F.col("v").alias("cv"))))
+            base.crossJoin(
+                F.broadcast(
+                    c0.select(F.col("v").alias("cv"), F.col("id").alias("cid"))
+                )
+            )
+            .filter(F.col("id") != F.col("cid"))
             .select("id", "v", dist2(F.col("v"), F.col("cv")).alias("d"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1495,7 +1507,14 @@ def kcenter_coreset(
             )
             if t < k - 1:
                 cur = (
-                    cur.crossJoin(F.broadcast(far.select(F.col("v").alias("cv"))))
+                    cur.crossJoin(
+                        F.broadcast(
+                            far.select(
+                                F.col("v").alias("cv"), F.col("id").alias("cid")
+                            )
+                        )
+                    )
+                    .filter(F.col("id") != F.col("cid"))
                     .select(
                         "id",
                         "v",

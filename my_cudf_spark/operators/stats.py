@@ -396,9 +396,13 @@ def market_basket_rules(
             F.col("support").cast("long").alias("support"),
             (F.col("support").cast("double") / F.col("sa")).alias("conf_ab"),
             (F.col("support").cast("double") / F.col("sb")).alias("conf_ba"),
+            # both products in DOUBLE: per-item supports beyond ~3e9
+            # (the corpus scales targeted above) silently overflow an
+            # int64 product before the division (wrap, or null under
+            # ANSI mode); support·n_baskets has the same exposure
             (
-                (F.col("support") * F.col("n_baskets")).cast("double")
-                / (F.col("sa") * F.col("sb"))
+                (F.col("support").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("sa").cast("double") * F.col("sb").cast("double"))
             ).alias("lift"),
         )
     )

@@ -757,7 +757,8 @@ _BASKET_CAP = 64
     SELECT pr.part_a, pr.part_b, pr.support,
            CAST(pr.support AS DOUBLE) / ia.s AS conf_ab,
            CAST(pr.support AS DOUBLE) / ib.s AS conf_ba,
-           CAST(pr.support * n.n_orders AS DOUBLE) / (ia.s * ib.s) AS lift
+           (CAST(pr.support AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)) AS lift
     FROM pr JOIN item ia ON ia.p = pr.part_a
             JOIN item ib ON ib.p = pr.part_b
             CROSS JOIN n

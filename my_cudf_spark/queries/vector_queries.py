@@ -1017,7 +1017,8 @@ def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
         " list_transform(embedding::DOUBLE[],"
         " x -> CAST(ROUND(x * 1000000000.0) AS BIGINT)) AS v FROM embeddings)",
         "c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1)",
-        f"d0 AS (SELECT e.id, e.v, {d2('e.v', 'c.v')} AS d FROM e, c0 c)",
+        f"d0 AS (SELECT e.id, e.v, {d2('e.v', 'c.v')} AS d FROM e, c0 c"
+        " WHERE e.id <> c.id)",
     ]
     for t in range(1, k):
         parts.append(
@@ -1026,7 +1027,7 @@ def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
         if t < k - 1:
             parts.append(
                 f"d{t} AS (SELECT p.id, p.v, LEAST(p.d, {d2('p.v', 'f.v')}) AS d"
-                f" FROM d{t - 1} p, f{t} f)"
+                f" FROM d{t - 1} p, f{t} f WHERE p.id <> f.id)"
             )
     union = " UNION ALL ".join(
         ["SELECT 0 AS round, id AS vec_id, CAST(NULL AS VARCHAR) AS dist FROM c0"]

@@ -38,7 +38,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_ann_index"]
+__all__ = ["stream_ann_index", "seed_pq_codebooks", "pq_code_expr"]
+
+
+def seed_pq_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, m: int, n_codes: int
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks as driver-side nested lists
+    ``[sub][code][component]`` — the sub-vector slices of the ``n_codes``
+    smallest-id corpus rows, i.e. exactly the deterministic seeding of
+    :func:`~my_cudf_spark.operators.similarity.pq_topk` (so codes
+    assigned on the stream equal the batch encode bit-for-bit).  Driver
+    materialization is bounded at n_codes × dim floats (the
+    seed_centroid_rows / MLlib pattern)."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_codes).take(n_codes)
+    )
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    sub_d = dim // m
+    return [
+        [v[s * sub_d : (s + 1) * sub_d] for v in vecs] for s in range(m)
+    ]
+
+
+def pq_code_expr(
+    codebooks: list[list[list[float]]], vec_col: str
+) -> "F.Column":
+    """PQ code assignment as a pure Column expression — ``array<int>`` of
+    ``m`` codes, one argmin-L2 per subspace over that subspace's codebook
+    literals (ties → lowest code, matching pq_topk's ``min_by (d2, cid)``
+    and the oracle's ``ORDER BY d2, code``).  Legal on a stream (no
+    window, no join): the codebook is frozen per index epoch, so encode
+    is O(m × n_codes × sub_d) JVM-side arithmetic per row — the same
+    shape as :func:`~my_cudf_spark.streaming.semdedup.cell_assign_expr`.
+    Every per-code distance is the shared sequential fold, bit-identical
+    to the batch encode and the DuckDB twin."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        xs = F.slice(F.col(vec_col), s * sub_d + 1, sub_d)
+        scored = []
+        for code, cvec in enumerate(codebooks[s]):
+            lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(xs, lit_c, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            scored.append(
+                F.struct(d2.alias("d2"), F.lit(code).alias("code"))
+            )
+        best = F.aggregate(
+            F.array(*scored),
+            F.struct(
+                F.lit(float("inf")).alias("d2"), F.lit(-1).alias("code")
+            ),
+            # strict < keeps the FIRST minimal element → ties resolve to
+            # the lowest code, matching ORDER BY d2, code
+            lambda acc, c: F.when(c["d2"] < acc["d2"], c).otherwise(acc),
+        )
+        codes.append(best["code"])
+    return F.array(*codes)
 
 
 def stream_ann_index(
@@ -47,6 +111,7 @@ def stream_ann_index(
     cell_col: str,
     epoch: int = 0,
     buckets: int = 4,
+    code_col: str | None = None,
 ) -> DataFrame:
     """Maintain per-cell posting lists over a stream of (id, cell) rows
     (cell precomputed with ``cell_assign_expr`` against the epoch's
@@ -54,53 +119,114 @@ def stream_ann_index(
     snapshot for every cell a micro-batch touches; ``n`` is strictly
     increasing per cell, so the final index is the max-``n`` emission
     per cell — ids are kept sorted, making the snapshot a pure function
-    of the final id set (arrival-order and chunking independent)."""
-    rows = df.select(
+    of the final id set (arrival-order and chunking independent).
+
+    ``code_col`` (optional, ``array<int>`` of ``m`` PQ codes per row,
+    precomputed with :func:`pq_code_expr` against the epoch's frozen
+    codebooks) upgrades the posting lists to an IVF-PQ layout: each
+    emission gains a ``codes array<int>`` column — the per-id code words
+    flattened id-major with stride ``m``, aligned with ``ids`` — so an
+    ADC probe scans the compact code column and never touches the float
+    corpus.  Codes are a pure function of the id under a frozen epoch,
+    so the (cell, id) dedup keeps whichever copy arrived — identical by
+    construction."""
+    cols = [
         F.col(cell_col).cast("int").alias("__cell"),
         F.col(id_col).cast("long").alias("__id"),
-    ).withColumn("__bkt", F.pmod(F.col("__cell"), F.lit(buckets)))
+    ]
+    if code_col is not None:
+        cols.append(F.col(code_col).cast("array<int>").alias("__code"))
+    rows = df.select(*cols).withColumn(
+        "__bkt", F.pmod(F.col("__cell"), F.lit(buckets))
+    )
+    with_codes = code_col is not None
+    out_cols = ["epoch", "cell", "n", "ids"] + (
+        ["codes"] if with_codes else []
+    )
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        m = 0
         if state.exists:
-            cells, ids = state.get
+            if with_codes:
+                cells, ids, codes_flat, m = state.get
+                codes_flat = np.asarray(codes_flat, dtype=np.int32)
+            else:
+                cells, ids = state.get
             cells = np.asarray(cells, dtype=np.int64)
             ids = np.asarray(ids, dtype=np.int64)
         else:
             cells = np.empty(0, dtype=np.int64)
             ids = np.empty(0, dtype=np.int64)
+            codes_flat = np.empty(0, dtype=np.int32)
         batch = [pdf for pdf in pdfs if len(pdf)]
         if not batch:
-            yield pd.DataFrame(columns=["epoch", "cell", "n", "ids"])
+            yield pd.DataFrame(columns=out_cols)
             return
         new = pd.concat(batch, ignore_index=True)
         cells = np.concatenate([cells, new["__cell"].to_numpy(np.int64)])
         ids = np.concatenate([ids, new["__id"].to_numpy(np.int64)])
+        if with_codes:
+            new_codes = np.array(
+                [list(c) for c in new["__code"]], dtype=np.int32
+            )
+            m = m or new_codes.shape[1]
+            codes = np.concatenate(
+                [codes_flat.reshape(-1, m), new_codes.reshape(-1, m)]
+            )
         # cell-major, id-minor: per-cell postings are contiguous sorted
-        # slices — state stays canonical whatever the arrival order
+        # slices — state stays canonical whatever the arrival order.
+        # Identical (cell, id) pairs collapse, so a re-delivered or
+        # re-ingested vec_id lands in the index once and per-cell ``n``
+        # grows only on genuinely new ids — the snapshot stays a pure
+        # function of the final id SET under at-least-once delivery.
         order = np.lexsort((ids, cells))
         cells, ids = cells[order], ids[order]
+        if with_codes:
+            codes = codes[order]
+        if len(cells):
+            keep = np.ones(len(cells), dtype=bool)
+            keep[1:] = (cells[1:] != cells[:-1]) | (ids[1:] != ids[:-1])
+            cells, ids = cells[keep], ids[keep]
+            if with_codes:
+                codes = codes[keep]
         touched = np.unique(new["__cell"].to_numpy(np.int64))
         starts = np.searchsorted(cells, touched, side="left")
         ends = np.searchsorted(cells, touched, side="right")
-        out = pd.DataFrame(
-            {
-                "epoch": np.full(len(touched), epoch, dtype=np.int64),
-                "cell": touched.astype(np.int32),
-                "n": (ends - starts).astype(np.int64),
-                "ids": [ids[a:b].tolist() for a, b in zip(starts, ends)],
-            }
-        )
-        state.update((cells.tolist(), ids.tolist()))
-        yield out
+        out = {
+            "epoch": np.full(len(touched), epoch, dtype=np.int64),
+            "cell": touched.astype(np.int32),
+            "n": (ends - starts).astype(np.int64),
+            "ids": [ids[a:b].tolist() for a, b in zip(starts, ends)],
+        }
+        if with_codes:
+            out["codes"] = [
+                codes[a:b].reshape(-1).tolist() for a, b in zip(starts, ends)
+            ]
+            state.update(
+                (
+                    cells.tolist(),
+                    ids.tolist(),
+                    codes.reshape(-1).tolist(),
+                    int(m),
+                )
+            )
+        else:
+            state.update((cells.tolist(), ids.tolist()))
+        yield pd.DataFrame(out)
 
+    out_struct = "epoch long, cell int, n long, ids array<long>"
+    state_struct = "cells array<int>, ids array<long>"
+    if with_codes:
+        out_struct += ", codes array<int>"
+        state_struct += ", codes array<int>, m int"
     return rows.groupBy("__bkt").applyInPandasWithState(
         update,
-        outputStructType="epoch long, cell int, n long, ids array<long>",
-        stateStructType="cells array<int>, ids array<long>",
+        outputStructType=out_struct,
+        stateStructType=state_struct,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -143,3 +143,18 @@ def test_pack_bestfit_invariants_and_waste(spark):
     tails = len([1 for (cls, _) in by_cs if cls > 0])
     assert n_packs <= 2 * lower + tails
     assert n_packs < len(rows) / 3
+
+
+def test_pack_bestfit_rejects_non_integral_id(spark):
+    """The shard arithmetic is pmod on the id: a string id must raise a
+    TypeError up front (the stream_funnel precedent), not surface as an
+    opaque pmod analysis error deep in the plan."""
+    import pytest
+
+    from my_cudf_spark.operators.packing import pack_bestfit
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "doc_id string, n long"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        pack_bestfit(df, "doc_id", "n", 128, shards=2)

@@ -548,3 +548,23 @@ def test_kcenter_coreset_invariants_and_planted_clusters(spark):
     assert all(a >= b for a, b in zip(dists, dists[1:]))
     # first three picks land in three distinct planted clusters
     assert {i % 3 for i in ids[:3]} == {0, 1, 2}
+
+
+def test_kcenter_coreset_degenerate_duplicates_no_repeat(spark):
+    """Chosen centers leave the candidate pool: with only 2 distinct
+    vectors duplicated across 6 rows and k=4, every remaining
+    min-distance is 0 from round 2 on — the selection must still emit 4
+    DISTINCT vec_ids (pre-fix it re-selected the lowest chosen id).
+    With k beyond the row count the output just stops early."""
+    from my_cudf_spark.operators.similarity import kcenter_coreset
+
+    rows = [(i, [float(i % 2)] * 4) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, "vec_id", "embedding", k=4).orderBy("round").collect()
+    ids = [r["vec_id"] for r in out]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    # rounds 2+ pick zero-distance duplicates, lowest remaining id first
+    assert [int(r["dist"]) for r in out[2:]] == [0, 0]
+    over = kcenter_coreset(df, "vec_id", "embedding", k=9).collect()
+    got = [r["vec_id"] for r in over]
+    assert sorted(got) == list(range(6)) and len(set(got)) == 6
