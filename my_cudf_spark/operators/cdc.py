@@ -38,7 +38,45 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changelog", "merge_upsert", "scd2_apply", "incremental_agg", "table_diff"]
+__all__ = [
+    "apply_changelog", "merge_upsert", "scd2_apply", "incremental_agg",
+    "table_diff", "time_travel",
+]
+
+
+def time_travel(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    version,
+    delete_op: str = "D",
+) -> DataFrame:
+    """AS-OF read over a CDC changelog — reconstruct the table state at
+    ``version``: keep events with ``seq_col`` ≤ version, then compact
+    with :func:`apply_changelog` (max-seq-per-key wins, tombstones
+    drop).  The lakehouse time-travel primitive the MERGE / changelog /
+    SCD2 tier was missing: training-set lineage replays the exact table
+    a past run saw by pinning its version.
+
+    ``version`` is an int/literal, or a 1-row DataFrame holding the
+    version scalar (first column) — the latter rides a broadcast so a
+    data-derived pin (e.g. "the sequence the last run drained to")
+    never collects driver-side.
+
+    Scale: zero full-history shuffles — the version filter prunes
+    BEFORE the one keep-latest hash shuffle on the keys, so cost is the
+    compaction of the ≤ v prefix, never all versions of all keys."""
+    if isinstance(version, DataFrame):
+        vdf = version.select(F.col(version.columns[0]).alias("__ttv"))
+        filtered = (
+            changes.crossJoin(F.broadcast(vdf))
+            .filter(F.col(seq_col) <= F.col("__ttv"))
+            .drop("__ttv")
+        )
+    else:
+        filtered = changes.filter(F.col(seq_col) <= F.lit(version))
+    return apply_changelog(filtered, keys, seq_col, op_col, delete_op)
 
 
 def apply_changelog(

@@ -401,3 +401,91 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_v").cast("double").alias("old_v"),
         F.col("new_v").cast("double").alias("new_v"),
     ).orderBy("id")
+
+
+@register(
+    "cdc_time_travel",
+    sql="""
+    WITH ch AS (SELECT o_custkey AS cust, o_orderkey AS seq,
+                       CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+                       o_totalprice AS bal
+                FROM orders),
+    v AS (SELECT MAX(o_orderkey) // 2 AS v FROM orders),
+    f AS (SELECT ch.* FROM ch, v WHERE ch.seq <= v.v),
+    p1 AS (SELECT cust, bal, seq AS asof_seq FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY cust
+                         ORDER BY seq DESC, op DESC) AS rn FROM f)
+           WHERE rn = 1 AND op <> 'D'),
+    iv AS (SELECT cust, seq, op, bal,
+                  LEAD(seq) OVER (PARTITION BY cust ORDER BY seq) AS nxt
+           FROM ch),
+    p2 AS (SELECT i.cust, i.bal AS bal_iv FROM iv i, v
+           WHERE i.seq <= v.v AND (i.nxt IS NULL OR i.nxt > v.v)
+             AND i.op <> 'D'),
+    cnt AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_versions
+            FROM f GROUP BY cust)
+    SELECT COALESCE(p1.cust, p2.cust) AS cust, p1.asof_seq, cnt.n_versions,
+           p1.bal, p2.bal_iv,
+           (p1.bal IS NOT DISTINCT FROM p2.bal_iv) AS agree
+    FROM p1 FULL OUTER JOIN p2 ON p1.cust = p2.cust
+    JOIN cnt ON cnt.cust = COALESCE(p1.cust, p2.cust)
+    ORDER BY cust
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse TIME TRAVEL (operators/cdc.time_travel): reconstruct the
+    per-customer balance table AS OF version v (the changelog's midpoint
+    sequence, a data-derived pin that rides a 1-row broadcast — never a
+    driver collect) and PROVE the two canonical reconstructions agree:
+
+    - path 1, compaction: events with seq ≤ v through the existing
+      keep-latest shape (the ``max-seq ≤ v per key is one filter + the
+      compaction window`` contract — zero full-history shuffles);
+    - path 2, validity intervals: the SCD2 view of the same changelog
+      (valid_from = seq, valid_to = next seq per key) probed for the
+      interval containing v, tombstones excluded.
+
+    Output carries both balances, the as-of version stamp, the per-key
+    version count ≤ v, and the null-safe agreement flag — a full outer
+    join, so any divergence between the two reconstructions surfaces as
+    extra rows / false flags in BOTH engines' hash compare."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    vdf = orders.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("long").alias("v")
+    )
+    p1 = C.time_travel(
+        ch.withColumn("asof_seq", F.col("seq")), ["cust"], "seq", "op", vdf
+    ).select("cust", "bal", "asof_seq")
+
+    w = Window.partitionBy("cust").orderBy("seq")
+    iv = ch.withColumn("nxt", F.lead("seq").over(w))
+    p2 = (
+        iv.crossJoin(F.broadcast(vdf))
+        .filter(
+            (F.col("seq") <= F.col("v"))
+            & (F.col("nxt").isNull() | (F.col("nxt") > F.col("v")))
+            & (F.col("op") != "D")
+        )
+        .select("cust", F.col("bal").alias("bal_iv"))
+    )
+    cnt = (
+        ch.crossJoin(F.broadcast(vdf))
+        .filter(F.col("seq") <= F.col("v"))
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("n_versions"))
+    )
+    return (
+        p1.join(p2, "cust", "full")
+        .join(cnt, "cust")
+        .withColumn("agree", F.col("bal").eqNullSafe(F.col("bal_iv")))
+        .select("cust", "asof_seq", "n_versions", "bal", "bal_iv", "agree")
+        .orderBy("cust")
+    )

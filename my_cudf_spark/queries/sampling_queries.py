@@ -434,3 +434,86 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_epoch_shuffle_multi",
+    sql="""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+               FROM documents WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, nt, CAST(e.e AS INT) AS epoch,
+                 ROW_NUMBER() OVER (PARTITION BY e.e
+                   ORDER BY substr(md5('epoch' || CAST(e.e AS VARCHAR) || '|'
+                                       || CAST(doc_id AS VARCHAR)), 1, 15),
+                            doc_id) - 1 AS pos
+          FROM d CROSS JOIN range(1, 4) e(e)),
+    c AS (SELECT *, COALESCE(SUM(nt) OVER (PARTITION BY epoch ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM p),
+    k AS (SELECT epoch, doc_id, pos, nt,
+                 CAST(floor(CAST(cum AS DOUBLE) / 2048.0) AS BIGINT) AS pack
+          FROM c),
+    e1 AS (SELECT doc_id, pos AS pos1 FROM p WHERE epoch = 1)
+    SELECT k.epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT k.pos) AS BIGINT) AS n_distinct_pos,
+           CAST(MAX(k.pos) AS BIGINT) AS max_pos,
+           CAST(SUM(CASE WHEN k.pos = e1.pos1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS same_as_e1,
+           CAST(COUNT(DISTINCT k.pack) AS BIGINT) AS n_packs,
+           CAST(SUM(k.nt) AS BIGINT) AS n_tokens
+    FROM k JOIN e1 USING (doc_id)
+    GROUP BY k.epoch ORDER BY k.epoch
+    """,
+)
+def sample_epoch_shuffle_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-EPOCH deterministic training order feeding the packer
+    (sampling.epoch_shuffle × k composed with packing.global_cumsum —
+    the multi-epoch leg pipeline_pretrain ships as epoch-1-only): three
+    epochs, each a distinct md5-salted permutation of the same corpus,
+    each independently token-cumsum'd into 2048-token sequential packs.
+
+    The 3-row result is the PROOF SET: per epoch, ``n_distinct_pos ==
+    n_docs`` and ``max_pos == n_docs - 1`` certify a bijective
+    permutation over the identical doc set; ``same_as_e1`` is n_docs for
+    epoch 1 and collapses to chance-level for epochs 2-3 (distinct
+    permutations, not shifts of one another); ``n_packs``/``n_tokens``
+    pin the per-epoch pack layout the trainer consumes.
+
+    Scale: each epoch is two deterministic-bucket global_cumsum
+    exchanges (rank, then token cumsum) — linear in k with no cross-
+    epoch dependency (epochs materialize independently, exactly how a
+    trainer consumes them); no RNG, resumable mid-epoch."""
+    from my_cudf_spark.operators.packing import global_cumsum
+    from my_cudf_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("nt"),
+    )
+    per_epoch = []
+    for e in (1, 2, 3):
+        sh = epoch_shuffle(base, ["doc_id"], epoch=e)
+        cum = global_cumsum(sh, ["pos"], "nt", out_col="cum")
+        per_epoch.append(
+            cum.withColumn(
+                "pack", F.floor(F.col("cum") / F.lit(2048.0)).cast("long")
+            ).withColumn("epoch", F.lit(e))
+        )
+    all_e = per_epoch[0].unionByName(per_epoch[1]).unionByName(per_epoch[2])
+    e1 = per_epoch[0].select("doc_id", F.col("pos").alias("pos1"))
+    return (
+        all_e.join(e1, "doc_id")
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pos").alias("n_distinct_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+            F.sum((F.col("pos") == F.col("pos1")).cast("long")).alias("same_as_e1"),
+            F.countDistinct("pack").alias("n_packs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .orderBy("epoch")
+    )

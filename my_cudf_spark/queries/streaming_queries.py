@@ -1410,7 +1410,16 @@ def stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained history (monotone emission versions ⇒ the max-version
     snapshot is chunking/order independent and equals the batch fold —
     one SQL oracle covers both legs).  The final stage→counts reduction
-    is a 4-row aggregate."""
+    is a 4-row aggregate.
+
+    PRODUCTION NOTE: this bounded replay runs with the default
+    ``seal_lag=None``, which retains full per-entity history — exact,
+    but unbounded on an endless stream.  A production deployment should
+    always pass ``seal_lag`` (the funnel's watermark analogue,
+    streaming/funnel.py:23-29): events older than max-seen-time minus
+    the lag compact into a per-user (stage, since, count) base, bounding
+    state while staying exact for any lateness within the lag.  The
+    sealed path is exercised in tests/test_streaming.py."""
     from my_cudf_spark.sources import load_table
     from my_cudf_spark.streaming.funnel import stream_funnel
 
@@ -1622,6 +1631,591 @@ def stream_ann_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _stream_pretrain_sql() -> str:
+    # the batch composition IS the oracle: the streamed pipeline's drained
+    # state equals pipeline_pretrain_bestfit's output exactly (keep-min
+    # dedup + the shared pack arithmetic are chunking-independent)
+    from my_cudf_spark.queries.pipeline_queries import _pretrain_bestfit_sql
+
+    return _pretrain_bestfit_sql()
+
+
+@register("stream_pretrain_replay", sql=_stream_pretrain_sql())
+def stream_pretrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining flagship AS A CONTINUOUS PIPELINE — the streaming
+    twin of pipeline_pretrain_bestfit, every stage either stateless or a
+    bounded-state carrier (streaming/pretrain.py):
+
+    stage 1 (documents replayed in 4 micro-batches): heuristic quality
+    filter (pure projection) → cross-batch EXACT dedup with the batch
+    keep-rule via :func:`stream_exact_dedup_min` — min doc_id per
+    normalized-content hash, so the survivor set is chunking/arrival
+    independent (``dropDuplicates`` first-arrival would not be).  The
+    trained-classifier filter applies on the survivor set (the logit is
+    a pure function of the normalized text, so it commutes with the
+    dedup — same-hash docs share one logit; batch-side persist keeps the
+    17s-vs-3s projection barrier).
+
+    stage 2 (survivors staged and re-streamed in 2 micro-batches — the
+    stage boundary a production pipeline would place on a topic/Delta
+    table): vocabulary tokenization as a stateless literal-map
+    projection ON THE STREAM, feeding :func:`stream_pack_bestfit` —
+    per-(size_class, shard) membership carried across batches, each
+    touch re-deriving that bucket's harmonic-FFD packing as a
+    monotone-versioned snapshot.  Max-version snapshots equal the batch
+    packer exactly, so ONE SQL oracle (the pipeline_pretrain_bestfit
+    twin, verbatim) covers the whole streamed composition — stronger
+    than 'modulo pack-boundary semantics': the boundary semantics
+    match.
+
+    Chunking invariance is asserted in tests/test_streaming.py."""
+    import os
+
+    from my_cudf_spark.functions import text as T
+    from my_cudf_spark.operators.dedup import _persist, md5_hash60
+    from my_cudf_spark.queries.io_queries import _stage
+    from my_cudf_spark.queries.pipeline_queries import QUALITY_MIN
+    from my_cudf_spark.queries.text_queries import (
+        _QM_BIAS_MICRO,
+        _QM_WEIGHTS,
+        _norm_tokens,
+        VOCAB,
+    )
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.pretrain import (
+        stream_exact_dedup_min,
+        stream_pack_bestfit,
+    )
+    from my_cudf_spark.streaming.sources import replay_documents
+
+    # ---- stage 1: streaming curation + cross-batch keep-min dedup
+    s1, wd1 = replay_documents(spark, sf_dir, num_chunks=4)
+    hashed = (
+        s1.filter(T.quality_score("text") >= QUALITY_MIN)
+        .select("doc_id", F.md5(T.normalize_text("text")).alias("h"))
+    )
+    dd = stream_exact_dedup_min(hashed, "doc_id", "h", buckets=8)
+    dd_out = _drain(dd, "pretrain_dedup", wd1, output_mode="update")
+    keep = dd_out.groupBy("h").agg(F.min("keep_id").alias("doc_id"))
+
+    # ---- survivor set + model filter (batch side, persist barrier)
+    docs = load_table(spark, sf_dir, "documents")
+    surv = docs.join(keep.select("doc_id"), "doc_id")
+    feat = surv.withColumn("toks", _norm_tokens()).withColumn(
+        "feats", T.classifier_features(F.col("toks"), max_n=2)
+    )
+    modeled = _persist(
+        feat.withColumn(
+            "__logit",
+            T.classifier_logit(
+                F.col("feats"), _QM_WEIGHTS, _QM_BIAS_MICRO, hash_expr=md5_hash60
+            ),
+        ).drop("feats", "toks")
+    ).filter(F.col("__logit") > 0)
+
+    # ---- stage boundary: the curated survivor stream (in production a
+    # topic / Delta table; here a 2-chunk staged parquet)
+    stage_dir = _stage("stream_pretrain", sf_dir)
+    modeled.select("doc_id", "source", "text").repartitionByRange(
+        2, "doc_id"
+    ).write.mode("overwrite").parquet(stage_dir)
+    schema = "doc_id long, source string, text string"
+
+    def stage2_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+
+    # ---- stage 2a: tokenization ON THE STREAM (stateless projections)
+    ids = T.tokens_to_vocab_ids(_norm_tokens(), VOCAB)
+    tokenized = stage2_stream().select(
+        "doc_id",
+        "source",
+        T.count_tokens("text").cast("long").alias("n_tokens"),
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids"),
+    )
+    tok_out = _drain(
+        tokenized, "pretrain_tok", os.path.join(stage_dir, "__nope__")
+    )
+
+    # ---- stage 2b: cross-batch best-fit packing on the same stream
+    counts = stage2_stream().select(
+        "doc_id", T.count_tokens("text").cast("long").alias("n_tokens")
+    )
+    snaps = stream_pack_bestfit(counts, "doc_id", "n_tokens", 512, shards=4)
+    pk_out = _drain(
+        snaps, "pretrain_pack", os.path.join(stage_dir, "__nope__"),
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("size_class", "shard")
+    packed = (
+        pk_out.withColumn("__vmax", F.max("version").over(wv))
+        .filter(F.col("version") == F.col("__vmax"))
+        .select(
+            F.col("id").alias("doc_id"), "size_class", "shard", "pack_idx", "slot"
+        )
+        # a bucket's max-version snapshot can be emitted twice when a
+        # later batch only re-delivers — identical rows, dedup is exact
+        .distinct()
+    )
+    return (
+        tok_out.join(packed, "doc_id")
+        .select(
+            "doc_id", "source", "n_tokens", "ids",
+            "size_class", "shard", "pack_idx", "slot",
+        )
+        .orderBy("doc_id")
+    )
+
+
+
+
+@register(
+    "stream_ann_retrain_replay",
+    sql="""
+    WITH pl AS (SELECT b.b AS b, d.d AS d,
+                       CASE WHEN substr(md5('0|' || b.b || '|' || d.d), 1, 1) >= '8'
+                            THEN 1.0 ELSE -1.0 END AS w
+                FROM range(4) b(b) CROSS JOIN range(64) d(d)),
+    e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    base AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+    ed AS (SELECT vec_id, d.d AS d, v[d.d + 1] AS x FROM base CROSS JOIN range(64) d(d)),
+    dots AS (SELECT ed.vec_id, pl.b, SUM(ed.x * pl.w) AS s
+             FROM ed JOIN pl USING (d) GROUP BY 1, 2),
+    sigs AS (SELECT vec_id,
+                    CAST(SUM(CASE WHEN ROUND(s, 9) > 0 THEN (1 << b) ELSE 0 END)
+                         AS INT) AS cell
+             FROM dots GROUP BY 1),
+    nano AS (SELECT s.cell, d.d AS d,
+                    CAST(ROUND(b.v[d.d + 1] * 1000000000.0) AS BIGINT) AS nx
+             FROM sigs s JOIN base b USING (vec_id) CROSS JOIN range(64) d(d)),
+    stats AS (SELECT cell, d, COUNT(*) AS n, SUM(nx) AS snano
+              FROM nano GROUP BY cell, d),
+    cmean AS (SELECT cell,
+                     list(CAST(snano AS DOUBLE) / (n * 1000000000.0) ORDER BY d) AS cv
+              FROM stats GROUP BY cell),
+    cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS cid, cv,
+             sqrt(list_dot_product(cv, cv)) AS cn
+      FROM cmean),
+    n2 AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+    ca AS (SELECT n2.vec_id AS neighbor_id, n2.v, n2.nn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+                      ORDER BY list_dot_product(n2.v, c.cv)/(n2.nn*c.cn) DESC, c.cid) AS pr
+           FROM n2 CROSS JOIN cents c),
+    buckets AS (SELECT neighbor_id, v, nn, cid FROM ca WHERE pr = 1),
+    qa AS (SELECT n2.vec_id AS query_id, n2.v AS qv, n2.nn AS qn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+                      ORDER BY list_dot_product(n2.v, c.cv)/(n2.nn*c.cn) DESC, c.cid) AS pr
+           FROM n2 CROSS JOIN cents c WHERE n2.vec_id < 5),
+    probes AS (SELECT query_id, qv, qn, cid FROM qa WHERE pr <= 4),
+    s AS (SELECT p.query_id, b.neighbor_id,
+                 list_dot_product(p.qv, b.v)/(p.qn*b.nn) AS cos
+          FROM probes p JOIN buckets b USING (cid)
+          WHERE b.neighbor_id <> p.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def stream_ann_retrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EPOCH-RETRAIN loop of the streaming ANN index (closes the
+    documented contract at streaming/annindex.py:12-21): epoch 0 is the
+    live pre-retrain index (base corpus = even vec_ids under the SEEDED
+    quantizer); the drained :func:`stream_cluster_stats` sufficient
+    statistics over that same base corpus carry the M-step — their
+    per-cell nano-unit means become the epoch-1 centroids (a bounded
+    ≤2^bits-row driver materialization, the MLlib
+    centroids-live-on-the-driver pattern); the epoch-1 index rebuilds
+    over the FULL corpus under the retrained quantizer via
+    :func:`stream_ann_index` with the bumped epoch key; and the READER
+    applies stale-epoch revocation — both epochs' snapshot logs union,
+    only max-epoch snapshots survive.  A 4-probe top-5 search against
+    the surviving index equals batch IVF search with the retrained
+    centroids over the full corpus, which is this oracle (the
+    stream_cluster_stats SQL twin composed with the ivf probe SQL).
+
+    Exactness: integer sufficient statistics commute (means are
+    IEEE-identical on both engines: CAST(snano AS DOUBLE)/(n·1e9));
+    assignment/probing is the shared sequential cosine fold; empty cells
+    drop from both engines' centroid enumeration (cid = rank of cell).
+
+    Scale: three bounded drains (index state = ids only; stats state =
+    one (n, 64-sum) row per cell); the retrain itself moves ≤2^bits×dim
+    floats through the driver — never corpus-sized data."""
+    from my_cudf_spark.operators.similarity import (
+        _assign_nearest,
+        dot,
+        l2_norm,
+    )
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.annindex import stream_ann_index
+    from my_cudf_spark.streaming.kmeans import stream_cluster_stats
+    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.sources import replay_table
+    from pyspark.sql import Window
+
+    as_double = lambda df: df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    base_only = lambda df: df.filter(F.col("vec_id") % 2 == 0)
+    emb_b = as_double(load_table(spark, sf_dir, "embeddings"))
+
+    # epoch 0: the live pre-retrain index — base corpus, seeded quantizer
+    cents0 = seed_centroid_rows(emb_b, "vec_id", "embedding", 16)
+    s0, wd0 = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", num_chunks=2, transform=base_only
+    )
+    a0 = as_double(s0).withColumn("cell", cell_assign_expr(cents0, "embedding"))
+    idx0 = _drain(
+        stream_ann_index(a0, "vec_id", "cell", epoch=0, buckets=4),
+        "annrt0", wd0, output_mode="update",
+    )
+
+    # M-step carrier: drained sufficient statistics over the same base
+    s1, wd1 = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", num_chunks=2, transform=base_only
+    )
+    snaps = stream_cluster_stats(as_double(s1), "vec_id", "embedding", dim=64, bits=4)
+    stats = _drain(snaps, "annrtstats", wd1, output_mode="update")
+    srows = (
+        stats.groupBy("cell")
+        .agg(F.max_by("sums", "n").alias("sums"), F.max("n").alias("n"))
+        .orderBy("cell")
+        # bounded driver materialization: exactly the non-empty cells of a
+        # 2^bits-cell partition (≤16 rows × 64 sums) — the retrained
+        # centroids must live on the driver to become plan literals, the
+        # seed_centroid_rows / MLlib-KMeans pattern
+        .take(16)
+    )
+    cents1 = [[s / (r["n"] * 1e9) for s in r["sums"]] for r in srows]
+
+    # epoch 1: rebuild over the FULL corpus under the retrained quantizer
+    s2, wd2 = replay_table(spark, sf_dir, "embeddings", "vec_id", num_chunks=4)
+    a1 = as_double(s2).withColumn("cell", cell_assign_expr(cents1, "embedding"))
+    idx1 = _drain(
+        stream_ann_index(a1, "vec_id", "cell", epoch=1, buckets=4),
+        "annrt1", wd2, output_mode="update",
+    )
+
+    # reader with stale-epoch revocation: both epochs' snapshot logs land
+    # in one stream; only max-epoch snapshots survive
+    log = idx0.unionByName(idx1)
+    maxep = log.agg(F.max("epoch").alias("__maxep"))
+    index = (
+        log.crossJoin(F.broadcast(maxep))
+        .filter(F.col("epoch") == F.col("__maxep"))
+        .groupBy("cell")
+        .agg(F.max_by("ids", "n").alias("ids"))
+    )
+    postings = index.select(
+        F.col("cell").alias("cid"), F.explode("ids").alias("neighbor_id")
+    )
+
+    c = emb_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    buckets_df = postings.join(c, "neighbor_id")
+    cents1_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents1)], "cid int, __cv array<double>"
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    q = emb_b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    probes = _assign_nearest(q, cents1_df, "query_id", 4).select(
+        "query_id", "cid", F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+    scored = (
+        buckets_df.join(probes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "stream_ann_ivfpq_replay",
+    sql="""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+    cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nn AS cn
+      FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id AS neighbor_id, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    cells AS MATERIALIZED (SELECT neighbor_id, cid FROM ca WHERE pr = 1),
+    seed AS (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+             FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    pqc AS MATERIALIZED (
+      SELECT code, CAST(s.s AS INT) AS sub, v[s.s*8+1 : s.s*8+8] AS cvec
+      FROM seed CROSS JOIN range(8) s(s)),
+    cs AS (SELECT vec_id AS neighbor_id, CAST(s.s AS INT) AS sub,
+                  v[s.s*8+1 : s.s*8+8] AS xvec
+           FROM e CROSS JOIN range(8) s(s)),
+    dist AS (SELECT neighbor_id, sub, code,
+                    list_aggregate(list_transform(range(1, 9),
+                      i -> (xvec[i] - cvec[i]) * (xvec[i] - cvec[i])), 'sum') AS d2
+             FROM cs JOIN pqc USING (sub)),
+    codes AS MATERIALIZED (
+      SELECT neighbor_id, sub, code FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub
+                                 ORDER BY d2, code) = 1),
+    cn2 AS (SELECT sub, code, list_dot_product(cvec, cvec) AS cn2 FROM pqc),
+    recon AS (SELECT neighbor_id,
+                     sqrt(CAST(CAST(SUM(CAST(ROUND(cn2, 9) AS DECIMAL(28,9)))
+                               AS VARCHAR) AS DOUBLE)) AS rn
+              FROM codes JOIN cn2 USING (sub, code) GROUP BY neighbor_id),
+    qa AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nn AS qn, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c WHERE n.vec_id < 5),
+    probes AS (SELECT query_id, qv, qn, cid FROM qa WHERE pr <= 4),
+    adc AS (SELECT p.query_id, c.sub, c.code,
+                   list_dot_product(p.qv[c.sub*8+1 : c.sub*8+8], c.cvec) AS dt
+            FROM (SELECT DISTINCT query_id, qv FROM probes) p CROSS JOIN pqc c),
+    sc AS (SELECT p.query_id, x.neighbor_id, MIN(p.qn) AS qn,
+                  CAST(CAST(SUM(CAST(ROUND(a.dt, 9) AS DECIMAL(28,9)))
+                       AS VARCHAR) AS DOUBLE) AS ip
+           FROM probes p
+           JOIN cells x ON x.cid = p.cid
+           JOIN codes c ON c.neighbor_id = x.neighbor_id
+           JOIN adc a ON a.query_id = p.query_id AND a.sub = c.sub AND a.code = c.code
+           WHERE x.neighbor_id <> p.query_id
+           GROUP BY 1, 2),
+    sc2 AS (SELECT query_id, neighbor_id, ip / (qn * rn) AS approx_cos
+            FROM sc JOIN recon USING (neighbor_id)),
+    cand AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cos DESC, neighbor_id) AS crk
+      FROM sc2) WHERE crk <= 50),
+    rr AS (SELECT t.query_id, t.neighbor_id, t.approx_cos,
+                  list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM cand t JOIN e a ON a.vec_id = t.query_id
+                       JOIN e b ON b.vec_id = t.neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rr)
+    SELECT query_id, neighbor_id, ROUND(approx_cos, 6) AS approx_cos,
+           ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def stream_ann_ivfpq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF-PQ index maintenance — the PQ-code leg the r9 index
+    left documented-only (streaming/annindex.py): the full corpus streams
+    in, each vector gets its frozen-epoch Voronoi cell
+    (``cell_assign_expr``) AND its m=8 PQ code word (``pq_code_expr`` —
+    argmin-L2 per subspace over the frozen codebook literals, a pure
+    projection legal on a stream), and :func:`stream_ann_index` with
+    ``code_col`` accumulates per-cell posting lists WITH the aligned
+    code words as cross-batch state.  The drained index answers a
+    4-probe ADC top-5 search from the STORED codes alone — reconstructed
+    norms and query·codeword inner products come from the code column
+    and the m×n_codes codebook, never the float corpus; exact cosine
+    reranks 50 candidates (the pq_topk two-stage shape, full vectors
+    touched only for the candidates×queries join).
+
+    This is the NON-RESIDUAL IVF+PQ layout (codes quantize raw vectors —
+    the ScaNN-style variant; the residual-coded variant is batch
+    ``ivfpq_topk``/vec_topk_ivfpq): codes are a pure function of the
+    vector under a frozen epoch, which is exactly what makes streaming
+    maintenance legal, so the oracle is the batch composition of the
+    vec_topk_ivf cell fragment with the vec_topk_pq code/ADC fragments.
+    All sums ride the round(·,9)+DECIMAL(28,9) order-independence
+    contract — the whole approximate pipeline is hash-exact."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.operators.similarity import dot, l2_norm, _assign_nearest, _seed_centroids
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.annindex import (
+        pq_code_expr,
+        seed_pq_codebooks,
+        stream_ann_index,
+    )
+    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.sources import replay_table
+
+    M, SUB_D, DEC = 8, 8, "decimal(28,9)"
+    sdot = lambda a, b: F.aggregate(  # the shared sequential fold
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    as_double = lambda df: df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    emb_b = as_double(load_table(spark, sf_dir, "embeddings"))
+    cents0 = seed_centroid_rows(emb_b, "vec_id", "embedding", 16)
+    cbooks = seed_pq_codebooks(emb_b, "vec_id", "embedding", m=M, n_codes=16)
+
+    # stream: frozen-epoch cell + PQ code word, both pure projections
+    stream, work_dir = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", num_chunks=4
+    )
+    assigned = (
+        as_double(stream)
+        .withColumn("cell", cell_assign_expr(cents0, "embedding"))
+        .withColumn("code", pq_code_expr(cbooks, "embedding"))
+    )
+    snaps = stream_ann_index(
+        assigned, "vec_id", "cell", epoch=0, buckets=4, code_col="code"
+    )
+    updates = _drain(snaps, "annivfpq", work_dir, output_mode="update")
+    index = updates.groupBy("cell").agg(
+        F.max_by("ids", "n").alias("ids"), F.max_by("codes", "n").alias("codes")
+    )
+    # (cid, neighbor_id, sub, code) from the stored index — the ADC scan
+    # reads ONLY this compact layout
+    postings = index.select(
+        F.col("cell").alias("cid"),
+        F.posexplode("ids").alias("pos", "neighbor_id"),
+        F.col("codes"),
+    ).select(
+        "cid",
+        "neighbor_id",
+        F.slice(F.col("codes"), F.col("pos") * M + 1, M).alias("__cw"),
+    )
+    ncodes = postings.select(
+        "cid", "neighbor_id", F.posexplode("__cw").alias("sub", "code")
+    )
+
+    # frozen codebook as a bounded m×n_codes frame (broadcasts everywhere)
+    cb = spark.createDataFrame(
+        [
+            (s, c, cbooks[s][c])
+            for s in range(M)
+            for c in range(len(cbooks[s]))
+        ],
+        "sub int, code int, cvec array<double>",
+    ).withColumn("__cn2", sdot(F.col("cvec"), F.col("cvec")))
+
+    # reconstructed norm per neighbor, from stored codes only
+    recon = (
+        ncodes.join(F.broadcast(cb.select("sub", "code", "__cn2")), ["sub", "code"])
+        .groupBy("neighbor_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.round(F.col("__cn2"), 9).cast(DEC)).cast("double")
+            ).alias("__rn")
+        )
+    )
+
+    # probes: 4 nearest coarse cells per query
+    c = emb_b.select(
+        F.col("vec_id").alias("__sid"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    coarse = _seed_centroids(c, "__sid", 16)
+    q = emb_b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    probes = _assign_nearest(q, coarse, "query_id", 4).select(
+        "query_id", "cid", F.col("__v").alias("__qv"), F.col("__n").alias("__qn")
+    )
+
+    # per-query ADC table: dot(q_s, cb[s, code]) for every (sub, code)
+    qsubs = probes.select("query_id", "__qv", "__qn").distinct().select(
+        "query_id",
+        "__qn",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__qv", s * SUB_D + 1, SUB_D).alias("qvec"),
+                )
+                for s in range(M)
+            ])
+        ).alias("__s"),
+    ).select(
+        "query_id", "__qn", F.col("__s.sub").alias("sub"), F.col("__s.qvec").alias("qvec")
+    )
+    adc = qsubs.join(F.broadcast(cb.select("sub", "code", "cvec")), "sub").select(
+        "query_id", "__qn", "sub", "code",
+        sdot(F.col("qvec"), F.col("cvec")).alias("__dt"),
+    )
+
+    scored = (
+        probes.select("query_id", "cid")
+        .join(ncodes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("__qn").alias("__qn"),
+            F.sum(F.round(F.col("__dt"), 9).cast(DEC)).cast("double").alias("__ip"),
+        )
+        .join(recon, "neighbor_id")
+        .withColumn("approx_cos", F.col("__ip") / (F.col("__qn") * F.col("__rn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("__crk", F.row_number().over(w)).filter(
+        F.col("__crk") <= 50
+    )
+    cfull = emb_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    qfull = emb_b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qfv"),
+        l2_norm(F.col("embedding")).alias("__qfn"),
+    )
+    reranked = (
+        cand.select("query_id", "neighbor_id", "approx_cos")
+        .join(cfull, "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn(
+            "cos",
+            dot(F.col("__qfv"), F.col("__cv")) / (F.col("__qfn") * F.col("__cn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
             F.round("cos", 6).alias("cos"),
             F.col("rank").cast("int").alias("rank"),
         )

@@ -1730,3 +1730,180 @@ def test_stream_ann_index_chunking_invariant_matches_batch(spark):
         want.setdefault(r["cell"], []).append(r["vec_id"])
     want = {c: tuple(sorted(v)) for c, v in want.items()}
     assert a == want
+
+
+def test_stream_ann_index_redelivery_idempotent(spark):
+    """At-least-once delivery: a (cell, id) pair re-delivered in a later
+    micro-batch lands in the index ONCE — per-cell ``n`` grows only on
+    genuinely new ids (pre-fix the posting list held the id twice)."""
+    import tempfile
+
+    from my_cudf_spark.streaming.annindex import stream_ann_index
+
+    work_dir = tempfile.mkdtemp(prefix="anx_redeliver_")
+    data_dir = os.path.join(work_dir, "data")
+    try:
+        schema = "vec_id long, cell int"
+        chunk1 = spark.createDataFrame(
+            [(i, i % 3) for i in range(10)], schema
+        )
+        # ids 5-9 re-delivered, 10-14 new
+        chunk2 = spark.createDataFrame(
+            [(i, i % 3) for i in range(5, 15)], schema
+        )
+        chunk1.coalesce(1).write.parquet(os.path.join(data_dir, "c1"))
+        chunk2.coalesce(1).write.parquet(os.path.join(data_dir, "c2"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(data_dir, "*"))
+        )
+        snaps = stream_ann_index(stream, "vec_id", "cell", buckets=2)
+        upd = S.run_to_memory(snaps, "anx_redeliver", "update").cache()
+        upd.count()
+        final = {
+            r["cell"]: tuple(r["ids"])
+            for r in upd.groupBy("cell")
+            .agg(F.max_by("ids", "n").alias("ids"))
+            .collect()
+        }
+        want = {}
+        for i in range(15):
+            want.setdefault(i % 3, []).append(i)
+        assert final == {c: tuple(v) for c, v in want.items()}
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_exact_dedup_min_keeps_batch_rule(spark):
+    """Keep-min-id per hash, whatever the chunking: the drained survivor
+    set equals the batch row_number()-over-(hash ORDER BY id) rule even
+    when the min-id copy arrives AFTER another copy."""
+    import tempfile
+
+    from my_cudf_spark.streaming.pretrain import stream_exact_dedup_min
+
+    work_dir = tempfile.mkdtemp(prefix="dd_min_")
+    data_dir = os.path.join(work_dir, "data")
+    try:
+        schema = "doc_id long, h string"
+        # chunk 1 delivers the HIGH ids first; chunk 2 the low duplicates
+        chunk1 = spark.createDataFrame(
+            [(10, "a"), (11, "b"), (12, "a")], schema
+        )
+        chunk2 = spark.createDataFrame(
+            [(1, "a"), (2, "c"), (3, "b")], schema
+        )
+        chunk1.coalesce(1).write.parquet(os.path.join(data_dir, "c1"))
+        chunk2.coalesce(1).write.parquet(os.path.join(data_dir, "c2"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(data_dir, "*"))
+        )
+        out = S.run_to_memory(
+            stream_exact_dedup_min(stream, "doc_id", "h", buckets=2),
+            "ddmin", "update",
+        )
+        final = {
+            r["h"]: r["keep_id"]
+            for r in out.groupBy("h").agg(F.min("keep_id").alias("keep_id")).collect()
+        }
+        assert final == {"a": 1, "b": 3, "c": 2}
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_stream_pack_bestfit_equals_batch_any_chunking(spark):
+    """The max-version snapshot per (class, shard) equals batch
+    pack_bestfit on the full input under different chunkings."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from my_cudf_spark.operators.packing import pack_bestfit
+    from my_cudf_spark.streaming.pretrain import stream_pack_bestfit
+
+    rows = [(i, 7 + (i * 37) % 300) for i in range(120)]
+    schema = "doc_id long, n long"
+    batch_df = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r["doc_id"], r["size_class"], r["shard"], r["pack_idx"], r["slot"])
+        for r in pack_bestfit(batch_df, "doc_id", "n", 256, shards=2).collect()
+    )
+
+    def run(num_chunks):
+        work_dir = tempfile.mkdtemp(prefix="spack_")
+        data_dir = os.path.join(work_dir, "data")
+        try:
+            batch_df.repartitionByRange(num_chunks, "doc_id").write.parquet(data_dir)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(data_dir)
+            )
+            snaps = stream_pack_bestfit(stream, "doc_id", "n", 256, shards=2)
+            out = S.run_to_memory(snaps, f"spack{num_chunks}", "update")
+            wv = Window.partitionBy("size_class", "shard")
+            final = (
+                out.withColumn("__vm", F.max("version").over(wv))
+                .filter(F.col("version") == F.col("__vm"))
+                .select("id", "size_class", "shard", "pack_idx", "slot")
+                .distinct()
+                .collect()
+            )
+            return sorted(
+                (r["id"], r["size_class"], r["shard"], r["pack_idx"], r["slot"])
+                for r in final
+            )
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+    assert run(2) == want
+    assert run(5) == want
+
+
+def test_stream_pretrain_replay_deterministic_end_to_end(spark):
+    """The streamed pretrain pipeline is a pure function of the corpus:
+    two full runs yield the identical final frame (per-op chunking
+    invariance is covered by the two tests above; this pins the
+    composition, including the stage boundary re-stream)."""
+    from my_cudf_spark.queries import load_registry
+
+    fn = load_registry()["stream_pretrain_replay"].fn
+    a = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_pq_code_expr_matches_numpy_argmin(spark):
+    """pq_code_expr's per-subspace argmin-L2 (sequential fold, lowest
+    code on ties) equals a numpy reference on planted vectors."""
+    import numpy as np
+
+    from my_cudf_spark.streaming.annindex import pq_code_expr, seed_pq_codebooks
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(40, 16)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    m, n_codes = 4, 8
+    cbooks = seed_pq_codebooks(df, "vec_id", "embedding", m=m, n_codes=n_codes)
+    got = {
+        r["vec_id"]: list(r["code"])
+        for r in df.select(
+            "vec_id", pq_code_expr(cbooks, "embedding").alias("code")
+        ).collect()
+    }
+    sub_d = 16 // m
+    for i in range(40):
+        want = []
+        for s in range(m):
+            x = vecs[i, s * sub_d : (s + 1) * sub_d]
+            d2 = [
+                float(np.sum((x - np.array(c)) ** 2)) for c in cbooks[s]
+            ]
+            want.append(int(np.argmin(d2)))  # argmin ties → lowest index
+        assert got[i] == want, i
