@@ -355,3 +355,41 @@ def test_incremental_agg_derives_decimal_scale(spark):
             base, changes, ["k"], "old", "new",
             sum_col="total", count_col="n", dec_type="decimal(28,2)",
         )
+
+
+def test_time_travel_planted(spark):
+    """As-of reconstruction at several versions: literal pin, 1-row
+    DataFrame pin, tombstone-at-v exclusion, and pre-history emptiness."""
+    from my_cudf_spark.operators import cdc as C
+
+    ch = spark.createDataFrame(
+        [
+            (1, 10, "U", 100),
+            (1, 20, "U", 150),
+            (1, 30, "D", 0),
+            (2, 15, "U", 900),
+            (3, 40, "U", 70),
+        ],
+        "k long, seq long, op string, val long",
+    )
+
+    def state(version):
+        return {
+            r["k"]: r["val"]
+            for r in C.time_travel(ch, ["k"], "seq", "op", version).collect()
+        }
+
+    assert state(5) == {}                      # before any event
+    assert state(12) == {1: 100}               # mid-history (k2 arrives at 15)
+    assert state(25) == {1: 150, 2: 900}       # later version wins
+    assert state(35) == {2: 900}               # key 1 tombstoned at 30
+    assert state(99) == {2: 900, 3: 70}        # full history
+    # data-derived pin rides a 1-row broadcast frame, same answer
+    from pyspark.sql import functions as F
+
+    vdf = ch.agg(F.lit(25).alias("v"))
+    got = {
+        r["k"]: r["val"]
+        for r in C.time_travel(ch, ["k"], "seq", "op", vdf).collect()
+    }
+    assert got == {1: 150, 2: 900}
