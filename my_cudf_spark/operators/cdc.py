@@ -39,8 +39,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "apply_changelog", "merge_upsert", "scd2_apply", "incremental_agg",
-    "table_diff", "time_travel",
+    "apply_changelog", "merge_upsert", "scd2_apply", "scd2_asof",
+    "incremental_agg", "table_diff", "time_travel",
 ]
 
 
@@ -209,6 +209,30 @@ def merge_upsert(
         )
     )
     return kept.unionByName(inserts)
+
+
+def scd2_asof(
+    dim: DataFrame,
+    ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Dimension state AS OF ``ts`` — the version whose validity interval
+    contains the timestamp, with the standard half-open ``[valid_from,
+    valid_to)`` convention (at exactly the close/effective instant the
+    NEW version is current).  The dimension-side twin of
+    :func:`time_travel` (which reconstructs a fact table from its
+    changelog): together they reproduce the exact training-set join a
+    past run saw.
+
+    ``ts`` is a timestamp string/literal or a Column.  Scale: a narrow
+    filter — no shuffle, no window; with the dimension partitioned on
+    ``valid_from`` dates the scan prunes to the relevant history."""
+    t = ts if isinstance(ts, Column) else F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    )
 
 
 def scd2_apply(

@@ -489,3 +489,105 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust", "asof_seq", "n_versions", "bal", "bal_iv", "agree")
         .orderBy("cust")
     )
+
+
+@register(
+    "cdc_scd2_asof",
+    sql="""
+    WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS segment,
+                        TIMESTAMP '1995-01-01 00:00:00' AS valid_from
+                 FROM customer),
+    ch AS (
+      SELECT c_custkey AS k, 'MIGRATED' AS segment,
+             TIMESTAMP '2000-06-01 00:00:00' AS eff
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, TIMESTAMP '2000-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 4 = 1
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW', TIMESTAMP '2000-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 4 = 2
+    ),
+    cur AS (SELECT d.k, d.segment, d.valid_from,
+                   CASE WHEN ch.k IS NOT NULL
+                             AND ch.segment IS DISTINCT FROM d.segment
+                        THEN ch.eff END AS valid_to,
+                   NOT (ch.k IS NOT NULL
+                        AND ch.segment IS DISTINCT FROM d.segment) AS is_current
+            FROM dim d LEFT JOIN ch ON d.k = ch.k),
+    newv AS (SELECT ch.k, ch.segment, ch.eff AS valid_from,
+                    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+             FROM ch LEFT JOIN dim d ON d.k = ch.k
+             WHERE d.k IS NULL OR ch.segment IS DISTINCT FROM d.segment),
+    v AS (SELECT * FROM cur UNION ALL SELECT * FROM newv),
+    pre AS (SELECT k, segment FROM v
+            WHERE valid_from <= TIMESTAMP '1999-01-01 00:00:00'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '1999-01-01 00:00:00')),
+    post AS (SELECT k, segment FROM v
+             WHERE valid_from <= TIMESTAMP '2000-12-31 00:00:00'
+               AND (valid_to IS NULL OR valid_to > TIMESTAMP '2000-12-31 00:00:00'))
+    SELECT COALESCE(pre.k, post.k) AS c_custkey,
+           pre.segment AS segment_pre, post.segment AS segment_post,
+           (pre.segment IS DISTINCT FROM post.segment) AS changed
+    FROM pre FULL OUTER JOIN post ON pre.k = post.k
+    ORDER BY c_custkey
+    """,
+)
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension AS-OF reads (operators/cdc.scd2_asof) — the
+    dimension-side twin of cdc_time_travel, together reproducing the
+    exact training-set join a past run saw: the cdc_scd2 versioned
+    customer dimension probed at two instants — before the 2000-06-01
+    segment migration and after it — with the half-open
+    ``[valid_from, valid_to)`` convention (at exactly the effective
+    instant the new version is current).  Output: each key's segment at
+    both instants via a full outer join (brand-new keys are absent
+    pre-migration) and the null-safe changed flag, so any interval-
+    boundary disagreement between the two engines surfaces as extra
+    rows or flag flips.  The as-of read itself is a narrow filter — no
+    shuffle, no window."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    m = (F.col("c_custkey") % 4).alias("m")
+    eff = F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ch = (
+        cust.filter(m == 0)
+        .select("c_custkey", F.lit("MIGRATED").alias("segment"), eff.alias("eff"))
+        .unionByName(
+            cust.filter(m == 1).select(
+                "c_custkey", F.col("c_mktsegment").alias("segment"), eff.alias("eff")
+            )
+        )
+        .unionByName(
+            cust.filter(m == 2).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("NEW").alias("segment"),
+                eff.alias("eff"),
+            )
+        )
+    )
+    versioned = C.scd2_apply(
+        dim, ch, keys=["c_custkey"], attr_cols=["segment"], eff_col="eff"
+    )
+    pre = C.scd2_asof(versioned, "1999-01-01 00:00:00").select(
+        "c_custkey", F.col("segment").alias("segment_pre")
+    )
+    post = C.scd2_asof(versioned, "2000-12-31 00:00:00").select(
+        "c_custkey", F.col("segment").alias("segment_post")
+    )
+    return (
+        pre.join(post, "c_custkey", "full")
+        .select(
+            "c_custkey",
+            "segment_pre",
+            "segment_post",
+            (~F.col("segment_pre").eqNullSafe(F.col("segment_post"))).alias("changed"),
+        )
+        .orderBy("c_custkey")
+    )

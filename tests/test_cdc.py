@@ -393,3 +393,31 @@ def test_time_travel_planted(spark):
         for r in C.time_travel(ch, ["k"], "seq", "op", vdf).collect()
     }
     assert got == {1: 150, 2: 900}
+
+
+def test_scd2_asof_half_open_boundary(spark):
+    """At exactly the close/effective instant the NEW version is current
+    ([valid_from, valid_to) semantics); open versions match any later ts."""
+    from my_cudf_spark.operators import cdc as C
+
+    dim = spark.createDataFrame(
+        [
+            (1, "OLD", "1995-01-01 00:00:00", "2000-06-01 00:00:00", False),
+            (1, "NEW", "2000-06-01 00:00:00", None, True),
+            (2, "KEEP", "1995-01-01 00:00:00", None, True),
+        ],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+
+    def at(ts):
+        return {r["k"]: r["seg"] for r in C.scd2_asof(dim, ts).collect()}
+
+    assert at("1999-12-31 23:59:59") == {1: "OLD", 2: "KEEP"}
+    assert at("2000-06-01 00:00:00") == {1: "NEW", 2: "KEEP"}  # boundary
+    assert at("2005-01-01 00:00:00") == {1: "NEW", 2: "KEEP"}
+    assert at("1990-01-01 00:00:00") == {}
