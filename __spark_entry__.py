@@ -120,10 +120,23 @@ _R10_PLAN_CHANGED = frozenset(
         "agg_market_basket",
     }
 )
+# r11: ADVICE hardening re-plans — time_travel's 1-row version-pin
+# contract enforced in-plan via (max, count) agg + raise_error
+# (cdc_time_travel, the one query with a DataFrame pin); stream_ann_index
+# update fn gains the code-word-length validation and seed_pq_codebooks
+# the short-corpus guard (the three queries whose serialized state fn /
+# seeding changed).
+_R11_PLAN_CHANGED = frozenset(
+    {
+        "cdc_time_travel", "stream_ann_index_replay",
+        "stream_ann_retrain_replay", "stream_ann_ivfpq_replay",
+    }
+)
 _PLAN_CHANGED = (
     (8, _R8_PLAN_CHANGED),
     (9, _R9_PLAN_CHANGED),
     (10, _R10_PLAN_CHANGED),
+    (11, _R11_PLAN_CHANGED),
 )
 
 

@@ -62,17 +62,42 @@ def time_travel(
     ``version`` is an int/literal, or a 1-row DataFrame holding the
     version scalar (first column) — the latter rides a broadcast so a
     data-derived pin (e.g. "the sequence the last run drained to")
-    never collects driver-side.
+    never collects driver-side.  The 1-row contract is ENFORCED in-plan
+    (no extra job): the frame is aggregated to (max, count) and a
+    ``raise_error`` fires if the pin is empty, multi-row, or NULL — a
+    bad pin (a grouped max-seq-per-run instead of a global scalar, an
+    empty drain) fails loudly instead of silently fanning the changelog
+    out per version row or filtering everything away.
 
     Scale: zero full-history shuffles — the version filter prunes
     BEFORE the one keep-latest hash shuffle on the keys, so cost is the
     compaction of the ≤ v prefix, never all versions of all keys."""
     if isinstance(version, DataFrame):
-        vdf = version.select(F.col(version.columns[0]).alias("__ttv"))
+        vdf = version.agg(
+            F.max(F.col(version.columns[0])).alias("__ttv"),
+            F.count(F.lit(1)).alias("__ttn"),
+        )
+        # count==1 makes max() the identity, so the pin value is passed
+        # through exactly; any other cardinality (or a NULL pin) raises
+        # at evaluation time.
+        pin = F.when(
+            (F.col("__ttn") == 1) & F.col("__ttv").isNotNull(), F.col("__ttv")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "time_travel version frame must hold exactly one "
+                        "non-null row, got "
+                    ),
+                    F.col("__ttn").cast("string"),
+                    F.lit(" row(s)"),
+                )
+            )
+        )
         filtered = (
             changes.crossJoin(F.broadcast(vdf))
-            .filter(F.col(seq_col) <= F.col("__ttv"))
-            .drop("__ttv")
+            .filter(F.col(seq_col) <= pin)
+            .drop("__ttv", "__ttn")
         )
     else:
         filtered = changes.filter(F.col(seq_col) <= F.lit(version))

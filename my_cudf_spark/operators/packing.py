@@ -233,8 +233,10 @@ def pack_bestfit(
 
     Returns one row per document:
     ``(id, count, size_class, shard, pack_idx, slot)`` — a pack is keyed
-    by ``(size_class, shard, pack_idx)``.  ``id_col`` must be numeric
-    (the shard arithmetic); rows with ``count <= 0`` are dropped.
+    by ``(size_class, shard, pack_idx)``.  ``id_col`` must be an
+    integral type (byte/short/int/long — the shard arithmetic is pmod on
+    the id; hash a string or fractional id first); rows with
+    ``count <= 0`` are dropped.
     """
     if budget <= 0 or shards <= 0:
         raise ValueError("budget and shards must be positive")

@@ -2221,3 +2221,411 @@ def stream_ann_ivfpq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "stream_scd2_replay",
+    sql="""
+    WITH ev AS (SELECT o_custkey AS cust, o_orderkey AS eff,
+                       o_orderpriority AS priority, o_orderstatus AS status
+                FROM orders),
+    d AS (SELECT *, ROW_NUMBER() OVER w AS rn,
+                 LAG(priority) OVER w AS pp, LAG(status) OVER w AS ps,
+                 COUNT(*) OVER (PARTITION BY cust) AS n_ev
+          FROM ev WINDOW w AS (PARTITION BY cust ORDER BY eff)),
+    kept AS (SELECT cust, priority, status, eff, n_ev FROM d
+             WHERE rn = 1 OR priority IS DISTINCT FROM pp
+                   OR status IS DISTINCT FROM ps),
+    v AS (SELECT cust, priority, status, eff, n_ev,
+                 LEAD(eff) OVER (PARTITION BY cust ORDER BY eff) AS nxt
+          FROM kept)
+    SELECT cust, priority, status,
+           TIMESTAMP '1990-01-01 00:00:00' + to_seconds(eff) AS valid_from,
+           TIMESTAMP '1990-01-01 00:00:00' + to_seconds(nxt) AS valid_to,
+           (nxt IS NULL) AS is_current,
+           CAST(n_ev AS BIGINT) AS n_events
+    FROM v ORDER BY cust, valid_from
+    """,
+)
+def stream_scd2_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 dimension maintenance (streaming/scd2.scd2_history —
+    the stream twin of operators/cdc.scd2_apply, closing the last
+    batch↔stream parity cell in the lakehouse tier): the per-customer
+    (priority, status) change feed derived from ``orders`` replays as 4
+    micro-batches; per-key cross-batch state is the exact-deduplicated
+    change-event set, each emission the key's full derived version
+    history stamped with a monotone ``n_events`` snapshot version — so
+    the drained dimension (max-``n_events`` snapshot per key) is a pure
+    function of the final event SET, chunking/arrival-order/redelivery
+    independent, and the batch SQL fold (consecutive-attr collapse +
+    lead valid_to) is the oracle verbatim.  Effective times ride the
+    stream as epoch offsets (o_orderkey seconds past 1990-01-01 —
+    unique per event by construction, so the (key, eff) contract holds)
+    and convert to timestamps after the drain; composing the result
+    with cdc.scd2_asof reproduces any point-in-time dimension read
+    (tests/test_streaming_scd2.py).  State O(events per key) = the SCD2
+    history itself; one vectorized pandas fold per bucket per batch
+    (buckets=64, the latest_state lever)."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.streaming.scd2 import scd2_history
+    from my_cudf_spark.streaming.sources import replay_table
+
+    stream, work_dir = replay_table(spark, sf_dir, "orders", "o_orderkey")
+    ch = stream.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("eff"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    hist = _drain(
+        scd2_history(ch, ["cust"], ["priority", "status"], "eff", buckets=64),
+        "scd2",
+        work_dir,
+        output_mode="update",
+    )
+    w = Window.partitionBy("cust")
+    base = F.lit(631152000).cast("long")  # 1990-01-01 00:00:00 UTC
+    return (
+        hist.withColumn("__mx", F.max("n_events").over(w))
+        .filter(F.col("n_events") == F.col("__mx"))
+        .select(
+            "cust",
+            "priority",
+            "status",
+            F.timestamp_seconds(base + F.col("valid_from")).alias("valid_from"),
+            F.timestamp_seconds(base + F.col("valid_to")).alias("valid_to"),
+            "is_current",
+            "n_events",
+        )
+        .dropDuplicates()
+        .orderBy("cust", "valid_from")
+    )
+
+
+@register(
+    "stream_ann_ivfpq_residual_replay",
+    sql="""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+    cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv, nn AS cn
+      FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 16),
+    ca AS (SELECT n.vec_id AS neighbor_id, n.v, c.cid, c.cv,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c),
+    res AS MATERIALIZED (
+      SELECT neighbor_id, cid,
+             list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+      FROM ca WHERE pr = 1),
+    rseed AS (SELECT r, ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1 AS code
+              FROM res QUALIFY ROW_NUMBER() OVER (ORDER BY neighbor_id) <= 16),
+    rcents AS MATERIALIZED (
+      SELECT code, CAST(s.s AS INT) AS sub, r[s.s*8+1 : s.s*8+8] AS rcvec
+      FROM rseed CROSS JOIN range(8) s(s)),
+    rs AS (SELECT neighbor_id, cid, CAST(s.s AS INT) AS sub,
+                  r[s.s*8+1 : s.s*8+8] AS rxvec
+           FROM res CROSS JOIN range(8) s(s)),
+    dist AS (SELECT neighbor_id, cid, sub, code,
+                    list_aggregate(list_transform(range(1, 9),
+                      i -> (rxvec[i] - rcvec[i]) * (rxvec[i] - rcvec[i])), 'sum') AS d2
+             FROM rs JOIN rcents USING (sub)),
+    codes AS MATERIALIZED (
+      SELECT neighbor_id, cid, sub, code FROM dist
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY neighbor_id, sub
+                                 ORDER BY d2, code) = 1),
+    csubs AS (SELECT cid, CAST(s.s AS INT) AS sub, cv[s.s*8+1 : s.s*8+8] AS csvec
+              FROM cents CROSS JOIN range(8) s(s)),
+    crossdt AS (SELECT cid, sub, code,
+                       2*list_dot_product(csvec, rcvec)
+                         + list_dot_product(rcvec, rcvec) AS cx
+                FROM csubs JOIN rcents USING (sub)),
+    centn2 AS (SELECT cid, list_dot_product(cv, cv) AS c2 FROM cents),
+    recon AS (SELECT c.neighbor_id,
+                     sqrt(CAST(CAST(SUM(CAST(ROUND(x.cx, 9) AS DECIMAL(28,9)))
+                          + CAST(ROUND(MIN(z.c2), 9) AS DECIMAL(28,9))
+                          AS VARCHAR) AS DOUBLE)) AS rn
+              FROM codes c
+              JOIN crossdt x ON x.cid = c.cid AND x.sub = c.sub AND x.code = c.code
+              JOIN centn2 z ON z.cid = c.cid
+              GROUP BY c.neighbor_id),
+    qa AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nn AS qn, c.cid, c.cv,
+                  ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                      ORDER BY list_dot_product(n.v, c.cv)/(n.nn*c.cn) DESC, c.cid) AS pr
+           FROM n CROSS JOIN cents c WHERE n.vec_id < 5),
+    probes AS (SELECT query_id, qn, cid, list_dot_product(qv, cv) AS qc
+               FROM qa WHERE pr <= 4),
+    adc AS (SELECT q.vec_id AS query_id, r.sub, r.code,
+                   list_dot_product(q.v[r.sub*8+1 : r.sub*8+8], r.rcvec) AS dt
+            FROM e q CROSS JOIN rcents r WHERE q.vec_id < 5),
+    sc AS (SELECT p.query_id, c.neighbor_id, MIN(p.qn) AS qn,
+                  CAST(CAST(SUM(CAST(ROUND(a.dt, 9) AS DECIMAL(28,9)))
+                       + CAST(ROUND(MIN(p.qc), 9) AS DECIMAL(28,9))
+                       AS VARCHAR) AS DOUBLE) AS ip
+           FROM codes c
+           JOIN probes p ON p.cid = c.cid
+           JOIN adc a ON a.query_id = p.query_id AND a.sub = c.sub AND a.code = c.code
+           WHERE c.neighbor_id <> p.query_id
+           GROUP BY 1, 2),
+    sc2 AS (SELECT query_id, neighbor_id, ip / (qn * rn) AS approx_cos
+            FROM sc JOIN recon USING (neighbor_id)),
+    cand AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cos DESC, neighbor_id) AS crk
+      FROM sc2) WHERE crk <= 50),
+    rr AS (SELECT t.query_id, t.neighbor_id, t.approx_cos,
+                  list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) AS cos
+           FROM cand t JOIN e a ON a.vec_id = t.query_id
+                       JOIN e b ON b.vec_id = t.neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rr)
+    SELECT query_id, neighbor_id, ROUND(approx_cos, 6) AS approx_cos,
+           ROUND(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def stream_ann_ivfpq_residual_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF-PQ with RESIDUAL coding — the same layout as batch
+    ``ivfpq_topk``/vec_topk_ivfpq (codes quantize ``v − centroid[cell]``
+    against one shared codebook, Jégou et al. 2011 §V / the FAISS
+    default), closing the layout asymmetry the r10 non-residual variant
+    documented: under a frozen epoch the residual is still a pure
+    projection (``residual_expr`` — centroid table as an array literal
+    indexed by the assigned cell), so the stream carries the
+    better-recall-per-code-budget encoding batch users get, and the
+    oracle is vec_topk_ivfpq's SQL VERBATIM — the drained index answers
+    the probe bit-for-bit like the batch operator on the full corpus.
+
+    Pipeline: corpus streams in 4 micro-batches → frozen-epoch cell
+    (``cell_assign_expr``) + residual PQ code (``pq_code_expr`` over
+    ``residual_expr``; codebooks seeded from the smallest-id rows'
+    residuals with sequential-fold arithmetic, seed_residual_codebooks)
+    → ``stream_ann_index`` accumulates per-cell posting lists with
+    aligned code words → the drained codes feed the residual ADC
+    decomposition ip(q, x̂) = dot(q, cent) + Σₛ dot(qₛ, cₛ[code]) and the
+    reconstructed norm ‖cent‖² + Σₛ(2·dot(centₛ, cₛ[code]) + ‖cₛ[code]‖²)
+    — scanned from the STORED code column, never the float corpus —
+    then exact cosine reranks 50 candidates to top-5.  All cross-code
+    sums ride the round(·,9)+DECIMAL(28,9) order-independence contract.
+
+    Scale: encode is O(m × n_codes × sub_d) JVM arithmetic per row plus
+    one dim-length subtraction; state is ids + m-byte codes per vector
+    (the index, not the corpus); the ADC probe touches only probed
+    cells' code rows and the rerank ≤50 candidates × queries."""
+    from pyspark.sql import Window
+
+    from my_cudf_spark.operators.similarity import (
+        _assign_nearest,
+        _seed_centroids,
+        dot,
+        l2_norm,
+    )
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.annindex import (
+        pq_code_expr,
+        residual_expr,
+        seed_residual_codebooks,
+        stream_ann_index,
+    )
+    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.sources import replay_table
+
+    M, SUB_D, DEC = 8, 8, "decimal(28,9)"
+    sdot = lambda a, b: F.aggregate(  # the shared sequential fold
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    as_double = lambda df: df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    emb_b = as_double(load_table(spark, sf_dir, "embeddings"))
+    cents0 = seed_centroid_rows(emb_b, "vec_id", "embedding", 16)
+    cbooks = seed_residual_codebooks(
+        emb_b, "vec_id", "embedding", cents0, m=M, n_codes=16
+    )
+
+    # stream: frozen-epoch cell + residual PQ code, both pure projections
+    stream, work_dir = replay_table(
+        spark, sf_dir, "embeddings", "vec_id", num_chunks=4
+    )
+    assigned = (
+        as_double(stream)
+        .withColumn("cell", cell_assign_expr(cents0, "embedding"))
+        .withColumn(
+            "code",
+            pq_code_expr(cbooks, residual_expr(cents0, "embedding", "cell")),
+        )
+    )
+    snaps = stream_ann_index(
+        assigned, "vec_id", "cell", epoch=0, buckets=4, code_col="code"
+    )
+    updates = _drain(snaps, "annivfpqr", work_dir, output_mode="update")
+    index = updates.groupBy("cell").agg(
+        F.max_by("ids", "n").alias("ids"), F.max_by("codes", "n").alias("codes")
+    )
+    postings = index.select(
+        F.col("cell").alias("cid"),
+        F.posexplode("ids").alias("pos", "neighbor_id"),
+        F.col("codes"),
+    ).select(
+        "cid",
+        "neighbor_id",
+        F.slice(F.col("codes"), F.col("pos") * M + 1, M).alias("__cw"),
+    )
+    ncodes = postings.select(
+        "cid", "neighbor_id", F.posexplode("__cw").alias("sub", "code")
+    )
+
+    # frozen residual codebook as a bounded m×n_codes frame
+    rcb = spark.createDataFrame(
+        [
+            (s, c, cbooks[s][c])
+            for s in range(M)
+            for c in range(len(cbooks[s]))
+        ],
+        "sub int, code int, rcvec array<double>",
+    )
+    # coarse centroids as a bounded frame: cid, cv, per-sub slices
+    cvdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents0)], "cid int, cv array<double>"
+    )
+    csubs = cvdf.select(
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("cv", s * SUB_D + 1, SUB_D).alias("csvec"),
+                )
+                for s in range(M)
+            ])
+        ).alias("__s"),
+    ).select("cid", F.col("__s.sub").alias("sub"), F.col("__s.csvec").alias("csvec"))
+    cross = csubs.join(rcb, "sub").select(
+        "cid",
+        "sub",
+        "code",
+        (
+            2 * sdot(F.col("csvec"), F.col("rcvec"))
+            + sdot(F.col("rcvec"), F.col("rcvec"))
+        ).alias("__cx"),
+    )
+    centn2 = cvdf.select("cid", sdot(F.col("cv"), F.col("cv")).alias("__c2"))
+
+    # reconstructed norm per neighbor, from stored codes only — the
+    # residual decomposition ‖cent‖² + Σₛ(2·dot(centₛ, cₛ) + ‖cₛ‖²)
+    recon = (
+        ncodes.join(F.broadcast(cross), ["cid", "sub", "code"])
+        .join(F.broadcast(centn2), "cid")
+        .groupBy("neighbor_id")
+        .agg(
+            F.sqrt(
+                (
+                    F.sum(F.round(F.col("__cx"), 9).cast(DEC))
+                    + F.round(F.min("__c2"), 9).cast(DEC)
+                ).cast("double")
+            ).alias("__rn")
+        )
+    )
+
+    # probes: 4 nearest coarse cells per query, carrying dot(q, cent)
+    c = emb_b.select(
+        F.col("vec_id").alias("__sid"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    coarse = _seed_centroids(c, "__sid", 16)
+    q = emb_b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    probes = (
+        _assign_nearest(q, coarse, "query_id", 4)
+        .join(F.broadcast(coarse), "cid")
+        .select(
+            "query_id",
+            "cid",
+            F.col("__n").alias("__qn"),
+            sdot(F.col("__v"), F.col("__cv")).alias("__qc"),
+        )
+    )
+
+    # per-query ADC table: dot(q_s, rcb[s, code]) for every (sub, code)
+    qsubs = q.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__v", s * SUB_D + 1, SUB_D).alias("qvec"),
+                )
+                for s in range(M)
+            ])
+        ).alias("__s"),
+    ).select(
+        "query_id", F.col("__s.sub").alias("sub"), F.col("__s.qvec").alias("qvec")
+    )
+    adc = qsubs.join(F.broadcast(rcb), "sub").select(
+        "query_id", "sub", "code", sdot(F.col("qvec"), F.col("rcvec")).alias("__dt")
+    )
+
+    scored = (
+        ncodes.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.min("__qn").alias("__qn"),
+            (
+                F.sum(F.round(F.col("__dt"), 9).cast(DEC))
+                + F.round(F.min("__qc"), 9).cast(DEC)
+            )
+            .cast("double")
+            .alias("__ip"),
+        )
+        .join(recon, "neighbor_id")
+        .withColumn("approx_cos", F.col("__ip") / (F.col("__qn") * F.col("__rn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("__crk", F.row_number().over(w)).filter(
+        F.col("__crk") <= 50
+    )
+    cfull = emb_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    )
+    qfull = emb_b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qfv"),
+        l2_norm(F.col("embedding")).alias("__qfn"),
+    )
+    reranked = (
+        cand.select("query_id", "neighbor_id", "approx_cos")
+        .join(cfull, "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn(
+            "cos",
+            dot(F.col("__qfv"), F.col("__cv")) / (F.col("__qfn") * F.col("__cn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_ann_index", "seed_pq_codebooks", "pq_code_expr"]
+__all__ = [
+    "stream_ann_index", "seed_pq_codebooks", "pq_code_expr",
+    "seed_residual_codebooks", "residual_expr",
+]
 
 
 def seed_pq_codebooks(
@@ -54,6 +57,14 @@ def seed_pq_codebooks(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_codes).take(n_codes)
     )
+    if len(rows) < n_codes:
+        # A short corpus would silently skew downstream code assignment
+        # (fewer codes than the contract promises); mirror the explicit
+        # dim % m check below and fail loudly instead.
+        raise ValueError(
+            f"seed_pq_codebooks needs at least n_codes={n_codes} corpus "
+            f"rows to seed the codebooks, got {len(rows)}"
+        )
     vecs = [[float(x) for x in r[1]] for r in rows]
     dim = len(vecs[0])
     if dim % m != 0:
@@ -64,8 +75,87 @@ def seed_pq_codebooks(
     ]
 
 
+def seed_residual_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    m: int,
+    n_codes: int,
+) -> list[list[list[float]]]:
+    """Shared RESIDUAL codebooks ``[sub][code][component]`` — the
+    sub-vector slices of ``v − centroid[cell(v)]`` for the ``n_codes``
+    smallest-id corpus rows, i.e. exactly the deterministic seeding of
+    :func:`~my_cudf_spark.operators.similarity.ivfpq_topk`
+    (similarity.py:1248, ``rseed`` = residuals of the smallest-id rows),
+    so residual codes assigned on the stream equal the batch encode
+    bit-for-bit.  Each seed row's cell is chosen here with the SAME
+    sequential-fold float arithmetic as
+    :func:`~my_cudf_spark.streaming.semdedup.cell_assign_expr` (argmax
+    cosine, ties → lowest cid; plain sequential Python doubles — np.dot
+    would sum in BLAS order and could flip an ulp-close tie), and the
+    residual subtraction is exact IEEE — the literals match the in-plan
+    values exactly.  Driver materialization bounded at n_codes × dim
+    floats (the seed_pq_codebooks / MLlib pattern)."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_codes).take(n_codes)
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"seed_residual_codebooks needs at least n_codes={n_codes} "
+            f"corpus rows to seed the codebooks, got {len(rows)}"
+        )
+
+    def _sdot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cnorms = [float(np.sqrt(_sdot(c, c))) for c in centroids]
+    resids: list[list[float]] = []
+    for r in rows:
+        v = [float(x) for x in r[1]]
+        vn = float(np.sqrt(_sdot(v, v)))
+        best_cos, best_cid = float("-inf"), -1
+        for cid, (c, cn) in enumerate(zip(centroids, cnorms)):
+            cos = _sdot(v, c) / (vn * cn)
+            # strict > keeps the first maximal element → ties resolve to
+            # the lowest cid, matching cell_assign_expr / ORDER BY cos
+            # DESC, cid
+            if cos > best_cos:
+                best_cos, best_cid = cos, cid
+        cent = centroids[best_cid]
+        resids.append([x - c for x, c in zip(v, cent)])
+    dim = len(resids[0])
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    sub_d = dim // m
+    return [
+        [r[s * sub_d : (s + 1) * sub_d] for r in resids] for s in range(m)
+    ]
+
+
+def residual_expr(
+    centroids: list[list[float]], vec_col, cell_col: str
+) -> "F.Column":
+    """``v − centroid[cell]`` as a pure Column expression — the residual
+    the shared PQ codebook quantizes in the batch IVF-PQ layout
+    (similarity.ivfpq_topk).  The centroid table rides as one
+    array-of-arrays literal indexed by the (already-assigned) cell id,
+    so under a frozen epoch the residual is a pure projection — legal on
+    a stream, and exact (IEEE subtraction of identical doubles) so codes
+    downstream match the batch encode bit-for-bit."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lit_cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cent = F.element_at(lit_cents, F.col(cell_col).cast("int") + 1)
+    return F.zip_with(v, cent, lambda x, c: x - c)
+
+
 def pq_code_expr(
-    codebooks: list[list[list[float]]], vec_col: str
+    codebooks: list[list[list[float]]], vec_col
 ) -> "F.Column":
     """PQ code assignment as a pure Column expression — ``array<int>`` of
     ``m`` codes, one argmin-L2 per subspace over that subspace's codebook
@@ -75,12 +165,17 @@ def pq_code_expr(
     is O(m × n_codes × sub_d) JVM-side arithmetic per row — the same
     shape as :func:`~my_cudf_spark.streaming.semdedup.cell_assign_expr`.
     Every per-code distance is the shared sequential fold, bit-identical
-    to the batch encode and the DuckDB twin."""
+    to the batch encode and the DuckDB twin.
+
+    ``vec_col`` is a column name or a Column — pass
+    :func:`residual_expr`'s output to encode residuals (the batch
+    ``ivfpq_topk`` layout) instead of raw vectors."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
     codes = []
     for s in range(m):
-        xs = F.slice(F.col(vec_col), s * sub_d + 1, sub_d)
+        xs = F.slice(vec, s * sub_d + 1, sub_d)
         scored = []
         for code, cvec in enumerate(codebooks[s]):
             lit_c = F.array(*[F.lit(float(x)) for x in cvec])
@@ -170,10 +265,30 @@ def stream_ann_index(
         cells = np.concatenate([cells, new["__cell"].to_numpy(np.int64)])
         ids = np.concatenate([ids, new["__id"].to_numpy(np.int64)])
         if with_codes:
+            # frozen-epoch contract: every code word in an epoch has the
+            # same length m.  A divergent batch would otherwise silently
+            # misalign ids and code words whenever the element count
+            # happens to divide by m — validate and fail instead.
+            lens = {len(c) for c in new["__code"]}
+            if len(lens) != 1:
+                raise ValueError(
+                    f"stream_ann_index: mixed code-word lengths {sorted(lens)} "
+                    "in one batch (frozen-epoch contract violation)"
+                )
+            batch_m = lens.pop()
+            if batch_m == 0:
+                raise ValueError(
+                    "stream_ann_index: empty code words in batch"
+                )
+            if m and batch_m != m:
+                raise ValueError(
+                    f"stream_ann_index: batch code-word length {batch_m} != "
+                    f"state m={m} (frozen-epoch contract violation)"
+                )
             new_codes = np.array(
                 [list(c) for c in new["__code"]], dtype=np.int32
             )
-            m = m or new_codes.shape[1]
+            m = m or batch_m
             codes = np.concatenate(
                 [codes_flat.reshape(-1, m), new_codes.reshape(-1, m)]
             )

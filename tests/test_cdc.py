@@ -421,3 +421,27 @@ def test_scd2_asof_half_open_boundary(spark):
     assert at("2000-06-01 00:00:00") == {1: "NEW", 2: "KEEP"}  # boundary
     assert at("2005-01-01 00:00:00") == {1: "NEW", 2: "KEEP"}
     assert at("1990-01-01 00:00:00") == {}
+
+
+def test_time_travel_bad_version_frame_raises(spark):
+    """The 1-row version-pin contract is enforced in-plan: an empty,
+    multi-row, or NULL-pin frame raises at evaluation instead of
+    silently reconstructing an empty (or fanned-out) table."""
+    ch = spark.createDataFrame(
+        [(1, 10, "U", 100), (1, 20, "U", 150), (2, 15, "U", 900)],
+        "k long, seq long, op string, val long",
+    )
+    # empty pin frame (e.g. an empty drain) → loud failure
+    empty = ch.filter(F.col("seq") < 0).agg(F.max("seq").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    with pytest.raises(Exception, match="exactly one"):
+        C.time_travel(ch, ["k"], "seq", "op", empty).collect()
+    # multi-row pin (a grouped max-per-run instead of a global scalar)
+    multi = ch.groupBy("k").agg(F.max("seq").alias("v")).select("v")
+    with pytest.raises(Exception, match="exactly one"):
+        C.time_travel(ch, ["k"], "seq", "op", multi).collect()
+    # 1-row NULL pin
+    nullpin = ch.agg(F.max(F.when(F.col("seq") < 0, F.col("seq"))).alias("v"))
+    with pytest.raises(Exception, match="exactly one"):
+        C.time_travel(ch, ["k"], "seq", "op", nullpin).collect()

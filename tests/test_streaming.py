@@ -1907,3 +1907,124 @@ def test_pq_code_expr_matches_numpy_argmin(spark):
             ]
             want.append(int(np.argmin(d2)))  # argmin ties → lowest index
         assert got[i] == want, i
+
+
+def test_seed_codebooks_short_corpus_raises(spark):
+    """Fewer corpus rows than n_codes would silently skew code
+    assignment — both seeders fail loudly instead."""
+    from my_cudf_spark.streaming.annindex import (
+        seed_pq_codebooks,
+        seed_residual_codebooks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least n_codes=8"):
+        seed_pq_codebooks(df, "vec_id", "embedding", m=2, n_codes=8)
+    with pytest.raises(ValueError, match="at least n_codes=8"):
+        seed_residual_codebooks(
+            df, "vec_id", "embedding", [[1.0, 0.0, 0.0, 0.0]], m=2, n_codes=8
+        )
+
+
+def test_stream_ann_index_mixed_code_len_raises(spark):
+    """A batch whose code words disagree on m (frozen-epoch contract
+    violation) raises instead of silently misaligning ids and codes."""
+    import tempfile
+
+    from my_cudf_spark.streaming import ops as S
+    from my_cudf_spark.streaming.annindex import stream_ann_index
+
+    df = load_table(spark, SF_DIR, "embeddings").limit(20)
+    work_dir = tempfile.mkdtemp(prefix="annmix_")
+    df.select("vec_id").repartitionByRange(2, "vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work_dir, "data"))
+    stream = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work_dir, "data"))
+        .withColumn("cell", (F.col("vec_id") % 2).cast("int"))
+        .withColumn(
+            "code",
+            F.when(
+                F.col("vec_id") % 2 == 0, F.array(F.lit(1), F.lit(2))
+            ).otherwise(F.array(F.lit(1), F.lit(2), F.lit(3))),
+        )
+    )
+    try:
+        with pytest.raises(Exception, match="mixed code-word lengths"):
+            S.run_to_memory(
+                stream_ann_index(
+                    stream, "vec_id", "cell", buckets=1, code_col="code"
+                ),
+                "annmix",
+                output_mode="update",
+            )
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def test_residual_codebooks_match_batch_inplan(spark):
+    """seed_residual_codebooks' driver-side literals equal the batch
+    in-plan residual computation (cell choice by sequential-fold cosine,
+    exact IEEE subtraction) component-for-component."""
+    from my_cudf_spark.operators.similarity import (
+        _assign_nearest,
+        _seed_centroids,
+        l2_norm,
+    )
+    from my_cudf_spark.streaming.annindex import seed_residual_codebooks
+    from my_cudf_spark.streaming.semdedup import seed_centroid_rows
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    m, n_codes = 8, 16
+    cents0 = seed_centroid_rows(emb, "vec_id", "embedding", 16)
+    cbooks = seed_residual_codebooks(
+        emb, "vec_id", "embedding", cents0, m=m, n_codes=n_codes
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("__v"),
+        l2_norm(F.col("embedding")).alias("__n"),
+    )
+    cents = _seed_centroids(c, "nid", 16)
+    res = (
+        _assign_nearest(c, cents, "nid", 1)
+        .join(F.broadcast(cents), "cid")
+        .select(
+            "nid",
+            F.zip_with(F.col("__v"), F.col("__cv"), lambda x, y: x - y).alias("r"),
+        )
+        .orderBy("nid")
+        .limit(n_codes)
+        .collect()
+    )
+    sub_d = len(res[0]["r"]) // m
+    for code, row in enumerate(res):
+        want = [float(x) for x in row["r"]]
+        for s in range(m):
+            assert cbooks[s][code] == want[s * sub_d : (s + 1) * sub_d], (
+                s,
+                code,
+            )
+
+
+def test_stream_ivfpq_residual_equals_batch_ivfpq(spark):
+    """The drained residual-coded streaming IVF-PQ answers the probe
+    EXACTLY like batch ivfpq_topk on the full corpus — the bit-parity
+    the residual layout exists for (vec_topk_ivfpq is the oracle)."""
+    from my_cudf_spark.queries import load_registry
+
+    reg = load_registry()
+    got = [
+        tuple(r)
+        for r in reg["stream_ann_ivfpq_residual_replay"].fn(spark, SF_DIR).collect()
+    ]
+    want = [tuple(r) for r in reg["vec_topk_ivfpq"].fn(spark, SF_DIR).collect()]
+    assert got == want and len(got) > 0
