@@ -125,11 +125,34 @@ _R10_PLAN_CHANGED = frozenset(
 # (cdc_time_travel, the one query with a DataFrame pin); stream_ann_index
 # update fn gains the code-word-length validation and seed_pq_codebooks
 # the short-corpus guard (the three queries whose serialized state fn /
-# seeding changed).
+# seeding changed).  PLUS the r11 OPTIMIZATION re-plans (results proven
+# identical against the full DuckDB oracle at sf0.01 before landing):
+# power_iteration_pca covariance → Arrow/NumPy partial sums + keyless
+# mean agg (vec_pca_project/_topr); unigram Viterbi score resolution →
+# grid join (text_unigram_learn/_apply); pagerank edge explode +
+# src-partitioned pin (graph_pagerank); epoch metadata persist
+# (sample_epoch_shuffle_multi); and the replay-prep single-task chunk
+# write shared by every stream_* query.
 _R11_PLAN_CHANGED = frozenset(
     {
-        "cdc_time_travel", "stream_ann_index_replay",
-        "stream_ann_retrain_replay", "stream_ann_ivfpq_replay",
+        "cdc_time_travel",
+        "vec_pca_project", "vec_pca_topr",
+        "vec_topk_ivf", "vec_topk_pq", "vec_topk_ivfpq",
+        "text_unigram_learn", "text_unigram_apply",
+        "graph_pagerank", "sample_epoch_shuffle_multi",
+        "stream_ann_index_replay", "stream_ann_ivfpq_replay",
+        "stream_ann_retrain_replay", "stream_audio_dedup_replay",
+        "stream_cdc_merge_replay", "stream_cdc_replay",
+        "stream_cluster_stats_replay", "stream_curation_model_replay",
+        "stream_curation_replay", "stream_decontam_replay",
+        "stream_dedup_replay", "stream_funnel_replay", "stream_ivm_replay",
+        "stream_join_replay", "stream_phash_replay", "stream_pit_replay",
+        "stream_pretrain_replay", "stream_quantile_replay",
+        "stream_reservoir_replay", "stream_running_totals",
+        "stream_semantic_dedup_replay", "stream_session_replay",
+        "stream_sketch_replay", "stream_sliding_replay",
+        "stream_substring_replay", "stream_topk_replay",
+        "stream_tumbling_replay", "stream_video_dedup_replay",
     }
 )
 _PLAN_CHANGED = (

@@ -426,12 +426,17 @@ def ivf_topk(
     refine them; each step is two shuffles, linear in corpus size.  Empty
     cells keep their previous centroid.
     """
+    from my_cudf_spark.plans.pin import lru_persist
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
-    cents = _seed_centroids(c, "neighbor_id", n_centroids)
+    # cents feeds BOTH assignment passes (corpus buckets + query probes),
+    # each behind its own broadcast exchange — pin the n_centroids-row
+    # seed so its corpus-limit window runs once.
+    cents = lru_persist(_seed_centroids(c, "neighbor_id", n_centroids))
 
     for _ in range(lloyd_iterations):
         assigned = _assign_nearest(c, cents, "neighbor_id", 1)
@@ -824,77 +829,135 @@ def power_iteration_pca(
     The fixed iteration count (not a convergence test) is what makes the
     result a pure function of the input, i.e. SQL-oracle-able.
 
-    Scale: the covariance pass explodes dim² terms per row (the standard
-    dense-covariance cost, fine for embedding dims up to ~1k); the
-    iteration loop touches only the d²-row covariance and a d-row vector
-    (eagerly checkpointed, one tiny job per step); the projection is one
-    narrow pass over the corpus with the centered direction riding a
-    1-row broadcast.  Corpus is scanned twice total (covariance +
-    projection).
+    Scale: the covariance is ONE Arrow-batched NumPy pass — each task
+    folds its batches into a d×d int64 accumulator of the identical
+    per-term nano-units and ships d² tiny rows, so nothing corpus-sized
+    (and no d²-per-row exploded frame) ever shuffles; the iteration loop
+    touches only the d²-row covariance and a d-row vector (eagerly
+    checkpointed, one tiny job per step); the projection is one narrow
+    pass over the corpus with the centered direction riding a 1-row
+    broadcast.  Corpus is scanned three times total (means, covariance,
+    projection), each a narrow columnar scan.
 
     Returns ``(component_df, projected_df)``: with ``components=1``
     (legacy shape) component_df = (pos INT, val DOUBLE) — the unit
     direction after the final step — and projected_df = (id_col, pc1
     DOUBLE); with ``components=r`` component_df = (component INT, pos
     INT, val DOUBLE) and projected_df = (id_col, pc1 … pcr DOUBLE)."""
-    from pyspark.storagelevel import StorageLevel
-
     DEC = "decimal(28,9)"
     spark = corpus.sparkSession
     n_f = F.count(F.lit(1))
 
-    ex = corpus.select(
-        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("pos", "x")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    mu = ex.groupBy("pos").agg(
-        (F.sum(F.col("x").cast(DEC)).cast("double") / n_f).alias("mu")
-    )
-    xc = ex.join(F.broadcast(mu), "pos").select(
-        "__id", "pos", (F.col("x") - F.col("mu")).alias("xc")
-    )
-    a = xc.select("__id", F.col("pos").alias("i"), F.col("xc").alias("xi"))
-    b = xc.select("__id", F.col("pos").alias("j"), F.col("xc").alias("xj"))
-    # The d²-per-row pair sum is the hot loop: per-term exact INTEGER
-    # nano-units (floor(x·1e9 + 0.5) — the floor-not-ROUND half-handling
-    # convention) sum as BIGINT far faster than DECIMAL with the same
-    # order-independence, and symmetry halves the terms — (i,j) and (j,i)
-    # share an identical term multiset, so mirroring the upper triangle
-    # reproduces the full matrix bit-for-bit.
-    covh = (
-        a.join(b, "__id")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
-        .agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("xi") * F.col("xj") * F.lit(1000000000.0) + F.lit(0.5)
-                    ).cast("long")
-                ).cast("double")
-                / F.lit(1000000000.0)
-                / n_f
-            ).alias("c")
-        )
-    )
-    cov = covh.unionByName(
-        covh.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
+    # Per-dimension means as ONE keyless aggregation over the array column
+    # (64 decimal sums, partial/final — no posexplode, no 64n-row shuffle);
+    # each entry is the identical sum(x::DECIMAL(28,9))::double / n the
+    # grouped form computed, so the value is bit-for-bit unchanged.
+    mu_arr = corpus.agg(
+        F.array(
+            *[
+                (
+                    F.sum(F.element_at(F.col(vec_col), i + 1).cast(DEC)).cast(
+                        "double"
+                    )
+                    / n_f
+                )
+                for i in range(dim)
+            ]
+        ).alias("__mu")
     ).localCheckpoint(eager=True)
-    # Pin mu (d rows) NOW, while ex is still persisted: the lazily
-    # returned projection reads mu after this function unpersists ex, and
-    # an uncheckpointed mu would silently re-run the corpus posexplode —
-    # a third corpus scan the docstring promises not to make.
-    mu = mu.localCheckpoint(eager=True)
+    # bounded driver materialization: exactly the d per-dimension means
+    # (1 row × dim values) — they enter the covariance kernel as plan
+    # literals, the seed_centroid_rows / MLlib pattern.
+    mu_row = mu_arr.take(1)
+    mu_list = list(mu_row[0]["__mu"]) if mu_row else []
+    if len(mu_list) != dim or any(m is None for m in mu_list):
+        raise ValueError(
+            f"power_iteration_pca: expected {dim} dimension means, got "
+            f"{len(mu_list)} (empty corpus or ragged vectors)"
+        )
+
+    # The d² covariance is ONE corpus pass of Arrow-batched NumPy partial
+    # sums (guide §4.2) instead of the former d²-per-row explode +
+    # self-join + 64n-row shuffle: each task folds its batches into a
+    # d×d int64 accumulator of the SAME per-term exact INTEGER nano-units
+    # (floor((xc_i·xc_j)·1e9 + 0.5) — IEEE multiply/floor are identical in
+    # NumPy float64 and JVM double, and int64 partial sums commute), then
+    # emits d² rows; only d²·n_tasks tiny rows ever shuffle.
+    def _cov_partials(it):
+        import numpy as np
+        import pyarrow as pa
+
+        mu_np = np.asarray(mu_list, dtype=np.float64)
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        step = max(1, 4_000_000 // (dim * dim))  # bound the (n,d,d) block
+        for b in it:
+            col = b.column(0)
+            try:
+                off = col.offsets.to_numpy()
+                fast = (
+                    col.null_count == 0
+                    and len(off) > 1
+                    and off[0] == 0
+                    and bool(np.all(np.diff(off) == dim))
+                )
+            except Exception:
+                fast = False
+            if fast:
+                X = (
+                    col.values.to_numpy(zero_copy_only=False)[: off[-1]]
+                    .reshape(-1, dim)
+                )
+            else:
+                rows = col.to_pylist()
+                if not rows:
+                    continue
+                X = np.asarray(rows, dtype=np.float64)
+            Xc = X - mu_np
+            for s in range(0, Xc.shape[0], step):
+                blk = Xc[s : s + step]
+                terms = np.floor(
+                    (blk[:, :, None] * blk[:, None, :]) * 1e9 + 0.5
+                ).astype(np.int64)
+                acc += terms.sum(axis=0)
+        ii, jj = np.indices((dim, dim))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ii.ravel(), type=pa.int32()),
+                pa.array(jj.ravel(), type=pa.int32()),
+                pa.array(acc.ravel(), type=pa.int64()),
+            ],
+            names=["i", "j", "s"],
+        )
+
+    nn = corpus.agg(F.count(F.lit(1)).alias("__n"))
+    cov = (
+        corpus.select(F.col(vec_col).alias("__v"))
+        .mapInArrow(_cov_partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s").cast("double") / F.lit(1000000000.0) / F.col("__n")
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     def iterate(cov_k):
         """Fixed power iteration on one (possibly deflated) covariance
-        checkpoint; returns (unit direction, final matvec-norm frame)."""
+        checkpoint; returns (unit direction, final matvec-norm frame).
+
+        One eager job per step (the v checkpoint): the norm rides the same
+        job as a broadcast subquery over the w subtree — w is re-evaluated
+        for it, but w is a d-row aggregate of a d²-row checkpoint, far
+        cheaper than a second scheduled checkpoint job per step."""
         v = spark.range(dim).select(
             F.col("id").cast("int").alias("pos"),
             F.lit(1.0 / float(dim) ** 0.5).alias("val"),
         )
-        v = v.localCheckpoint(eager=True)
         nrm = None
         for _ in range(iterations):
             w = (
@@ -915,7 +978,7 @@ def power_iteration_pca(
                         "double"
                     )
                 ).alias("n")
-            ).localCheckpoint(eager=True)
+            )
             v = (
                 w.crossJoin(F.broadcast(nrm))
                 .select(
@@ -951,12 +1014,6 @@ def power_iteration_pca(
                 .localCheckpoint(eager=True)
             )
 
-    mu_arr = mu.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-            lambda s: s.getField("mu"),
-        ).alias("__mu")
-    )
     proj = corpus.crossJoin(F.broadcast(mu_arr))
     for k, v in enumerate(vs):
         v_arr = v.agg(
@@ -990,13 +1047,7 @@ def power_iteration_pca(
                 F.lit(k).cast("int").alias("component"), "pos", "val"
             )
             comp_df = tagged if comp_df is None else comp_df.unionByName(tagged)
-    try:
-        return comp_df, proj
-    finally:
-        try:
-            ex.unpersist()
-        except Exception:  # session tearing down — nothing to release
-            pass
+    return comp_df, proj
 
 
 def pq_topk(
@@ -1055,8 +1106,16 @@ def pq_topk(
             for s in range(m)
         ])
     )
-    cents = seed.select("cid", subs.alias("__s")).select(
-        "cid", F.col("__s.sub").alias("sub"), F.col("__s.cvec").alias("cvec")
+    from my_cudf_spark.plans.pin import lru_persist
+
+    # cents / codes each feed several branches (encode, reconstructed
+    # norms, ADC, scoring) — pin them so the seed window and the encode
+    # groupBy are computed once (cents is m·n_codes rows; codes is
+    # m ids+codes per corpus row, never the float vectors).
+    cents = lru_persist(
+        seed.select("cid", subs.alias("__s")).select(
+            "cid", F.col("__s.sub").alias("sub"), F.col("__s.cvec").alias("cvec")
+        )
     )
 
     # encode: nearest centroid per (vector, subspace); L2 on sub-vectors,
@@ -1078,7 +1137,7 @@ def pq_topk(
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    codes = (
+    codes = lru_persist(
         cs.join(F.broadcast(cents), "sub")
         .select("neighbor_id", "sub", "cid", d2.alias("__d2"))
         .groupBy("neighbor_id", "sub")
@@ -1224,15 +1283,23 @@ def ivfpq_topk(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
     )
 
+    from my_cudf_spark.plans.pin import lru_persist
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
-    cents = _seed_centroids(c, "neighbor_id", n_centroids)
+    # The seed/residual/code frames each feed several downstream branches
+    # (broadcast exchanges do NOT dedupe across distinct canonical plans,
+    # and the static r11 plan showed 26 corpus scans for one query) — pin
+    # the shared subtrees so each is computed once: cents is n_centroids
+    # rows, rcents n_codes·m rows, res/codes corpus-sized but narrow
+    # (ids + residuals / ids + codes — never the float corpus twice).
+    cents = lru_persist(_seed_centroids(c, "neighbor_id", n_centroids))
 
     # coarse assignment + residuals (exact float subtraction, no rounding)
-    res = (
+    res = lru_persist(
         _assign_nearest(c, cents, "neighbor_id", 1)
         .join(broadcast(cents), "cid")
         .select(
@@ -1247,18 +1314,22 @@ def ivfpq_topk(
     rseed = rseed.withColumn(
         "code", F.row_number().over(Window.orderBy("neighbor_id")) - 1
     )
-    rcents = rseed.select(
-        "code",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice("__r", s * sub_d + 1, sub_d).alias("rcvec"),
-                )
-                for s in range(m)
-            ])
-        ).alias("__s"),
-    ).select("code", F.col("__s.sub").alias("sub"), F.col("__s.rcvec").alias("rcvec"))
+    rcents = lru_persist(
+        rseed.select(
+            "code",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("__r", s * sub_d + 1, sub_d).alias("rcvec"),
+                    )
+                    for s in range(m)
+                ])
+            ).alias("__s"),
+        ).select(
+            "code", F.col("__s.sub").alias("sub"), F.col("__s.rcvec").alias("rcvec")
+        )
+    )
 
     # encode: nearest residual-codebook entry per (vector, subspace)
     rs = res.select(
@@ -1281,7 +1352,7 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    codes = (
+    codes = lru_persist(
         rs.join(broadcast(rcents), "sub")
         .select("neighbor_id", "cid", "sub", "code", d2.alias("__d2"))
         .groupBy("neighbor_id", "cid", "sub")

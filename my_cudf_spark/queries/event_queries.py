@@ -552,12 +552,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("l_partkey")).cast("long").alias("a"),
         (2 * F.col("l_suppkey") + 1).cast("long").alias("b"),
     ).distinct()
-    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # Undirect via ONE explode instead of a self-union (the union's two
+    # branches each re-ran the distinct — two shuffles of lineitem for one
+    # edge set), and pin the edge frame hash-partitioned on src: deg's
+    # groupBy and every iteration's rank join reuse that layout, so the
+    # only per-iteration Exchange left is the contribution groupBy(dst)
+    # (guide §2.4 — operations keyed the same way share one exchange).
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     from my_cudf_spark.operators.dedup import _persist
 
-    edges = _persist(edges)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _persist(edges.repartition(nparts, "src"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     r = (

@@ -488,10 +488,17 @@ def sample_epoch_shuffle_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_cudf_spark.operators.packing import global_cumsum
     from my_cudf_spark.operators.sampling import epoch_shuffle
 
+    from my_cudf_spark.operators.dedup import _persist
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("nt"),
+    # Pin the (doc_id, token-count) metadata once: the three epoch chains
+    # plus the epoch-1 self-join otherwise each re-scan and re-tokenize
+    # the text column (4 corpus text passes for one 2-column frame).
+    base = _persist(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("nt"),
+        )
     )
     per_epoch = []
     for e in (1, 2, 3):
@@ -502,6 +509,9 @@ def sample_epoch_shuffle_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pack", F.floor(F.col("cum") / F.lit(2048.0)).cast("long")
             ).withColumn("epoch", F.lit(e))
         )
+    # epoch 1 feeds both the union and the same_as_e1 join — pin it so the
+    # two consumers share one evaluation of its rank+cumsum exchanges.
+    per_epoch[0] = _persist(per_epoch[0])
     all_e = per_epoch[0].unionByName(per_epoch[1]).unionByName(per_epoch[2])
     e1 = per_epoch[0].select("doc_id", F.col("pos").alias("pos1"))
     return (

@@ -37,13 +37,28 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Sessions already configured by apply_runtime_confs, keyed by JVM session
+# identity: load_table re-applies the profile defensively on EVERY call
+# (a driver may hand us a fresh session mid-run), and each conf.set is a
+# py4j round trip — ~10 per table load adds up to whole seconds across a
+# bench sweep.  One pass per session is enough; queries that TEMPORARILY
+# override a conf (the streaming drain) restore it themselves.
+import weakref
+
+_CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Best-effort apply of runtime-settable confs to an existing session."""
-    for key, value in RUNTIME_CONFS.items():
+    """Best-effort apply of runtime-settable confs to an existing session
+    (idempotent and memoized per live session object)."""
+    if spark in _CONFIGURED_SESSIONS:
+        return spark
+    for k, value in RUNTIME_CONFS.items():
         try:
-            spark.conf.set(key, value)
+            spark.conf.set(k, value)
         except Exception:
             pass  # non-runtime-settable under this deployment; defaults stand
+    _CONFIGURED_SESSIONS.add(spark)
     return spark
 
 

@@ -21,6 +21,7 @@ a catalog table; the call shape stays the same.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,7 +52,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _COMPUTE_HEAVY = frozenset({"documents", "embeddings"})
 
 
-def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+# Per-session memo of the split-count decision, keyed by source path:
+# ``df.rdd.getNumPartitions()`` runs full analysis + physical planning +
+# RDD DAG construction through py4j (~tens of ms) on EVERY load of a
+# compute-heavy table, and the answer is a pure function of (session,
+# file set) — across a 253-query bench sweep the repeated probes add up
+# to whole seconds of driver time for an answer that never changes.
+_SPLIT_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, bool]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ensure_min_parallelism(
+    df: DataFrame, spark: SparkSession, cache_key: str | None = None
+) -> DataFrame:
     """Round-robin repartition a scan that cannot feed the cores.
 
     Condition is the ACTUAL scan split count (metadata-only for file
@@ -61,11 +75,19 @@ def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
     handful of small files (local fixtures, tail partitions), where the
     shuffled bytes are by construction tiny.  Catalyst still pushes
     filters and column pruning through the round-robin Exchange into the
-    scan (plan-guarded in tests/test_plans.py)."""
+    scan (plan-guarded in tests/test_plans.py).  ``cache_key`` (the source
+    path) memoizes the probe per session — a perf memo only, the plan it
+    yields is identical."""
     floor = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < floor:
-        return df.repartition(floor)
-    return df
+    if cache_key is not None:
+        per_session = _SPLIT_CACHE.setdefault(spark, {})
+        need = per_session.get(cache_key)
+        if need is None:
+            need = df.rdd.getNumPartitions() < floor
+            per_session[cache_key] = need
+    else:
+        need = df.rdd.getNumPartitions() < floor
+    return df.repartition(floor) if need else df
 
 
 def load_table(
@@ -81,7 +103,7 @@ def load_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if parallelize and name in _COMPUTE_HEAVY:
-        df = ensure_min_parallelism(df, spark)
+        df = ensure_min_parallelism(df, spark, cache_key=path)
     if name == "events":
         # Fixture generations vary: ts is either ns-as-long or a native
         # timestamp.  Normalize both to µs TIMESTAMP_NTZ (session tz pinned

@@ -147,14 +147,36 @@ def replay_table(
     files per batch.  ``transform`` (DataFrame → DataFrame) applies before
     the chunked write so the streamed schema equals the batch schema.
     Returns (stream_df, dir); the caller owns cleanup of the dir."""
-    batch = load_table(spark, sf_dir, table)
+    batch = load_table(spark, sf_dir, table, parallelize=False)
     if transform is not None:
         batch = transform(batch)
     out_dir = work_dir or tempfile.mkdtemp(prefix=f"{table}_stream_")
     data_dir = os.path.join(out_dir, "data")
     if os.path.exists(data_dir):
         shutil.rmtree(data_dir)
-    batch.repartitionByRange(num_chunks, chunk_key).write.parquet(data_dir)
+    if batch.rdd.getNumPartitions() == 1:
+        # Fast chunking for the single-split fixture scan (guide §2.4: the
+        # range repartition here cost a sampling pass + a shuffle purely to
+        # cut N files): one sequential write task emits ``num_chunks``
+        # key-ordered-as-stored files via maxRecordsPerFile — deterministic
+        # (same input file → same row order → same chunks) and ~2 jobs
+        # cheaper per replay.  The row count is parquet-footer metadata
+        # unless a transform changed cardinality (then one count job, which
+        # parquet aggregate pushdown keeps metadata-only for pure casts).
+        if transform is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(
+                os.path.join(sf_dir, f"{table}.parquet")
+            ).metadata.num_rows
+        else:
+            n = batch.count()
+        per_file = max(1, -(-n // num_chunks))  # ceil
+        batch.write.option("maxRecordsPerFile", per_file).parquet(data_dir)
+    else:
+        # Real multi-split corpus (cluster scale): keep the range shuffle —
+        # chunk boundaries then spread the write instead of serializing it.
+        batch.repartitionByRange(num_chunks, chunk_key).write.parquet(data_dir)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

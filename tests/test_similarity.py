@@ -568,3 +568,19 @@ def test_kcenter_coreset_degenerate_duplicates_no_repeat(spark):
     over = kcenter_coreset(df, "vec_id", "embedding", k=9).collect()
     got = [r["vec_id"] for r in over]
     assert sorted(got) == list(range(6)) and len(set(got)) == 6
+
+
+def test_power_pca_partition_invariance_bit_exact(spark):
+    """r11 optimization guard: the covariance now folds per-task int64
+    partial sums in an Arrow kernel — commutativity must make the whole
+    projection bit-identical under ANY input partitioning (the same
+    order-independence contract the old explode+self-join shape carried)."""
+    emb = _emb(spark)
+    outs = []
+    for parts in (1, 7):
+        _, proj = S.power_iteration_pca(
+            emb.repartition(parts), "vec_id", "embedding", dim=64,
+            iterations=3, components=2,
+        )
+        outs.append({r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()})
+    assert outs[0] == outs[1]

@@ -2028,3 +2028,37 @@ def test_stream_ivfpq_residual_equals_batch_ivfpq(spark):
     ]
     want = [tuple(r) for r in reg["vec_topk_ivfpq"].fn(spark, SF_DIR).collect()]
     assert got == want and len(got) > 0
+
+
+def test_replay_table_single_task_chunks_exact_and_deterministic(spark):
+    """r11 optimization guard for the replay prep fast path: a single-split
+    fixture scan is chunked by one sequential write task (maxRecordsPerFile)
+    instead of a sampling pass + range shuffle.  The contract the stream
+    queries rely on: exactly num_chunks files, their union is exactly the
+    batch table, and two preps of the same input produce identical chunk
+    membership (determinism — same input file, same row order)."""
+    import glob
+    import os
+
+    from my_cudf_spark.sources import load_table
+    from my_cudf_spark.streaming.sources import replay_table
+
+    def prep():
+        stream, work_dir = replay_table(
+            spark, SF_DIR, "documents", "doc_id", num_chunks=3
+        )
+        files = sorted(glob.glob(os.path.join(work_dir, "data", "*.parquet")))
+        chunks = [
+            tuple(sorted(r["doc_id"] for r in spark.read.parquet(f).collect()))
+            for f in files
+        ]
+        shutil.rmtree(work_dir, ignore_errors=True)
+        return chunks
+
+    a, b = prep(), prep()
+    assert len(a) == 3
+    assert a == b, "chunk membership must be deterministic across preps"
+    batch_ids = sorted(
+        r["doc_id"] for r in load_table(spark, SF_DIR, "documents").collect()
+    )
+    assert sorted(x for c in a for x in c) == batch_ids
