@@ -195,6 +195,22 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def release_pins(spark) -> None:
+    """Cold-honest protocol (r11 verdict item #2): ``lru_persist`` pins
+    survive across ``q.fn`` calls (same plan → same semanticHash → the
+    SAME persisted frame), so without this a timed run would reuse
+    subtrees materialized during the untimed warmup — measuring warm
+    cache, not the plan.  Dropping every pin plus the whole SQL cache
+    between the warmup and each timed run makes every timed execution
+    compute its pinned subtrees inside the timed region (the within-run
+    compute-once reuse across a plan's own consumers still counts — that
+    is the plan improvement, not cross-run caching)."""
+    from my_cudf_spark.plans.pin import release_persisted
+
+    release_persisted()
+    spark.catalog.clearCache()
+
+
 RUNS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS")
 HISTORY = int(os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "5"))
 
@@ -285,12 +301,14 @@ def main() -> None:
         # sub-second query scale and not representative of steady-state
         # cluster execution. Timed runs measure the compiled plan.
         execute(q.fn(spark, SF_DIR))
+        release_pins(spark)
         runs = []
         repeats = STREAM_REPEATS if name.startswith("stream_") else REPEATS
         for _ in range(repeats):
             t0 = time.perf_counter()
             execute(q.fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
+            release_pins(spark)  # outside the timed region; see release_pins
         timings[name] = round(statistics.median(runs), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -319,7 +337,6 @@ def main() -> None:
         "queries_normalized": normalized,
         "value_normalized": round(sum(normalized.values()), 4),
     }
-    print(json.dumps(result))
     # Durable copy: stdout tail capture can truncate the head of the
     # per-query dict, so every run also lands in BENCH_LOCAL.json
     # (full result) for round-over-round diffing.
@@ -330,7 +347,14 @@ def main() -> None:
             f.write("\n")
     except OSError as e:
         print(f"# BENCH_LOCAL.json not written: {e}", file=sys.stderr)
+    # Stop the session BEFORE emitting the contract line, then print it as
+    # the very last stdout write (r11 verdict item "What's wrong #2": the
+    # one-line JSON must be the final stdout line with nothing after it —
+    # a stray JVM/log line after the JSON made round 10's output
+    # unparseable and cost the driver its round-over-round baseline).
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

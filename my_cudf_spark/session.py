@@ -48,11 +48,25 @@ import weakref
 _CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
+# One profile conf re-read per memoized call (single py4j round trip vs the
+# full ~10-set pass): if an external driver mutated the profile between
+# queries, the cheap sentinel check notices and the full pass re-applies.
+# Repo-internal temporary overrides (the streaming drain) touch only confs
+# OUTSIDE this profile and restore themselves in ``finally``.
+_SENTINEL_CONF = "spark.sql.session.timeZone"
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Best-effort apply of runtime-settable confs to an existing session
-    (idempotent and memoized per live session object)."""
+    (idempotent and memoized per live session object; a one-conf sentinel
+    read detects external mutation and triggers a full re-apply)."""
     if spark in _CONFIGURED_SESSIONS:
-        return spark
+        try:
+            if spark.conf.get(_SENTINEL_CONF) == RUNTIME_CONFS[_SENTINEL_CONF]:
+                return spark
+        except Exception:
+            return spark
+        _CONFIGURED_SESSIONS.discard(spark)
     for k, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, value)

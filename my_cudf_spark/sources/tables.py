@@ -80,6 +80,14 @@ def ensure_min_parallelism(
     yields is identical."""
     floor = spark.sparkContext.defaultParallelism
     if cache_key is not None:
+        # Key the memo on the source's mtime too (one os.stat, ~µs): a
+        # regenerated fixture at the same path invalidates the cached
+        # split decision instead of silently reusing a stale one
+        # (r11 ADVICE item — perf-only either way, but cheap to get right).
+        try:
+            cache_key = f"{cache_key}:{os.stat(cache_key).st_mtime_ns}"
+        except OSError:
+            pass
         per_session = _SPLIT_CACHE.setdefault(spark, {})
         need = per_session.get(cache_key)
         if need is None:

@@ -40,7 +40,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "stream_ann_index", "seed_pq_codebooks", "pq_code_expr",
-    "seed_residual_codebooks", "residual_expr",
+    "seed_residual_codebooks", "residual_expr", "cell_code_assign_pandas",
 ]
 
 
@@ -198,6 +198,82 @@ def pq_code_expr(
         )
         codes.append(best["code"])
     return F.array(*codes)
+
+
+def _seq_codes(
+    X: "np.ndarray", codebooks: list[list[list[float]]]
+) -> "np.ndarray":
+    """Vectorized-across-rows, sequential-across-dims PQ code assignment —
+    bit-identical to :func:`pq_code_expr`: per (sub, code) the d2 is the
+    exact IEEE fold acc = acc + (x−c)·(x−c) in dim order, and strict ``<``
+    keeps the FIRST minimal code (ties → lowest code, matching
+    ``ORDER BY d2, code``)."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    n = X.shape[0]
+    out = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        Xs = X[:, s * sub_d : (s + 1) * sub_d]
+        best_d2 = np.full(n, np.inf, dtype=np.float64)
+        best_code = np.full(n, -1, dtype=np.int32)
+        for code, cvec in enumerate(codebooks[s]):
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(sub_d):
+                diff = Xs[:, d] - float(cvec[d])
+                acc += diff * diff
+            mask = acc < best_d2
+            best_d2[mask] = acc[mask]
+            best_code[mask] = code
+        out[:, s] = best_code
+    return out
+
+
+def cell_code_assign_pandas(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col,
+    residual: bool = False,
+) -> "F.Column":
+    """Frozen-epoch cell id + PQ code word as ONE Arrow-batched pandas
+    projection — the value-identical replacement for
+    ``cell_assign_expr`` + ``pq_code_expr(·, residual_expr(...))`` on the
+    streaming IVF-PQ paths (guide §4.2 / §1.2 driver-side work).  The
+    literal-tree Column form inlines the 16×64 centroid table into all
+    m×n_codes d2 computations: ~8.5 s of py4j expression construction per
+    call plus ~1 s/micro-batch of query planning and multi-second codegen
+    per batch, all measured (OPTIMIZATION_r12.md).  This kernel is a
+    closure over (n_centroids + m·n_codes) small float lists and runs the
+    bit-identical arithmetic: cells via
+    :func:`~my_cudf_spark.streaming.semdedup._seq_cells`, the residual as
+    the same elementwise IEEE subtraction ``v − centroid[cell]`` as
+    :func:`residual_expr`, codes via :func:`_seq_codes`.  Returns a
+    ``struct<cell int, code array<int>>`` Column, legal on a stream."""
+    from pyspark.sql.functions import pandas_udf
+
+    from my_cudf_spark.streaming.semdedup import (
+        _centroid_norms,
+        _seq_cells,
+        _stack_vectors,
+    )
+
+    cents = np.asarray(
+        [[float(x) for x in c] for c in centroids], dtype=np.float64
+    )
+    cnorms = _centroid_norms(centroids)
+    books = [[[float(x) for x in c] for c in sub] for sub in codebooks]
+
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cell": [], "code": []})
+        X = _stack_vectors(vs)
+        cells = _seq_cells(X, cents, cnorms)
+        base = X - cents[cells] if residual else X
+        codes = _seq_codes(base, books)
+        return pd.DataFrame({"cell": cells, "code": list(codes)})
+
+    _assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return pandas_udf(_assign, "cell int, code array<int>")(v)
 
 
 def stream_ann_index(

@@ -80,16 +80,27 @@ def stream_bloom_decontam(
     for per-document reports.  ``gram`` is :func:`gram_id` of the gram
     string (the probe positions hash the string itself)."""
     pos = bloom_probe_positions(F.col("gram"), m_bits, k, salt)
+    # explode_outer + post-filter instead of explode (r12, guide §7.2
+    # duplicated-subtrees): a plain explode makes Catalyst infer
+    # ``size(grams) > 0 AND isnotnull(grams)`` and push it below the
+    # projection with the WHOLE gram pipeline (normalize + ngrams +
+    # distinct) inlined several times — measured 8.6 s vs 0.2 s on the
+    # fixture corpus, evaluated interpreted on the single pre-shuffle
+    # task of every micro-batch.  explode_outer infers no filter; the
+    # null row an empty/null gram array emits is dropped on the OUTPUT
+    # column (gram elements are never null), which is exactly what the
+    # old ``size > 0`` pre-filter achieved.  posexplode_outer likewise on
+    # the constant-size probe array.
     probes = (
-        df.filter(F.size(grams_col) > 0)
-        .select(
+        df.select(
             F.col(bench_col).alias("__bench"),
-            F.explode(grams_col).alias("gram"),
+            F.explode_outer(grams_col).alias("gram"),
         )
+        .filter(F.col("gram").isNotNull())
         .select(
             "__bench",
             gram_id("gram").alias("__gram"),
-            F.posexplode(F.array(*pos)).alias("__j", "__pos"),
+            F.posexplode_outer(F.array(*pos)).alias("__j", "__pos"),
         )
         .withColumn(
             "__bkt", F.pmod((F.col("__pos") / 63).cast("int"), F.lit(buckets))

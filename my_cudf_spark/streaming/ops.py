@@ -115,6 +115,16 @@ def dedup(
     return df.dropDuplicates(list(keys))
 
 
+# Measurement hook (guide §1, r11 verdict item #4 — decompose the
+# micro-batch floor): when ``collect_progress`` is flipped on (profiling
+# tools only; bench/queries never touch it), every drain appends its
+# per-micro-batch StreamingQueryProgress dicts (durationMs breakdown:
+# triggerExecution, queryPlanning, addBatch, getBatch, walCommit,
+# commitOffsets, latestOffset) to ``last_progress``.
+collect_progress = False
+last_progress: list[dict] = []
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str | None = None
 ) -> DataFrame:
@@ -137,6 +147,13 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if collect_progress:
+        import json as _json
+
+        batches = []
+        for p in q.recentProgress:
+            batches.append(p if isinstance(p, dict) else _json.loads(p.json))
+        last_progress.append({"name": name, "batches": batches})
     return stream_df.sparkSession.table(name)
 
 

@@ -111,10 +111,15 @@ def stream_substring_dedup(
     if not df.isStreaming:
         from my_cudf_spark.operators.sampling import grouped_topn
 
+        # explode_outer + post-filter (r12, guide §7.2): plain explode
+        # makes Catalyst infer ``size(...) > 0`` and push it down with the
+        # whole md5 shingle pipeline inlined — double evaluation per row;
+        # shingle hashes are never null, so dropping the null row an
+        # empty/short doc emits is exactly the explode semantics.
         sh = df.select(
             F.col(id_col).alias("id"),
-            F.explode(shingle_hashes(F.col(tokens_col), min_len)).alias("h"),
-        )
+            F.explode_outer(shingle_hashes(F.col(tokens_col), min_len)).alias("h"),
+        ).filter(F.col("h").isNotNull())
         # posting rank via two-phase top-n: rank r(h, b) <= max_df can only
         # hold for the max_df smallest ids per shingle
         ranked = grouped_topn(sh, ["h"], [F.col("id")], max_df, rank_out="rk")
@@ -189,10 +194,12 @@ def stream_substring_dedup(
         state.update((hs, ids, sorted(hotset)))
         yield pd.DataFrame({"id": list(out.keys()), "keep": list(out.values())})
 
+    # explode_outer + post-filter: see the batch branch above — avoids the
+    # inferred size()-filter inlining the md5 shingle pipeline per batch.
     sh = df.select(
         F.col(id_col),
-        F.explode(shingle_hashes(F.col(tokens_col), min_len)).alias("__h"),
-    )
+        F.explode_outer(shingle_hashes(F.col(tokens_col), min_len)).alias("__h"),
+    ).filter(F.col("__h").isNotNull())
     bucket = F.pmod(F.hash(F.col("__h")), F.lit(buckets))
     return (
         sh.withColumn("__bkt", bucket)

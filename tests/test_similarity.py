@@ -584,3 +584,64 @@ def test_power_pca_partition_invariance_bit_exact(spark):
         )
         outs.append({r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()})
     assert outs[0] == outs[1]
+
+
+def test_cov_partials_overflow_flush_exact():
+    """r12 hardening (r11 verdict #3): the Arrow covariance kernel must
+    flush its int64 accumulator before partial sums can wrap.  Adversarial
+    shape: dim=2 vectors of magnitude ~5e4 make each nano-unit term
+    ~2.5e18 (> 2^61), so the guard must flush ~every row; the summed
+    partial emissions must equal an arbitrary-precision ground truth —
+    pure Python ints, no int64 anywhere."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    dim = 2
+    rows = [[5.0e4 + i, -4.9e4 + 2 * i] for i in range(9)]
+    mu = [1.0, -2.0]  # arbitrary nonzero center
+    fn = S._make_cov_partials(mu, dim)
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(rows, type=pa.list_(pa.float64()))], names=["__v"]
+    )
+    out = list(fn(iter([batch])))
+    assert len(out) > 1, "adversarial magnitudes must force at least one flush"
+
+    totals = {}
+    for rb in out:
+        t = rb.to_pydict()
+        for i, j, s in zip(t["i"], t["j"], t["s"]):
+            totals[(i, j)] = totals.get((i, j), 0) + int(s)
+
+    for i in range(dim):
+        for j in range(dim):
+            expect = 0
+            for r in rows:
+                xi = np.float64(r[i]) - np.float64(mu[i])
+                xj = np.float64(r[j]) - np.float64(mu[j])
+                expect += int(math.floor(float(xi * xj) * 1e9 + 0.5))
+            assert totals[(i, j)] == expect, (i, j)
+
+
+def test_cov_partials_rejects_null_and_ragged():
+    """r11 ADVICE: the slow (non-contiguous) path must fail loudly on
+    null/ragged vectors instead of crashing in np.asarray or silently
+    diverging from the divisor."""
+    import pyarrow as pa
+    import pytest
+
+    fn = S._make_cov_partials([0.0, 0.0], 2)
+    bad = pa.RecordBatch.from_arrays(
+        [pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))],
+        names=["__v"],
+    )
+    with pytest.raises(ValueError, match="null or ragged"):
+        list(fn(iter([bad])))
+    ragged = pa.RecordBatch.from_arrays(
+        [pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))],
+        names=["__v"],
+    )
+    with pytest.raises(ValueError, match="null or ragged"):
+        list(fn(iter([ragged])))

@@ -2062,3 +2062,59 @@ def test_replay_table_single_task_chunks_exact_and_deterministic(spark):
         r["doc_id"] for r in load_table(spark, SF_DIR, "documents").collect()
     )
     assert sorted(x for c in a for x in c) == batch_ids
+
+
+def test_cell_code_pandas_kernels_bit_equal_expr_forms(spark):
+    """r12 optimization guard: the Arrow/pandas assignment kernels
+    (cell_assign_pandas / cell_code_assign_pandas) must be BIT-IDENTICAL,
+    row for row, to the literal-tree Column forms they replace on the hot
+    streaming paths (cell_assign_expr, pq_code_expr, pq_code_expr over
+    residual_expr) — the same sequential-fold IEEE arithmetic, just
+    vectorized across rows."""
+    from my_cudf_spark.streaming.annindex import (
+        cell_code_assign_pandas,
+        pq_code_expr,
+        residual_expr,
+        seed_pq_codebooks,
+        seed_residual_codebooks,
+    )
+    from my_cudf_spark.streaming.semdedup import (
+        cell_assign_expr,
+        cell_assign_pandas,
+        seed_centroid_rows,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = seed_centroid_rows(emb, "vec_id", "embedding", 16)
+    cb_raw = seed_pq_codebooks(emb, "vec_id", "embedding", m=8, n_codes=16)
+    cb_res = seed_residual_codebooks(
+        emb, "vec_id", "embedding", cents, m=8, n_codes=16
+    )
+
+    # residual_expr needs the assigned cell as a column
+    both = emb.withColumn(
+        "__cell_for_res", cell_assign_expr(cents, "embedding")
+    ).select(
+        "vec_id",
+        cell_assign_expr(cents, "embedding").alias("cell_expr"),
+        cell_assign_pandas(cents, "embedding").alias("cell_pd"),
+        pq_code_expr(cb_raw, "embedding").alias("code_expr"),
+        cell_code_assign_pandas(cents, cb_raw, "embedding").alias("cc_raw"),
+        pq_code_expr(
+            cb_res, residual_expr(cents, "embedding", "__cell_for_res")
+        ).alias("rcode_expr"),
+        cell_code_assign_pandas(
+            cents, cb_res, "embedding", residual=True
+        ).alias("cc_res"),
+    )
+    rows = both.collect()
+    assert rows
+    for r in rows:
+        assert r["cell_pd"] == r["cell_expr"], r["vec_id"]
+        assert r["cc_raw"]["cell"] == r["cell_expr"], r["vec_id"]
+        assert list(r["cc_raw"]["code"]) == list(r["code_expr"]), r["vec_id"]
+        assert r["cc_res"]["cell"] == r["cell_expr"], r["vec_id"]
+        assert list(r["cc_res"]["code"]) == list(r["rcode_expr"]), r["vec_id"]

@@ -49,6 +49,14 @@ QUERIES = [
     "stream_pretrain_replay",
     "dedup_minhash_lsh",
     "vec_topk_ivfpq",
+    # r12 (r11 verdict item #7): the re-planned flagships whose 100 TB
+    # posture was argued, not measured — fit their exponents too.
+    # (graph_pagerank is lineitem-backed; this harness only replicates
+    # the corpus tables, so it stays plan-argued.)
+    "vec_pca_topr",
+    "text_unigram_apply",
+    "stream_ann_ivfpq_residual_replay",
+    "stream_decontam_replay",
 ]
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale_corpora")
