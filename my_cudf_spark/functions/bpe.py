@@ -381,7 +381,15 @@ def learn_bpe_merges(
     rep = rep0
     try:
         for r in range(1, num_merges + 1):
-            rep = _pin(rep)
+            # Lazy localCheckpoint, not just persist (r12): round r's
+            # LOGICAL tree references rep_{r-1} twice (the rewrite and the
+            # winner's pair-count subtree), so the un-truncated plan is
+            # 2^r nodes — a persist dedupes EXECUTION but analysis and
+            # optimization still walk the doubled tree every round
+            # (measured superlinear: 6 rounds 9.8 s vs 2 rounds 2.9 s).
+            # The lazy checkpoint truncates the plan to a leaf immediately
+            # (materializes once on first use, cached like the persist).
+            rep = _pin(rep).localCheckpoint(eager=False)
             toks = rep.select(F.split(F.trim(F.col("rep")), "  ").alias("tk"))
             pairs = toks.select(
                 F.explode(

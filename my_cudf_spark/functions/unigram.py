@@ -191,12 +191,24 @@ def _viterbi_counts(
 
 def _m_counts(counts: DataFrame, chars: DataFrame) -> DataFrame:
     """M-step count adjustment: multi-char pieces keep c (>0 only),
-    single chars get add-one smoothing and are never dropped."""
+    single chars get add-one smoothing and are never dropped.
+
+    The smoothing is a union + one hash aggregation instead of the
+    former ``chars LEFT JOIN counts`` (r12): the left-outer join planned
+    as a SortMergeJoin — two exchanges + two sorts per M-step on a
+    vocabulary-sized frame (and chars, the bounded charset, cannot be
+    the broadcast build side of its own left join).  Every single-char
+    piece in ``counts`` is by construction in ``chars`` (both derive
+    from the same corpus substrings), so sum-over-union equals the
+    join's coalesce(c, 0) exactly."""
     multi = counts.filter((F.length("piece") > 1) & (F.col("c") > 0)).select(
         "piece", "c"
     )
-    smoothed = chars.join(counts, "piece", "left").select(
-        "piece", (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("long").alias("c")
+    smoothed = (
+        chars.select("piece", F.lit(0).cast("long").alias("c"))
+        .unionByName(counts.filter(F.length("piece") == 1).select("piece", "c"))
+        .groupBy("piece")
+        .agg((F.sum("c") + 1).cast("long").alias("c"))
     )
     return multi.unionByName(smoothed)
 

@@ -38,8 +38,8 @@ __all__ = ["global_cumsum", "pack_sequences", "pack_bestfit"]
 def global_cumsum(
     df: DataFrame,
     order_col: str | Sequence[str | Column],
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """EXCLUSIVE global running sum of ``value_col`` in ``order_col`` order
@@ -47,18 +47,31 @@ def global_cumsum(
     single-partition window.
 
     ``order_col`` (one column or a list) must be a total order (ties would
-    make the prefix sum nondeterministic across runs)."""
+    make the prefix sum nondeterministic across runs).
+
+    ``value_col``/``out_col`` accept LISTS to compute several cumsums over
+    the SAME order in one pass (r12): chaining two single-value calls
+    nests the first call's whole window+join tree inside the second
+    call's three plan branches (min/max, totals, main) — three full
+    re-evaluations; the multi-value form shares one bucket assignment,
+    one window pass and one offsets broadcast, and each column's values
+    are identical to its single-value run (per-column sums are
+    independent)."""
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col must have equal length")
 
     key_num = _numeric_view(df, order_cols[0])
     if key_num is not None:
         return _cumsum_deterministic_buckets(
-            df, order_cols, key_num, value_col, out_col, num_partitions
+            df, order_cols, key_num, value_cols, out_cols, num_partitions
         )
-    return _cumsum_range_checkpoint(df, order_cols, value_col, out_col, num_partitions)
+    return _cumsum_range_checkpoint(df, order_cols, value_cols, out_cols, num_partitions)
 
 
 def _numeric_view(df: DataFrame, expr: Column) -> Column | None:
@@ -85,8 +98,8 @@ def _cumsum_deterministic_buckets(
     df: DataFrame,
     order_cols: list[Column],
     key_num: Column,
-    value_col: str,
-    out_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
     num_partitions: int,
 ) -> DataFrame:
     """Scale path: partition id is a PURE FUNCTION of row values (uniform
@@ -123,24 +136,39 @@ def _cumsum_deterministic_buckets(
     # Totals re-derive __pid from scratch (deterministic), so Catalyst is
     # free to plan this branch as scan → partial agg → tiny shuffle; the
     # full-width data only crosses the wire once, for the window below.
-    totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    totals = d.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(value_cols)]
+    )
     w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0)).alias("__ofs")
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot{i}").over(w_prefix), F.lit(0)).alias(f"__ofs{i}")
+            for i in range(len(value_cols))
+        ],
     )
-    return (
-        d.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
-        .join(broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__local") + F.col("__ofs")).cast("long"))
-        .drop("__pid", "__local", "__ofs")
+    out = d
+    for i, v in enumerate(value_cols):
+        out = out.withColumn(
+            f"__local{i}", F.coalesce(F.sum(v).over(w_local), F.lit(0))
+        )
+    out = out.join(broadcast(offsets), "__pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, (F.col(f"__local{i}") + F.col(f"__ofs{i}")).cast("long")
+        )
+    return out.drop(
+        "__pid",
+        *[f"__local{i}" for i in range(len(value_cols))],
+        *[f"__ofs{i}" for i in range(len(value_cols))],
     )
 
 
 def _cumsum_range_checkpoint(
     df: DataFrame,
     order_cols: list[Column],
-    value_col: str,
-    out_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
     num_partitions: int,
 ) -> DataFrame:
     """General path (string / SortOrder / complex first keys): range
@@ -165,16 +193,31 @@ def _cumsum_range_checkpoint(
     )
     # One row per partition; the prefix window below runs on that tiny
     # frame, so its single-partition sort is metadata-sized by design.
-    totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    totals = d.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(value_cols)]
+    )
     w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0)).alias("__ofs")
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot{i}").over(w_prefix), F.lit(0)).alias(f"__ofs{i}")
+            for i in range(len(value_cols))
+        ],
     )
-    return (
-        d.withColumn("__local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
-        .join(broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__local") + F.col("__ofs")).cast("long"))
-        .drop("__pid", "__local", "__ofs")
+    out = d
+    for i, v in enumerate(value_cols):
+        out = out.withColumn(
+            f"__local{i}", F.coalesce(F.sum(v).over(w_local), F.lit(0))
+        )
+    out = out.join(broadcast(offsets), "__pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, (F.col(f"__local{i}") + F.col(f"__ofs{i}")).cast("long")
+        )
+    return out.drop(
+        "__pid",
+        *[f"__local{i}" for i in range(len(value_cols))],
+        *[f"__ofs{i}" for i in range(len(value_cols))],
     )
 
 

@@ -200,6 +200,7 @@ def epoch_shuffle(
     key_cols: Sequence[str | Column],
     epoch: int,
     out_col: str = "pos",
+    extra_cumsums: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Deterministic per-epoch global shuffle for training order: position =
     rank of md5('epoch<e>|' || key) — a pure function of (key, epoch), so
@@ -218,8 +219,17 @@ def epoch_shuffle(
     digest = F.md5(F.concat_ws("|", F.lit(f"epoch{epoch}"), *keys))
     knum = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
     d = df.withColumn("__ek", knum)
+    # ``extra_cumsums`` [(value_col, out_col), ...] rides the SAME
+    # multi-value cumsum pass (r12): the rank order (digest, keys) IS the
+    # pos order, so an exclusive sum over pos equals one over the rank
+    # key bit-for-bit — and chaining a second global_cumsum on pos would
+    # re-evaluate this whole pass inside each of its three plan branches.
+    vals, outs = ["__one"], [out_col]
+    for v, o in extra_cumsums or ():
+        vals.append(v)
+        outs.append(o)
     return (
-        global_cumsum(d.withColumn("__one", F.lit(1)), ["__ek", *key_cols], "__one", out_col=out_col)
+        global_cumsum(d.withColumn("__one", F.lit(1)), ["__ek", *key_cols], vals, out_col=outs)
         .drop("__one", "__ek")
     )
 

@@ -473,12 +473,18 @@ def _pretrain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_cudf_spark.operators.packing import global_cumsum
 
     tok = _curated_tok_frame(spark, sf_dir)
-    # Global offsets in shuffle order: two deterministic-bucket cumsum
-    # passes over doc-level metadata (rank-of-ones → pos, token cumsum →
-    # start_offset); neither touches text.
-    offs = global_cumsum(tok, ["__ek", "doc_id"], "n_tokens", out_col="start_offset")
+    # Global offsets in shuffle order: ONE deterministic-bucket cumsum
+    # pass over doc-level metadata computing BOTH running sums
+    # (rank-of-ones → pos, token cumsum → start_offset) over the same
+    # order (r12, guide §7.2): the former chained form nested the first
+    # cumsum's whole window+join tree inside the second call's three
+    # plan branches — three full re-evaluations per consumer.  Values
+    # bit-identical (same buckets, independent per-column sums).
     offs = global_cumsum(
-        offs.withColumn("__one", F.lit(1)), ["__ek", "doc_id"], "__one", out_col="pos"
+        tok.withColumn("__one", F.lit(1)),
+        ["__ek", "doc_id"],
+        ["n_tokens", "__one"],
+        out_col=["start_offset", "pos"],
     )
     end = F.col("start_offset") + F.col("n_tokens") - 1
     final = offs.select(

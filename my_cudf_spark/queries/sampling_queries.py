@@ -502,8 +502,13 @@ def sample_epoch_shuffle_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_epoch = []
     for e in (1, 2, 3):
-        sh = epoch_shuffle(base, ["doc_id"], epoch=e)
-        cum = global_cumsum(sh, ["pos"], "nt", out_col="cum")
+        # rank AND token cumsum in ONE cumsum pass (r12): the chained
+        # global_cumsum(sh, ["pos"], "nt") re-evaluated the rank pass in
+        # each of its three plan branches; pos order == rank-key order,
+        # so the fused exclusive sums are bit-identical.
+        cum = epoch_shuffle(
+            base, ["doc_id"], epoch=e, extra_cumsums=[("nt", "cum")]
+        )
         per_epoch.append(
             cum.withColumn(
                 "pack", F.floor(F.col("cum") / F.lit(2048.0)).cast("long")

@@ -31,6 +31,55 @@ from my_cudf_spark.streaming.stateful import running_totals
 _run_id = count()
 
 
+def _drain_concurrent(
+    specs: list[tuple[DataFrame, str, str]], work_dirs: list[str]
+) -> list[DataFrame]:
+    """Drain several INDEPENDENT bounded streams at once (guide §2.6 —
+    actions are only sequential because driver code awaits them
+    sequentially): start every query, then await them all, under the
+    same conf envelope as :func:`_drain`.  A stateful drain is mostly a
+    chain of tiny sequential stages (state-store open/commit, offset
+    logs), so two concurrent drains back-fill each other's idle cores —
+    measured ~1.6× on stream_ann_retrain_replay's epoch-0 index + stats
+    drains, which read the same staged replay and share no state.
+    ``specs``: (stream_df, tag, output_mode) per drain; every dir in
+    ``work_dirs`` is removed after ALL drains finish."""
+    spark = specs[0][0].sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    try:
+        started = []
+        for df, tag, mode in specs:
+            name = f"{tag}_{next(_run_id)}"
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            started.append((q, name))
+        for q, _ in started:
+            q.awaitTermination()
+        if S.collect_progress:  # measurement hook parity with run_to_memory
+            import json as _json
+
+            for q, name in started:
+                batches = [
+                    p if isinstance(p, dict) else _json.loads(p.json)
+                    for p in q.recentProgress
+                ]
+                S.last_progress.append({"name": name, "batches": batches})
+        return [spark.table(name) for _, name in started]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
+        for wd in work_dirs:
+            shutil.rmtree(wd, ignore_errors=True)
+
+
 def _drain(stream_df: DataFrame, tag: str, work_dir: str, output_mode: str | None = None) -> DataFrame:
     """Run the bounded stream to completion, drop the staging dir, and
     pin the result rows (the memory sink lives in driver memory).
@@ -1884,23 +1933,31 @@ def stream_ann_retrain_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_only = lambda df: df.filter(F.col("vec_id") % 2 == 0)
     emb_b = as_double(load_table(spark, sf_dir, "embeddings"))
 
-    # epoch 0: the live pre-retrain index — base corpus, seeded quantizer
+    # epoch 0: the live pre-retrain index — base corpus, seeded quantizer.
+    # The index drain and the M-step stats drain replay the IDENTICAL
+    # base-corpus chunking and share no state, so they read ONE staged
+    # replay (r12: the second replay prep wrote the same files again) and
+    # drain CONCURRENTLY via _drain_concurrent (guide §2.6).
+    import os as _os
+
     cents0 = seed_centroid_rows(emb_b, "vec_id", "embedding", 16)
     s0, wd0 = replay_table(
         spark, sf_dir, "embeddings", "vec_id", num_chunks=2, transform=base_only
     )
+    s1 = (
+        spark.readStream.schema(s0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(wd0, "data"))
+    )
     a0 = as_double(s0).withColumn("cell", cell_assign_pandas(cents0, "embedding"))
-    idx0 = _drain(
-        stream_ann_index(a0, "vec_id", "cell", epoch=0, buckets=4),
-        "annrt0", wd0, output_mode="update",
-    )
-
-    # M-step carrier: drained sufficient statistics over the same base
-    s1, wd1 = replay_table(
-        spark, sf_dir, "embeddings", "vec_id", num_chunks=2, transform=base_only
-    )
     snaps = stream_cluster_stats(as_double(s1), "vec_id", "embedding", dim=64, bits=4)
-    stats = _drain(snaps, "annrtstats", wd1, output_mode="update")
+    idx0, stats = _drain_concurrent(
+        [
+            (stream_ann_index(a0, "vec_id", "cell", epoch=0, buckets=4), "annrt0", "update"),
+            (snaps, "annrtstats", "update"),
+        ],
+        [wd0],
+    )
     srows = (
         stats.groupBy("cell")
         .agg(F.max_by("sums", "n").alias("sums"), F.max("n").alias("n"))
