@@ -193,13 +193,14 @@ def replay_table(
         # cheaper per replay.  The row count is parquet-footer metadata
         # unless a transform changed cardinality (then one count job, which
         # parquet aggregate pushdown keeps metadata-only for pure casts).
-        if transform is None:
+        if transform is None and os.path.isfile(src_path):
             import pyarrow.parquet as pq
 
-            n = pq.ParquetFile(
-                os.path.join(sf_dir, f"{table}.parquet")
-            ).metadata.num_rows
+            n = pq.ParquetFile(src_path).metadata.num_rows
         else:
+            # transform may change cardinality; a DIRECTORY source (e.g.
+            # the scale-check corpora) has no single footer — one count
+            # job, metadata-only under parquet aggregate pushdown.
             n = batch.count()
         per_file = max(1, -(-n // num_chunks))  # ceil
         batch.write.option("maxRecordsPerFile", per_file).parquet(data_dir)
